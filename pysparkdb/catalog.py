@@ -1,0 +1,156 @@
+"""Declared-schema catalog.
+
+The reference declares every table's schema externally in catalog JSON
+(/root/reference/resources/metadata/<schema>/schema.json, read by
+fpdb-catalogue/src/obj-store/ObjStoreCatalogueEntryReader.cpp:300-316) with a
+six-type system: int32, int64, float64, utf8, boolean, date. Here the same
+role is played by explicit StructTypes; registration validates the on-disk
+parquet footer against the declaration (schema drift fails fast, like the
+reference's catalog/metadata mismatch errors) and registers a temp view so
+both ``Engine.sql`` and the DataFrame API see the table.
+
+Monetary columns are double, not decimal, matching the reference
+(resources/metadata/tpch-sf0.01/csv/schema.json: l_extendedprice:double).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _tpch_like() -> dict[str, T.StructType]:
+    L, I, D, S = T.LongType(), T.IntegerType(), T.DoubleType(), T.StringType()
+    TS = T.TimestampType()
+
+    def st(*fields: tuple[str, T.DataType]) -> T.StructType:
+        return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+    return {
+        "region": st(("r_regionkey", I), ("r_name", S)),
+        "nation": st(("n_nationkey", I), ("n_name", S), ("n_regionkey", I)),
+        "customer": st(
+            ("c_custkey", L), ("c_name", S), ("c_nationkey", I),
+            ("c_acctbal", D), ("c_mktsegment", S),
+        ),
+        "supplier": st(
+            ("s_suppkey", L), ("s_name", S), ("s_nationkey", I), ("s_acctbal", D),
+        ),
+        "part": st(
+            ("p_partkey", L), ("p_name", S), ("p_brand", S), ("p_type", S),
+            ("p_size", I), ("p_retailprice", D),
+        ),
+        "orders": st(
+            ("o_orderkey", L), ("o_custkey", L), ("o_orderstatus", S),
+            ("o_totalprice", D), ("o_orderdate", TS), ("o_orderpriority", S),
+        ),
+        "lineitem": st(
+            ("l_orderkey", L), ("l_partkey", L), ("l_suppkey", L),
+            ("l_linenumber", I), ("l_quantity", D), ("l_extendedprice", D),
+            ("l_discount", D), ("l_tax", D), ("l_returnflag", S),
+            ("l_linestatus", S), ("l_shipdate", TS),
+        ),
+        "events": st(
+            ("event_id", L), ("ts", TS), ("user_id", L), ("event_type", S),
+            ("value", D), ("props", S),
+        ),
+        "documents": st(
+            ("doc_id", L), ("text", S), ("lang", S), ("source", S),
+            ("n_chars", L),
+        ),
+        "embeddings": st(
+            ("vec_id", L), ("embedding", T.ArrayType(T.FloatType(), True)),
+            ("label", I),
+        ),
+    }
+
+
+#: table name -> declared StructType (the engine's "schema.json").
+DECLARED_SCHEMAS: dict[str, T.StructType] = _tpch_like()
+
+TABLE_NAMES = tuple(DECLARED_SCHEMAS)
+
+
+def _types_compatible(declared: T.DataType, actual: T.DataType) -> bool:
+    # Parquet timestamps may surface as NTZ depending on writer metadata;
+    # both carry the same microsecond values under a UTC session tz.
+    ts_types = (T.TimestampType, T.TimestampNTZType)
+    if isinstance(declared, ts_types) and isinstance(actual, ts_types):
+        return True
+    if isinstance(declared, T.ArrayType) and isinstance(actual, T.ArrayType):
+        return _types_compatible(declared.elementType, actual.elementType)
+    return declared == actual
+
+
+@dataclass
+class Catalog:
+    """Registers declared tables over a parquet directory as temp views.
+
+    Mirrors the reference's CatalogueEntry per schema-name
+    (fpdb-catalogue/include/fpdb/catalogue/CatalogueEntry.h): one Catalog
+    instance == one data directory (a "schema" like tpch-sf0.01).
+    """
+
+    spark: SparkSession
+    data_dir: str
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    def register_all(self, validate: bool = True) -> "Catalog":
+        for name in TABLE_NAMES:
+            path = os.path.join(self.data_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            self.register(name, path, validate=validate)
+        return self
+
+    def register(self, name: str, path: str, validate: bool = True) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        df = self._resolve_nanos(name, df)
+        if validate and name in DECLARED_SCHEMAS:
+            self._validate(name, df)
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        return df
+
+    def _resolve_nanos(self, name: str, df: DataFrame) -> DataFrame:
+        """Convert TIMESTAMP(NANOS) columns (read as epoch-nanos longs under
+        spark.sql.legacy.parquet.nanosAsLong) to proper timestamps.
+
+        Integer `div` (not `/`) so ~1.7e18 nanos don't round through double;
+        truncation toward zero matches DuckDB's ns→us behaviour for the
+        positive epochs in the testdata.
+        """
+        from pyspark.sql import functions as F
+
+        declared = DECLARED_SCHEMAS.get(name)
+        if declared is None:
+            return df
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        for f in declared.fields:
+            if isinstance(f.dataType, T.TimestampType) and isinstance(
+                actual.get(f.name), T.LongType
+            ):
+                df = df.withColumn(
+                    f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+                )
+        return df
+
+    def _validate(self, name: str, df: DataFrame) -> None:
+        declared = {f.name: f.dataType for f in DECLARED_SCHEMAS[name].fields}
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        missing = set(declared) - set(actual)
+        if missing:
+            raise ValueError(f"table {name}: missing declared columns {sorted(missing)}")
+        for col, dt in declared.items():
+            if not _types_compatible(dt, actual[col]):
+                raise ValueError(
+                    f"table {name}.{col}: declared {dt} but parquet has {actual[col]}"
+                )
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise KeyError(f"table {name!r} not registered (have {sorted(self.tables)})")
+        return self.tables[name]

@@ -1,0 +1,57 @@
+"""Engine — the client surface.
+
+Reference lifecycle (fpdb-main/src/Client.cpp:94-158): catalog fetch → SQL →
+Calcite plan (Thrift/Java) → prephysical plan → physical plan → CAF actor
+execution → result TupleSet. In Spark every one of those stages is Catalyst +
+the DAG scheduler; the Engine is therefore a thin facade: a SparkSession, a
+Catalog of declared tables, ``sql()`` returning a DataFrame, and a DataFrame
+handle per table for the operator-builder API (pysparkdb.operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pysparkdb.catalog import Catalog
+from pysparkdb.session import apply_engine_confs, get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, data_dir: str | None = None):
+        self.spark = apply_engine_confs(spark or get_spark())
+        self.catalog: Catalog | None = None
+        if data_dir is not None:
+            self.attach(data_dir)
+
+    def attach(self, data_dir: str, validate: bool = True) -> "Engine":
+        """Register every known table under ``data_dir`` as a temp view.
+
+        Equivalent of Client::getCatalogueEntry (Client.cpp:118-132) — the
+        declared schemas come from pysparkdb.catalog.DECLARED_SCHEMAS.
+        """
+        self.catalog = Catalog(self.spark, data_dir).register_all(validate=validate)
+        return self
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL → DataFrame (Client::executeQuery analog; lazy, not collected)."""
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        assert self.catalog is not None, "call attach(data_dir) first"
+        return self.catalog.table(name)
+
+    def analyze_tables(self) -> None:
+        """Collect table/column stats so Catalyst CBO can reorder joins —
+        the role of the reference's stats.json + Calcite row-count metadata
+        (fpdb-calcite/.../metadata/FPDBRelMdRowCount.java).
+
+        Only applies when tables are persisted in a real metastore; temp
+        views cannot be ANALYZEd, so this is best-effort (AQE provides
+        runtime stats regardless).
+        """
+        assert self.catalog is not None
+        for name in self.catalog.tables:
+            try:
+                self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+            except Exception:
+                pass

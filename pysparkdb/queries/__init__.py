@@ -1,0 +1,54 @@
+"""Query registry — the engine's executable capability inventory.
+
+Every capability from SURVEY.md §2 registers here as a named QuerySpec:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where the operation
+is SQL-expressible) an equivalent ANSI-SQL oracle string that DuckDB runs on
+the same parquet tables. This mirrors the reference's e2e test strategy —
+every TPC-H/SSB query through the full stack with golden outputs
+(fpdb-main/test/TPCHTest.cpp, resources/result/tpch-sf0.01/) — but with an
+automated oracle instead of manual diffing.
+
+Conventions (required by the driver's order-insensitive value-hash compare):
+- every computed/aggregate column is aliased identically on both sides;
+- double aggregates are rounded (ROUND(x, N)) identically on both sides so
+  summation-order nondeterminism cannot flip the hash;
+- integer-typed aggregates are cast to BIGINT on both sides (DuckDB's
+  SUM(BIGINT) would otherwise widen to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module so REGISTRY is fully populated."""
+    from pysparkdb.queries import ops, pipeline, streaming, tpch  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,639 @@
+"""TPC-H-adapted query corpus over the driver's synthetic star schema.
+
+The reference executes all 22 TPC-H queries e2e
+(/root/reference/fpdb-main/test/TPCHTest.cpp, queries at
+/root/reference/resources/query/tpch/original/*.sql). The driver's testdata is
+a reduced TPC-H (no partsupp; fewer columns; dates stored as timestamps), so
+each query here is the reference query adapted to the available columns while
+preserving its *operator shape* — the plan skeleton Calcite would produce
+(FilterableScan → Filter → Project → HashJoin/Group/Sort/LimitSort, per
+fpdb-plan/include/fpdb/plan/prephysical/PrePOpType.h).
+
+Every query is written with the DataFrame operator API (Spark-first: Catalyst
+does pushdown/pruning/join-ordering) and paired with a DuckDB oracle string.
+
+Aggregate convention (driver hash stability): double sums/averages go through
+exact DECIMAL(25,6) per-summand casts on BOTH sides — see
+pysparkdb.queries.base.dsum — because rounding a nondeterministically-ordered
+double sum is not reproducible. ``DSUM(x)`` below abbreviates
+``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)`` in oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysparkdb.queries import register
+from pysparkdb.queries.base import bigint, davg, dsum, r2, tables, ts
+
+
+def DSUM(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def DAVG(x: str) -> str:
+    return f"{DSUM(x)} / COUNT({x})"
+
+
+@register(
+    "q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')}                                        AS sum_qty,
+           {DSUM('l_extendedprice')}                                   AS sum_base_price,
+           {DSUM('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+           {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+           {DAVG('l_quantity')}                                        AS avg_qty,
+           {DAVG('l_extendedprice')}                                   AS avg_price,
+           {DAVG('l_discount')}                                        AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch", "group", "aggregate", "filter",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1): scan → filter → group-agg.
+
+    Reference plan: FilterableScan → Filter → Group (partial) → Shuffle →
+    Group (final) (PrePToPTransformer.cpp:433-582 two-phase group-by).
+    Spark: filter reaches the parquet scan (PushedFilters), partial/final
+    HashAggregate is automatic. At 100 TB: 6 grouping cells — map-side
+    partial agg reduces the shuffle to ~nothing; scales linearly.
+    """
+    l = tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            bigint(F.count(F.lit(1))).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3",
+    f"""
+    SELECT l_orderkey,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    "tpch", "join", "group", "limit_sort",
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (TPC-H Q3): 3-way join → group → top-k.
+
+    Reference: HashJoinBuild/Probe chain + Group + LimitSort
+    (limitsort/LimitSortPOp.cpp:66-110 = SelectKUnstable). Spark:
+    TakeOrderedAndProject. At 100 TB: customer is the small side —
+    broadcast; orders⋈lineitem co-partitions on orderkey.
+    """
+    t = tables(spark, sf_dir)
+    cutoff = ts("1996-03-15 00:00:00")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    l = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q4",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+    GROUP BY o_orderpriority
+    """,
+    "tpch", "semi_join", "group",
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority check (TPC-H Q4): EXISTS → left-semi hash join.
+
+    Reference: Calcite JOIN_TO_SEMI_JOIN (Optimizer.java:228-229) →
+    HashSemiJoinProbeKernel (join/hashjoin/HashSemiJoinProbeKernel.cpp).
+    Adapted predicate (no l_commitdate/l_receiptdate in testdata):
+    l_quantity > 48. At 100 TB: semi join shuffles only the key column.
+    """
+    t = tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= ts("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1996-10-01 00:00:00"))
+    )
+    l = t["lineitem"].filter(F.col("l_quantity") > 48)
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(bigint(F.count(F.lit(1))).alias("order_count"))
+    )
+
+
+@register(
+    "q5",
+    f"""
+    SELECT n_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    "tpch", "join", "group", "sort",
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume (TPC-H Q5): 6-table join.
+
+    Reference: the deepest join pipeline in the suite; bloom-filter ops are
+    planted on every hash join (PrePToPTransformer.cpp:768-810). Spark:
+    region/nation/supplier/customer broadcast; Catalyst's runtime bloom
+    filter covers the lineitem probe. At 100 TB only orders⋈lineitem
+    shuffles.
+    """
+    t = tables(spark, sf_dir)
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = t["supplier"].join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    )
+    c = t["customer"]
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
+    "q6",
+    f"""
+    SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "tpch", "aggregate", "filter", "pushdown",
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue (TPC-H Q6): the reference's simplest pipeline —
+    FilterableScan → Filter → Aggregate (scalar, no group keys;
+    aggregate/AggregatePOp.cpp). All four predicates push to the parquet
+    scan; partial/final agg is automatic. At 100 TB this is scan-bound —
+    exactly the query S3-Select-style pushdown (s3/SelectPOp.cpp) targets.
+    """
+    l = tables(spark, sf_dir)["lineitem"]
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {DSUM('volume')} AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                               AND TIMESTAMP '1997-12-31 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "tpch", "join", "group", "date_extract",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7): two nation dims + EXTRACT(YEAR) + an
+    OR-join predicate. Reference DateExtract → Gandiva extractYear
+    (fpdb-expression-gandiva/src/DateExtract.cpp:16-24). year() is cast to
+    BIGINT to match DuckDB's EXTRACT type.
+    """
+    t = tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") <= ts("1997-12-31 00:00:00"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", bigint(F.year("l_shipdate")))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume")).alias("revenue"))
+    )
+
+
+@register(
+    "q8",
+    f"""
+    SELECT o_year,
+           {DSUM("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {DSUM('volume')} AS mkt_share
+    FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 00:00:00'
+            AND p_type = 'ECONOMY') all_nations
+    GROUP BY o_year
+    """,
+    "tpch", "join", "case_when", "group",
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8): 8-table join + CASE WHEN ratio.
+
+    Reference: If expression from SQL CASE (CalcitePlanJsonDeserializer.cpp
+    :268-274). Both ratio operands are exact decimal sums cast to double, so
+    the final division is bit-identical with the oracle.
+    """
+    t = tables(spark, sf_dir)
+    r = t["region"].filter(F.col("r_name") == "AMERICA")
+    n1 = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("n_nationkey").alias("n1_key")
+    )
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    p = t["part"].filter(F.col("p_type") == "ECONOMY")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= ts("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") <= ts("1996-12-31 00:00:00"))
+    )
+    vol = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"), "inner")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", bigint(F.year("o_orderdate")))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    )
+    case_vol = F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))
+    return vol.groupBy("o_year").agg((dsum(case_vol) / dsum(F.col("volume"))).alias("mkt_share"))
+
+
+@register(
+    "q9",
+    f"""
+    SELECT nation, o_year, {DSUM('amount')} AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%blue%') profit
+    GROUP BY nation, o_year
+    """,
+    "tpch", "join", "like", "group",
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product type profit (TPC-H Q9, partsupp-free adaptation): LIKE
+    pattern scan filter + 5-table join. Reference Like → Gandiva `like`
+    (fpdb-expression-gandiva/src/Like.cpp:40).
+    """
+    t = tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("%blue%"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            bigint(F.year("o_orderdate")).alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+    )
+
+
+@register(
+    "q10",
+    f"""
+    SELECT c_custkey, c_name,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "tpch", "join", "group", "limit_sort",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned item reporting (TPC-H Q10): join → group → top-20."""
+    t = tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= ts("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    )
+    l = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_returnflag IN ('R', 'A')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    "tpch", "in_list", "case_when", "join", "group",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping mode / priority (TPC-H Q12 adapted): IN-list membership +
+    CASE WHEN counting. Reference: In expands to OR-of-equals
+    (CalcitePlanJsonDeserializer.cpp:239-267), If from CASE (:268-274).
+    """
+    t = tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l = t["lineitem"].filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+    )
+    return (
+        l.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            bigint(F.sum(F.when(hi, 1).otherwise(0))).alias("high_line_count"),
+            bigint(F.sum(F.when(~hi, 1).otherwise(0))).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch", "outer_join", "group", "sort",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution (TPC-H Q13): LEFT OUTER join with an extra
+    join-condition predicate, double aggregation. Reference outer-match
+    bookkeeping: OuterJoinHelper (join/hashjoin/OuterJoinHelper.cpp).
+    COUNT(col) skips the nulls left-outer introduces — same in both engines.
+    """
+    t = tables(spark, sf_dir)
+    joined = t["customer"].join(
+        t["orders"],
+        (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderstatus") != "P"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(bigint(F.count("o_orderkey")).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(bigint(F.count(F.lit(1))).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q14",
+    f"""
+    SELECT 100.00 * {DSUM("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           / {DSUM('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "tpch", "case_when", "join", "aggregate",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14): scalar aggregate ratio over a join."""
+    t = tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= ts("1996-09-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1996-10-01 00:00:00"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias("promo_revenue"))
+    )
+
+
+@register(
+    "q18",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {DSUM('l_quantity')} AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING {DSUM('l_quantity')} > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    "tpch", "semi_join", "group", "having", "limit_sort",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large volume customer (TPC-H Q18): IN-subquery (semi join against an
+    aggregate) + HAVING + top-k. Threshold adapted to the testdata's order
+    sizes (max per-order qty ≈ 458).
+    """
+    t = tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19",
+    f"""
+    SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 21)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+            AND l_quantity BETWEEN 10 AND 30)
+        OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 50
+            AND l_quantity BETWEEN 20 AND 40))
+    """,
+    "tpch", "join", "filter", "aggregate",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19): disjunctive multi-attribute join
+    predicate — the reference evaluates it as one Gandiva OR tree post-join;
+    Catalyst additionally derives per-side implied filters
+    (the EnhancedFilterJoinRule analog, rule/EnhancedFilterJoinRule.java).
+    """
+    t = tables(spark, sf_dir)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q22",
+    f"""
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {DSUM('c_acctbal')} AS totacctbal
+    FROM (SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+            AND c_acctbal > (SELECT {DSUM('c_acctbal')} / COUNT(c_acctbal)
+                             FROM customer
+                             WHERE c_acctbal > 0.00
+                               AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7))
+            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    "tpch", "anti_join", "scalar_subquery", "group",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22): scalar subquery + NOT EXISTS →
+    left-anti join. The reference lacks anti joins (JoinType.h has no ANTI);
+    Spark provides them natively — capability superset, per SURVEY §7.4.
+    The scalar average is broadcast-joined, not collected to the driver, and
+    is computed as an exact decimal sum / count so the comparison boundary
+    is bit-identical with the oracle.
+    """
+    t = tables(spark, sf_dir)
+    nations = [1, 2, 3, 4, 5, 6, 7]
+    cust = t["customer"].filter(F.col("c_nationkey").isin(nations))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal")).alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select(bigint(F.col("c_nationkey")).alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
