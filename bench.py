@@ -1,0 +1,72 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is executed to completion (collect — the reference's CollatePOp
+boundary, fpdb-main/src/Client.cpp:104-110) after a warm-up pass of the
+catalog so parquet footer reads don't pollute per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pysparkdb.session import get_spark
+
+    spark = get_spark(
+        "pysparkdb-bench",
+        master=f"local[{cpus}]",
+        extra_confs={
+            "spark.sql.shuffle.partitions": cpus,
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pysparkdb.queries import load_all
+    from pysparkdb.queries.base import tables
+
+    specs = load_all()
+    bench_names = os.environ.get("PYSPARKDB_BENCH_QUERIES")
+    names = bench_names.split(",") if bench_names else sorted(specs)
+
+    tables(spark, sf_dir)  # catalog warm-up (footer reads, conf apply)
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 4)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "pysparkdb headline queries total wall-clock",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,19 @@
+from pysparkdb.operators.relational import (
+    aggregate,
+    collate,
+    filter_,
+    group,
+    hash_join,
+    limit_sort,
+    merge_union,
+    nested_loop_join,
+    project,
+    shuffle,
+    sort,
+    split,
+)
+
+__all__ = [
+    "aggregate", "collate", "filter_", "group", "hash_join", "limit_sort",
+    "merge_union", "nested_loop_join", "project", "shuffle", "sort", "split",
+]

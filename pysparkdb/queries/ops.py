@@ -1,1 +1,371 @@
-"""placeholder — populated in later milestone."""
+"""Operator-level queries — one per SURVEY §2 inventory row.
+
+These exercise the pysparkdb.operators / pysparkdb.functions builder API
+(the reference's prephysical operator vocabulary) directly, the way the
+reference's unit suites exercise individual physical operators
+(fpdb-tuple/test/*, fpdb-executor kernels). Each has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysparkdb import functions as X
+from pysparkdb import operators as O
+from pysparkdb.queries import register
+from pysparkdb.queries.base import bigint, davg, dsum, tables, ts
+
+
+@register(
+    "op_project",
+    """
+    SELECT l_orderkey AS okey, l_linenumber AS line,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    "ops", "project",
+)
+def op_project(spark, sf_dir):
+    """PROJECT with renames + arithmetic (ProjectPOp.cpp:15-24
+    projectColumnNamePairs). Per-row double arithmetic is IEEE-identical
+    across engines, so no rounding is needed without aggregation."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return O.project(
+        O.filter_(l, X.lt("l_orderkey", 100)),
+        {
+            "okey": "l_orderkey",
+            "line": "l_linenumber",
+            "net": X.multiply("l_extendedprice", X.subtract(F.lit(1), F.col("l_discount"))),
+        },
+    )
+
+
+@register(
+    "op_sort_multikey",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC
+    """,
+    "ops", "sort",
+)
+def op_sort_multikey(spark, sf_dir):
+    """SORT: multi-key asc/desc (sort/SortPOp.cpp:60-108). Distributed
+    range-partition sort in Spark vs the reference's single-node sort."""
+    s = tables(spark, sf_dir)["supplier"]
+    return O.sort(s, [("s_nationkey", "asc"), ("s_acctbal", "desc"), ("s_suppkey", "asc")])
+
+
+@register(
+    "op_limit_sort",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+    """,
+    "ops", "limit_sort",
+)
+def op_limit_sort(spark, sf_dir):
+    """LIMIT_SORT top-k (limitsort/LimitSortPOp.cpp:66-110) →
+    TakeOrderedAndProject: per-partition top-k, k-row driver merge."""
+    o = tables(spark, sf_dir)["orders"]
+    return O.limit_sort(
+        O.project(o, {"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"}),
+        15,
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+    )
+
+
+@register(
+    "op_limit",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT * FROM orders LIMIT 500)",
+    "ops", "limit",
+)
+def op_limit(spark, sf_dir):
+    """Plain LIMIT without ORDER BY — unsupported by the reference
+    (EnumerableLimit not serialized, RelJsonSerializer.java; SURVEY §2.6),
+    native in Spark. Wrapped in COUNT so the check is deterministic."""
+    o = tables(spark, sf_dir)["orders"]
+    return O.aggregate(o.limit(500), {"n": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "ops", "distinct",
+)
+def op_distinct(spark, sf_dir):
+    """DISTINCT = group-by-all-columns (reference routes through Calcite
+    aggregate rewrite; GroupPOp with no agg functions)."""
+    return tables(spark, sf_dir)["lineitem"].select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "op_count_distinct",
+    """
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "ops", "aggregate",
+)
+def op_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT): the reference relies on Calcite rewrites (TPC-H Q16
+    case, SURVEY §2.5); Spark expands to a two-phase distinct aggregate."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return O.group(l, ["l_returnflag"], {"parts": bigint(F.count_distinct(F.col("l_partkey")))})
+
+
+@register(
+    "op_agg_scalar",
+    f"""
+    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+    "ops", "aggregate",
+)
+def op_agg_scalar(spark, sf_dir):
+    """AGGREGATE: scalar agg, no group keys — SUM/COUNT/MIN/MAX/AVG, the
+    reference's complete agg-function set (aggregate/function/*.cpp)."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return O.aggregate(
+        l,
+        {
+            "sum_qty": dsum(F.col("l_quantity")),
+            "min_price": F.min("l_extendedprice"),
+            "max_price": F.max("l_extendedprice"),
+            "avg_disc": davg(F.col("l_discount")),
+            "n": bigint(F.count(F.lit(1))),
+        },
+    )
+
+
+@register(
+    "op_group_multi",
+    f"""
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+    "ops", "group",
+)
+def op_group_multi(spark, sf_dir):
+    """GROUP on a composite key (group/GroupKernel.cpp composite TupleKey
+    hashing) with multiple aggregates."""
+    c = tables(spark, sf_dir)["customer"]
+    return O.group(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        {"n": bigint(F.count(F.lit(1))), "total_bal": dsum(F.col("c_acctbal"))},
+    )
+
+
+@register(
+    "op_join_multikey",
+    f"""
+    SELECT a.l_returnflag, a.l_linestatus, a.n_rows, b.total_qty
+    FROM (SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM lineitem GROUP BY l_returnflag, l_linestatus) a
+    JOIN (SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_returnflag, l_linestatus) b
+      ON a.l_returnflag = b.l_returnflag AND a.l_linestatus = b.l_linestatus
+    """,
+    "ops", "join",
+)
+def op_join_multikey(spark, sf_dir):
+    """HASH_JOIN on a multi-column key (HashJoinProbeKernel supports
+    multi-column TupleSetIndex keys, fpdb-tuple/TupleSetIndex.h)."""
+    l = tables(spark, sf_dir)["lineitem"]
+    a = O.group(l, ["l_returnflag", "l_linestatus"], {"n_rows": bigint(F.count(F.lit(1)))})
+    b = O.group(l, ["l_returnflag", "l_linestatus"], {"total_qty": dsum(F.col("l_quantity"))})
+    b = b.withColumnsRenamed({"l_returnflag": "rf", "l_linestatus": "ls"})
+    return O.project(
+        O.hash_join(a, b, (F.col("l_returnflag") == F.col("rf")) & (F.col("l_linestatus") == F.col("ls"))),
+        {"l_returnflag": "l_returnflag", "l_linestatus": "l_linestatus",
+         "n_rows": "n_rows", "total_qty": "total_qty"},
+    )
+
+
+@register(
+    "op_join_right",
+    """
+    SELECT c_nationkey, CAST(COUNT(o_orderkey) AS BIGINT) AS big_orders
+    FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+    "ops", "outer_join",
+)
+def op_join_right(spark, sf_dir):
+    """RIGHT outer hash join (join type deser
+    CalcitePlanJsonDeserializer.cpp:771-786; OuterJoinHelper bookkeeping)."""
+    t = tables(spark, sf_dir)
+    o = O.filter_(t["orders"], X.gt("o_totalprice", 150000))
+    j = O.hash_join(o, t["customer"], F.col("o_custkey") == F.col("c_custkey"), "right")
+    return O.group(j, ["c_nationkey"], {"big_orders": bigint(F.count("o_orderkey"))})
+
+
+@register(
+    "op_join_full",
+    """
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM customer WHERE c_nationkey < 20 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+          FROM supplier GROUP BY s_nationkey) s
+      ON c.k = s.k
+    """,
+    "ops", "outer_join",
+)
+def op_join_full(spark, sf_dir):
+    """FULL outer hash join with COALESCE over both key sides."""
+    t = tables(spark, sf_dir)
+    c = O.group(
+        O.filter_(t["customer"], X.lt("c_nationkey", 20)),
+        ["c_nationkey"], {"n_cust": bigint(F.count(F.lit(1)))},
+    ).withColumnRenamed("c_nationkey", "ck")
+    s = O.group(t["supplier"], ["s_nationkey"], {"n_supp": bigint(F.count(F.lit(1)))}) \
+        .withColumnRenamed("s_nationkey", "sk")
+    j = O.hash_join(c, s, F.col("ck") == F.col("sk"), "full")
+    return O.project(
+        j,
+        {
+            "nationkey": F.coalesce(F.col("ck"), F.col("sk")),
+            "n_cust": F.coalesce(F.col("n_cust"), F.lit(0).cast("long")),
+            "n_supp": F.coalesce(F.col("n_supp"), F.lit(0).cast("long")),
+        },
+    )
+
+
+@register(
+    "op_join_theta",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS pairs
+    FROM supplier s1, supplier s2
+    WHERE s1.s_acctbal > s2.s_acctbal + 4000
+    """,
+    "ops", "nested_loop_join",
+)
+def op_join_theta(spark, sf_dir):
+    """NESTED_LOOP_JOIN: pure theta predicate, no equi-conjunct →
+    BroadcastNestedLoopJoin (reference RecordBatchNestedLoopJoiner.cpp:48-60
+    evaluates the Gandiva predicate over the cartesian product)."""
+    s = tables(spark, sf_dir)["supplier"]
+    s1 = s.select(F.col("s_acctbal").alias("bal1"))
+    s2 = s.select(F.col("s_acctbal").alias("bal2"))
+    j = O.nested_loop_join(s1, s2, F.col("bal1") > F.col("bal2") + 4000)
+    return O.aggregate(j, {"pairs": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_union_merge",
+    f"""
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'cheap' AS src, o_orderkey FROM orders WHERE o_totalprice < 50000
+      UNION ALL
+      SELECT 'prio' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ) u GROUP BY src
+    """,
+    "ops", "union",
+)
+def op_union_merge(spark, sf_dir):
+    """MERGE row-union of two streams (merge/MergePOp.cpp second use:
+    local-filtered rows ∪ pushdown rows, PrePToS3PTransformer.cpp:446-455)."""
+    o = tables(spark, sf_dir)["orders"]
+    a = O.project(O.filter_(o, X.lt("o_totalprice", 50000)),
+                  {"src": F.lit("cheap"), "o_orderkey": "o_orderkey"})
+    b = O.project(O.filter_(o, X.eq("o_orderpriority", "1-URGENT")),
+                  {"src": F.lit("prio"), "o_orderkey": "o_orderkey"})
+    return O.group(O.merge_union(a, b), ["src"], {"n": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_expr_substr_cast",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS matching
+    FROM customer
+    WHERE CAST(SUBSTRING(c_name, 10, 9) AS BIGINT) = c_custkey
+    """,
+    "ops", "expression",
+)
+def op_expr_substr_cast(spark, sf_dir):
+    """Substr + Cast (gandiva/Substr.h, Cast.cpp): customer names embed the
+    key as 'Customer#000000042' — parse and compare."""
+    c = tables(spark, sf_dir)["customer"]
+    pred = X.eq(X.cast_to(X.substr("c_name", 10, 9), "long"), F.col("c_custkey"))
+    return O.aggregate(O.filter_(c, pred), {"matching": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_expr_datefuncs",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' - INTERVAL 400 DAY
+      AND EXTRACT(DAY FROM o_orderdate) <= 15
+    GROUP BY o_year, o_month
+    """,
+    "ops", "date",
+)
+def op_expr_datefuncs(spark, sf_dir):
+    """DateExtract YEAR/MONTH/DAY (DateExtract.cpp:16-24) + DateAdd interval
+    arithmetic constant-folded into the filter bound (the reference folds
+    date±interval during deserialization, CalcitePlanJsonDeserializer.cpp:
+    178-214; Catalyst's ConstantFolding does the same here)."""
+    o = tables(spark, sf_dir)["orders"]
+    bound = X.date_add_interval(F.lit("1998-01-01 00:00:00").cast("timestamp"), -400, "DAY")
+    filt = O.filter_(
+        o,
+        X.and_(F.col("o_orderdate") < bound, X.date_extract("o_orderdate", "DAY") <= 15),
+    )
+    proj = O.project(
+        filt,
+        {"o_year": X.date_extract("o_orderdate", "YEAR"),
+         "o_month": X.date_extract("o_orderdate", "MONTH")},
+    )
+    return O.group(proj, ["o_year", "o_month"], {"n": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_expr_isnull",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS lonely
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IS NULL
+    """,
+    "ops", "is_null", "outer_join",
+)
+def op_expr_isnull(spark, sf_dir):
+    """IsNull (deser :304-311) over left-outer-introduced nulls — the
+    testdata itself is null-free, exactly like the reference's TPC-H CSVs."""
+    t = tables(spark, sf_dir)
+    j = O.hash_join(t["customer"], t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+    return O.aggregate(O.filter_(j, X.is_null("o_orderkey")), {"lonely": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_case_in_like",
+    """
+    SELECT CASE WHEN p_type IN ('PROMO', 'ECONOMY') THEN 'deal'
+                WHEN p_name LIKE '%blue%' THEN 'blue'
+                ELSE 'other' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM part GROUP BY bucket
+    """,
+    "ops", "case_when", "in_list", "like",
+)
+def op_case_in_like(spark, sf_dir):
+    """If/In/Like composition (gandiva If.h, In.h, Like.cpp:40)."""
+    p = tables(spark, sf_dir)["part"]
+    bucket = X.case_when(
+        (X.in_("p_type", ["PROMO", "ECONOMY"]), F.lit("deal")),
+        (X.like("p_name", "%blue%"), F.lit("blue")),
+        default=F.lit("other"),
+    )
+    return O.group(p.withColumn("bucket", bucket), ["bucket"], {"n": bigint(F.count(F.lit(1)))})
