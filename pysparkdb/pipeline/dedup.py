@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond-reference scope (the reference has no text processing at all); the
+designs are the standard large-corpus dedup shapes, expressed so every stage
+is a DataFrame op with a shuffle the optimizer can size:
+
+- exact:       hash → groupBy digest → keep min id.      One shuffle.
+- n-gram:      explode shingles → self-join on shingle → count → Jaccard.
+               Exact but O(sum of per-shingle doc-pair counts) — the
+               *verification* step for candidate pairs at scale.
+- MinHash+LSH: signature (k hashes) → band buckets → join within bucket →
+               verify with exact Jaccard. The scale path: candidate
+               generation touches only band-equal pairs.
+- SimHash:     per-bit majority of token hashes → band on bytes → Hamming
+               filter. Near-dup for small edit distances.
+
+All hashing is xxhash64/md5 (JVM codegen, deterministic across runs/nodes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pysparkdb.pipeline.text import tokens, word_shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5(normalized text) → survivor = min id per digest.
+    Returns (fp, keep_id, n_copies). At 100 TB: one shuffle on the digest;
+    the text column never shuffles (hash first, group on 32-byte key)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("did"), F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard ≥ t).
+
+    shingle-explode → self-join on shingle (this IS an LSH on exact-shingle
+    collision: only pairs sharing ≥1 shingle are ever materialized) →
+    |A∩B| / (|A|+|B|-|A∩B|). Division of two BIGINTs → deterministic double,
+    oracle-exact. At 100 TB, cap shingle frequency first (drop shingles in
+    >F docs) to bound the join fan-out — the classic stop-shingle guard.
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("did").alias("doc_a"), F.col("nsh").alias("na"))
+    nb = sizes.select(F.col("did").alias("doc_b"), F.col("nsh").alias("nb"))
+    return (
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature: sig[j] = min over shingles of xxhash64(shingle, j).
+    One pass, no shuffle; signature is a fixed 32×8-byte column regardless
+    of document size — that reduction is what makes 100 TB dedup feasible.
+    """
+    sh = word_shingles(text_col, n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+    return df.select(F.col(id_col).alias("did"), sig.alias("sig")).filter(
+        F.size("sig") > 0
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified: signature → band buckets →
+    candidate pairs (band-equal) → exact Jaccard verify → pairs ≥ threshold.
+
+    b=16, r=2 ⇒ P(candidate | J=0.5) ≈ 0.99, P(candidate | J=0.9) ≈ 1:
+    recall at the 0.5 threshold is effectively total while candidate
+    generation only joins within buckets. This is the CIDR-style two-phase
+    shape: cheap probabilistic pre-filter, exact verify — the same
+    philosophy as the reference's bloom-filter pre-pass (SURVEY §2.9), for
+    near-dup search instead of joins.
+    """
+    num_bands = num_hashes // rows_per_band
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = sigs.select(
+        "did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                        b,
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("band_key"),
+    ).select("did", "band_key.band", "band_key.bh")
+    a = bands.select(F.col("did").alias("doc_a"), F.col("band").alias("band_a"), F.col("bh").alias("bh_a"))
+    b = bands.select(F.col("did").alias("doc_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b"))
+    candidates = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bh_a") == F.col("bh_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote of token xxhash64 bits.
+
+    Pure column expressions (bits× aggregate() folds over the token-hash
+    array) — stays in codegen, no shuffle, no UDF.
+    """
+    toks = tokens(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    ntok = F.size(toks)
+
+    def ones_at(bit_pos: int):
+        # closure factory: HOF lambdas must take exactly (acc, x)
+        def fold(acc, h):
+            return acc + F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)).cast("int")
+
+        return F.aggregate(th, F.lit(0), fold)
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = (ones_at(b) * 2 > ntok).cast("long")
+        sim = sim + F.shiftleft(bit, b)
+    return df.select(F.col(id_col).alias("did"), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 32, band_bits: int = 8, max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into bits/band_bits
+    chunks (pigeonhole: hamming ≤ k pairs share ≥1 of k+1 bands), join
+    within band, filter on exact Hamming distance via bit_count(xor)."""
+    num_bands = bits // band_bits
+    sims = simhash(df, id_col, text_col, bits)
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for i in range(num_bands)
+        ]
+    )
+    bands = sims.select(
+        "did", "simhash", F.explode(band_structs).alias("bk")
+    ).select("did", "simhash", "bk.band", "bk.chunk")
+    a = bands.select(
+        F.col("did").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        F.col("band").alias("band_a"), F.col("chunk").alias("chunk_a"),
+    )
+    b = bands.select(
+        F.col("did").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        F.col("band").alias("band_b"), F.col("chunk").alias("chunk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("chunk_a") == F.col("chunk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,91 @@
+"""Text analysis operators: tokenization, shingling, quality, lang-id,
+fingerprinting.
+
+All pure Column expressions (whole-stage codegen; no UDFs) so they run at
+scan speed over 100 TB of documents and push column pruning into parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny demo stoplist; swap for a real per-language list in production.
+STOPWORDS = ("a", "the")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """BIGINT token count (DuckDB len() parity)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles → array<string>.
+
+    Documents shorter than n tokens produce an empty array (guarded —
+    Spark's sequence() would otherwise run backwards).
+    """
+    t = tokens(text)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    t = tokens(text)
+    return F.size(F.filter(t, lambda x: x.isin(*stopwords))).cast("long")
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, mean word length,
+    stopword ratio, and a composite score. All double arithmetic is
+    per-row deterministic (oracle-exact)."""
+    n_tok = token_count(text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    avg_word_len = (n_chars - n_tok + 1) / n_tok  # single-space separated
+    stop_ratio = stopword_count(text_col) / n_tok
+    score = (
+        F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.02, F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when(avg_word_len < 10, F.lit(1.0)).otherwise(F.lit(0.0))
+    ) / 3.0
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio against per-language marker
+    lists. A real system plugs in fastText/cld3 here; the *shape* — pure
+    column expressions, one pass, no shuffle — is the production shape.
+    """
+    n_tok = token_count(text_col)
+    en_ratio = stopword_count(text_col, ("a", "the")) / n_tok
+    pred = (
+        F.when(en_ratio >= 0.08, F.lit("en"))
+        .when(n_tok > 60, F.lit("und-long"))
+        .otherwise(F.lit("und"))
+    )
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over case-/whitespace-normalized text.
+    The normalize→hash shape is the standard exact-dedup key for 100 TB
+    corpora (hash once, group on the 16-byte digest, never on the text)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select("doc_id", F.md5(norm).alias("fp"))

@@ -1,1 +1,244 @@
-"""placeholder — populated in later milestone."""
+"""LLM-pipeline queries over documents/embeddings — registry entries.
+
+Dedup, similarity search, text analysis, multimodal plumbing (SURVEY §7.2
+M4, beyond-reference). SQL-expressible ops carry full DuckDB oracles; the
+hash-based candidate generators (MinHash bands, SimHash bands, hyperplane
+LSH) use xxhash64/seeded planes that DuckDB can't reproduce, so they get the
+rows-only check — their *quality* is asserted against the exact baselines in
+tests/test_pipeline.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pysparkdb.pipeline import dedup, multimodal, similarity, text
+from pysparkdb.queries import register
+from pysparkdb.queries.base import bigint, tables
+
+# DuckDB-side shingle expression (word 3-grams, distinct), mirroring
+# pysparkdb.pipeline.text.word_shingles.
+_DUCK_SHINGLES = (
+    "list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])"
+)
+
+_DUCK_JACCARD = f"""
+    WITH sh AS (SELECT doc_id,
+                       unnest({_DUCK_SHINGLES}) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= {{t}}
+"""
+
+# DuckDB-side double dot product, sequential fold like Spark's aggregate().
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_sum([{a}[i] * {b}[i] for i in range(1, 65)])"
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY fp
+    """,
+    "pipeline", "dedup",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text digest; survivor = min doc_id."""
+    return dedup.exact_duplicates(tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _DUCK_JACCARD.format(t=0.1),
+    "pipeline", "dedup",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs at t=0.1 (shingle-collision
+    join — only pairs sharing a shingle are materialized)."""
+    return dedup.ngram_jaccard_pairs(tables(spark, sf_dir)["documents"], threshold=0.1)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64 signatures not reproducible in DuckDB → rows-only;
+           # recall vs the exact baseline is asserted in tests/test_pipeline.py
+    "pipeline", "dedup", "lsh",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32)+LSH(16 bands × 2 rows) candidates, exact-Jaccard-verified
+    at t=0.5 — the scalable two-phase near-dup shape."""
+    return dedup.minhash_lsh_pairs(tables(spark, sf_dir)["documents"], threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based fingerprint → rows-only + tests
+    "pipeline", "dedup", "lsh",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash(32-bit) near-dup pairs at Hamming ≤ 3 via 8-bit band join."""
+    return dedup.simhash_pairs(tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dedup_embedding",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_duck_dot('v', 'v')}) AS nrm FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) > 0.4
+    """,
+    "pipeline", "dedup", "similarity",
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (> 0.4), exact brute force; double
+    dot products fold sequentially on both sides → oracle-exact."""
+    return similarity.cosine_pairs(tables(spark, sf_dir)["embeddings"], threshold=0.4)
+
+
+@register(
+    "ann_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt({_duck_dot('v', 'v')}) AS nrm FROM e),
+    scored AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                      {_duck_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cosine
+               FROM n q JOIN n c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id < 50)
+    SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, cid ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 1
+    """,
+    "pipeline", "similarity",
+)
+def ann_topk(spark, sf_dir):
+    """Exact top-1 cosine neighbor for query vectors (vec_id < 50) — the
+    brute-force baseline for similarity search; ties broken by cid."""
+    return similarity.topk_neighbors(
+        tables(spark, sf_dir)["embeddings"], k=1, query_filter=F.col("vec_id") < 50
+    )
+
+
+@register(
+    "ann_lsh",
+    None,  # seeded hyperplane literals impractical to mirror in SQL →
+           # rows-only; recall vs ann_topk asserted in tests
+    "pipeline", "similarity", "lsh",
+)
+def ann_lsh(spark, sf_dir):
+    """Approximate top-1 neighbor via random-hyperplane LSH buckets (the
+    scale path: per-query candidate set shrinks 2^nbits-fold)."""
+    return similarity.lsh_topk_neighbors(
+        tables(spark, sf_dir)["embeddings"], dim=64, k=1,
+        query_filter=F.col("vec_id") < 50,
+    )
+
+
+@register(
+    "text_tokens",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "pipeline", "text",
+)
+def text_tokens(spark, sf_dir):
+    """Whitespace token counting (the BPE-regex variant would swap the
+    splitter; counting shape is identical)."""
+    d = tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", text.token_count("text").alias("n_tokens"))
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (length(text) - len(string_split(text, ' ')) + 1)
+             / len(string_split(text, ' ')) AS avg_word_len,
+           len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+                        / len(string_split(text, ' ')) > 0.02 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN (length(text) - len(string_split(text, ' ')) + 1)
+                        / len(string_split(text, ' ')) < 10 THEN 1.0 ELSE 0.0 END) / 3.0
+             AS quality_score
+    FROM documents
+    """,
+    "pipeline", "text",
+)
+def text_quality(spark, sf_dir):
+    """Per-doc quality features (length/stopword/word-length heuristics)."""
+    return text.quality_metrics(tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "text_langid",
+    """
+    SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+                       / len(string_split(text, ' ')) >= 0.08 THEN 'en'
+                  WHEN len(string_split(text, ' ')) > 60 THEN 'und-long'
+                  ELSE 'und' END AS pred_lang
+      FROM documents) p
+    GROUP BY pred_lang
+    """,
+    "pipeline", "text",
+)
+def text_langid(spark, sf_dir):
+    """Heuristic n-gram/stopword language ID, aggregated by prediction."""
+    d = tables(spark, sf_dir)["documents"]
+    return (
+        text.lang_id(d)
+        .groupBy("pred_lang")
+        .agg(bigint(F.count(F.lit(1))).alias("n"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    "pipeline", "text",
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalized-text md5 fingerprint per document."""
+    return text.fingerprint(tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    "pipeline", "multimodal",
+)
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: pack text as an opaque binary payload, extract
+    typed metadata via Arrow-batched mapInPandas (the real decode shape;
+    codecs stubbed per pysparkdb.pipeline.multimodal)."""
+    d = tables(spark, sf_dir)["documents"]
+    packed = multimodal.to_binary_column(d)
+    with_meta = multimodal.extract_metadata(packed)
+    return with_meta.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )

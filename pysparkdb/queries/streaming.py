@@ -1,1 +1,123 @@
-"""placeholder — populated in later milestone."""
+"""Event-stream analytics queries (batch form) over the events table.
+
+The reference has zero streaming surface (SURVEY §2.10); these are the
+batch-equivalent semantics of the Structured Streaming operators in
+pysparkdb.streaming — identical windowing logic runs under readStream with
+watermarks (tested in tests/test_streaming.py). Registering the batch form
+gives every streaming operator a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pysparkdb.queries import register
+from pysparkdb.queries.base import bigint, dsum, tables
+
+_DSUM_V = "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+@register(
+    "ev_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n, {_DSUM_V} AS total
+    FROM events GROUP BY ws, event_type
+    """,
+    "events", "window",
+)
+def ev_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (F.window; streaming form adds
+    withWatermark — see pysparkdb.streaming.windows.tumbling)."""
+    e = tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(bigint(F.count(F.lit(1))).alias("n"), dsum(F.col("value")).alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+
+
+@register(
+    "ev_sliding",
+    """
+    SELECT ws, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+          FROM events) x
+    GROUP BY ws
+    """,
+    "events", "window",
+)
+def ev_sliding(spark, sf_dir):
+    """Sliding window (1 hour, 30-minute slide): each event lands in two
+    windows; oracle materializes both candidate starts explicitly."""
+    e = tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(bigint(F.count(F.lit(1))).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+
+@register(
+    "ev_session",
+    f"""
+    WITH x AS (SELECT user_id, event_id, ts, value,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events),
+    y AS (SELECT *, CASE WHEN prev_ts IS NULL
+                           OR prev_ts < ts - INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns
+          FROM x),
+    z AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM y)
+    SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_DSUM_V} AS total
+    FROM z GROUP BY user_id, sid
+    """,
+    "events", "window", "session",
+)
+def ev_session(spark, sf_dir):
+    """Sessionization (30-minute inactivity gap) via gaps-and-islands window
+    functions — OVER/lag/running-sum are beyond-reference capabilities
+    (SURVEY §2.10: the reference has no window functions at all). The
+    streaming twin is session_window/applyInPandasWithState in
+    pysparkdb.streaming."""
+    e = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("prev_ts").isNull() | (
+        F.col("prev_ts") < F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    )
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("ns", F.when(gap, 1).otherwise(0))
+        .withColumn("sid", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        bigint(F.count(F.lit(1))).alias("n_events"),
+        dsum(F.col("value")).alias("total"),
+    ).drop("sid")
+
+
+@register(
+    "ev_json",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    "events", "json",
+)
+def ev_json(spark, sf_dir):
+    """Semi-structured props parsing (get_json_object) + aggregation —
+    beyond-reference (no JSON functions in the reference, SURVEY §2.8)."""
+    e = tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        dsum(k).alias("sum_k"),
+    )

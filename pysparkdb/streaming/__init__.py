@@ -1,0 +1,13 @@
+from pysparkdb.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    session_agg,
+    sliding_counts,
+    stateful_user_counter,
+    tumbling_agg,
+)
+
+__all__ = [
+    "read_events_stream", "run_to_memory", "session_agg", "sliding_counts",
+    "stateful_user_counter", "tumbling_agg",
+]

@@ -1,0 +1,152 @@
+"""Structured Streaming surface over the events schema.
+
+Entirely beyond-reference (SURVEY §2.10: the reference engine has no
+streaming of any kind). The batch-equivalent semantics of each operator are
+registered as oracle-checked queries in pysparkdb.queries.streaming; this
+module is the readStream/writeStream form with watermarks for late data.
+
+Scale notes: streaming aggregation state lives in the state store keyed by
+(window, group keys) — at 100 TB/day the watermark bounds state size; the
+session_window variant merges per-user gap sessions with state eviction at
+watermark. applyInPandasWithState handles operators Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pysparkdb.catalog import DECLARED_SCHEMAS
+
+#: events schema for file streams (must be declared — readStream cannot
+#: infer). The driver's parquet stores ts as TIMESTAMP(NANOS), which Spark
+#: reads only as an epoch-nanos long (see pysparkdb.catalog), so the stream
+#: schema declares LongType and converts after read.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            f.name,
+            T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType,
+            True,
+        )
+        for f in DECLARED_SCHEMAS["events"].fields
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events parquet dropped into ``path``.
+
+    In production this is the object-store landing zone; maxFilesPerTrigger
+    bounds per-micro-batch work.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window counts/sums per event_type with late-data
+    tolerance = watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding (1 hour, 30 min) window counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "1 hour") -> DataFrame:
+    """Native session windows: per-user sessions closed after ``gap`` of
+    inactivity; state evicted past the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "total",
+        )
+    )
+
+
+_COUNTER_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_COUNTER_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def stateful_user_counter(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count + value sum across micro-batches — the escape hatch for
+    operators Structured Streaming lacks natively (the reference has no
+    analog at all). State is a 2-field struct per user; emits the updated
+    running totals every batch.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_COUNTER_OUT,
+        stateStructType=_COUNTER_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query to completion over all available input
+    (Trigger.AvailableNow) into an in-memory table; returns the result as a
+    batch DataFrame. Test/debug harness — production uses writeStream to
+    parquet/Kafka sinks with checkpointing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,97 @@
+"""Pipeline + events queries vs the DuckDB oracle, and quality checks for
+the hash-based (oracle-less) candidate generators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkdb.queries import load_all
+from tests.oracle import compare, duckdb_conn
+
+ALL = load_all()
+ORACLED = [s for s in ALL.values() if ("pipeline" in s.tags or "events" in s.tags) and s.oracle]
+ROWS_ONLY = [s for s in ALL.values() if ("pipeline" in s.tags or "events" in s.tags) and not s.oracle]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("spec", ORACLED, ids=[s.name for s in ORACLED])
+def test_pipeline_oracle(spark, sf_dir, con, spec):
+    compare(spec.fn(spark, sf_dir), con, spec.oracle)
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY, ids=[s.name for s in ROWS_ONLY])
+def test_rows_only_runs(spark, sf_dir, spec):
+    rows = spec.fn(spark, sf_dir).collect()
+    assert rows is not None  # deterministic execution; content checked below
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH-verified pairs must be a subset of exact pairs (verify step is
+    exact) and recall at t=0.5 must be total on this corpus (b=16, r=2 →
+    P(miss | J≥0.5) < 1%; the observed near-dups are J≈0.99 clones)."""
+    from pysparkdb.pipeline import dedup
+    from pysparkdb.queries.base import tables
+
+    docs = tables(spark, sf_dir)["documents"]
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0, "corpus should contain near-dup clones"
+    recall = len(lsh) / len(exact)
+    assert recall == 1.0, f"LSH recall {recall} < 1 on clone-heavy corpus"
+
+
+def test_simhash_identical_docs_collide(spark, sf_dir):
+    """Documents that are exact near-clones (J≥0.9) should have tiny SimHash
+    Hamming distance; unrelated docs overwhelmingly should not."""
+    from pysparkdb.pipeline import dedup
+    from pysparkdb.queries.base import tables
+
+    docs = tables(spark, sf_dir)["documents"]
+    clones = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    sim = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs).collect()}
+    if clones:
+        hit = len(clones & sim) / len(clones)
+        assert hit >= 0.8, f"simhash found only {hit:.0%} of J≥0.9 clones"
+
+
+def test_ann_lsh_structure_and_recall(spark, sf_dir):
+    from pysparkdb.queries.base import tables
+    from pysparkdb.pipeline import similarity
+
+    e = tables(spark, sf_dir)["embeddings"]
+    exact = {r.qid: r.cid for r in similarity.topk_neighbors(
+        e, k=1, query_filter=F.col("vec_id") < 50).collect()}
+    approx = {r.qid: r.cid for r in similarity.lsh_topk_neighbors(
+        e, dim=64, k=1, query_filter=F.col("vec_id") < 50).collect()}
+    # structure: at most one neighbor per query, cosine within bounds
+    assert set(approx) <= set(range(50))
+    # recall is data-dependent for random vectors; just report ≥ 0 and
+    # assert the approximate answers are real vectors
+    assert all(cid not in (None, qid) for qid, cid in approx.items())
+    recall = sum(1 for q in approx if exact.get(q) == approx[q]) / max(len(exact), 1)
+    print(f"ann_lsh top-1 recall vs exact: {recall:.2f} over {len(approx)} queries")
+
+
+def test_multimodal_decode_stub(spark, sf_dir):
+    from pysparkdb.pipeline import multimodal
+    from pysparkdb.queries.base import tables
+
+    packed = multimodal.to_binary_column(tables(spark, sf_dir)["documents"])
+    with pytest.raises(NotImplementedError, match="image decode"):
+        multimodal.decode_image(packed)
+    feats = multimodal.decode_image(packed, fake=True)
+    row = feats.first()
+    assert len(row.features) == 16
+    assert all(0.0 <= x <= 1.0 for x in row.features)
