@@ -1,0 +1,134 @@
+"""Segment-cache-inspired projection cache manager.
+
+The reference caches (partition × column) segments in local memory with
+pluggable admission/eviction policies — LRU, LFU, LFU-S (size-normalized),
+W-LFU (benefit-weighted) — behind a CachingPolicy interface
+(/root/reference/fpdb-cache/include/fpdb/cache/policy/CachingPolicy.h:29-95),
+and its hybrid scan routes cache hits around the pushdown scan
+(CacheLoadPOp.cpp, PrePToS3PTransformer.cpp:309-461).
+
+Spark's natural cache granule is a *column-pruned projection* of a table
+(an InMemoryRelation): caching `lineitem[l_shipdate, l_extendedprice,
+l_discount, l_quantity]` serves every query touching only those columns —
+the reference's segment = (partition, column) granularity falls out of
+Spark's per-partition cached batches automatically. This manager owns the
+admit/evict decisions Spark leaves to the user:
+
+- LRU / LFU: classic recency/frequency over segment keys.
+- W-LFU: frequency weighted by estimated recompute cost (bytes scanned —
+  the reference weighs by network/scan time, Globals.h:23-32).
+
+Catalyst then substitutes cached projections automatically: any query whose
+column set ⊆ a cached projection's columns reuses the InMemoryRelation via
+plan-fragment matching (the CACHING_ONLY / HYBRID mode analog: hits serve
+from memory, misses fall through to the parquet scan with pushdown).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class _Entry:
+    df: DataFrame
+    columns: tuple[str, ...]
+    size_bytes: int
+    hits: int = 0
+    last_access: float = 0.0
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer-estimated size of the projection (catalog/plan stats —
+    the stats.json role in the reference)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+class SegmentCacheManager:
+    """Column-projection cache with LRU / LFU / W-LFU policies."""
+
+    POLICIES = ("lru", "lfu", "wlfu")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        capacity_bytes: int = 1 << 30,
+        policy: str = "lru",
+    ):
+        if policy not in self.POLICIES:
+            raise ValueError(f"policy {policy!r} not in {self.POLICIES}")
+        self.spark = spark
+        self.capacity = capacity_bytes
+        self.policy = policy
+        self.entries: dict[tuple[str, tuple[str, ...]], _Entry] = {}
+        self.used = 0
+        self.hit_count = 0
+        self.miss_count = 0
+
+    # -- policy scoring: lower score evicts first ---------------------------
+    def _score(self, e: _Entry) -> float:
+        if self.policy == "lru":
+            return e.last_access
+        if self.policy == "lfu":
+            return float(e.hits)
+        return e.hits * max(e.size_bytes, 1)  # wlfu: frequency × recompute cost
+
+    def project(self, df: DataFrame, table: str, columns: list[str]) -> DataFrame:
+        """Serve a column projection through the cache.
+
+        Hit: the exact (table, columns) projection — or a cached superset
+        projection — is returned (Catalyst reuses the InMemoryRelation for
+        subset column requests too). Miss: the projection is admitted if it
+        fits after policy-ordered eviction, then returned; if it cannot fit
+        it is returned uncached (pullup path).
+        """
+        key = (table, tuple(sorted(columns)))
+        now = time.monotonic()
+
+        entry = self.entries.get(key) or self._covering(table, key[1])
+        if entry is not None:
+            entry.hits += 1
+            entry.last_access = now
+            self.hit_count += 1
+            return entry.df.select(*columns)
+
+        self.miss_count += 1
+        proj = df.select(*columns)
+        size = _plan_size_bytes(proj)
+        if self._admit(size):
+            proj = proj.cache()
+            self.entries[key] = _Entry(proj, key[1], size, hits=1, last_access=now)
+            self.used += size
+        return proj
+
+    def _covering(self, table: str, columns: tuple[str, ...]) -> _Entry | None:
+        want = set(columns)
+        for (t, cols), e in self.entries.items():
+            if t == table and want <= set(cols):
+                return e
+        return None
+
+    def _admit(self, size: int) -> bool:
+        if size > self.capacity:
+            return False
+        while self.used + size > self.capacity:
+            victim_key = min(self.entries, key=lambda k: self._score(self.entries[k]))
+            self._evict(victim_key)
+        return True
+
+    def _evict(self, key: tuple[str, tuple[str, ...]]) -> None:
+        e = self.entries.pop(key)
+        e.df.unpersist()
+        self.used -= e.size_bytes
+
+    def hit_ratio(self) -> float:
+        """getCrtQueryHitRatio analog (reference TestUtil.cpp:404-406)."""
+        total = self.hit_count + self.miss_count
+        return self.hit_count / total if total else 0.0
+
+    def clear(self) -> None:
+        for key in list(self.entries):
+            self._evict(key)

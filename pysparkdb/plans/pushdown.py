@@ -1,0 +1,74 @@
+"""Scan-pushdown introspection and assertions.
+
+The reference proves its pushdown with scan metrics — bytes read,
+selectivity, conversion rates (SHOW_SCAN_METRICS, exec.conf:7-8;
+fpdb-main/bench/BytesReadBench.cpp). Spark's equivalent evidence lives in
+the physical plan: `PushedFilters: [...]` and `ReadSchema: ...` on the
+parquet scan node, and WholeStageCodegen spans for JVM-side expression
+evaluation. These helpers extract and assert on that — used in tests the
+way the reference's benches assert bytes-read, and available to users to
+audit that a query's plan is scan-efficient before running it at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan (PushedFilters entries)."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", text):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schema(df: DataFrame) -> list[str]:
+    """Column names the scan actually reads (ReadSchema struct fields)."""
+    text = explain_str(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema:\s*struct<([^>]*)>", text):
+        body = m.group(1)
+        cols.extend(f.split(":")[0].strip() for f in body.split(",") if f.strip())
+    return cols
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(re.findall(r"WholeStageCodegen", explain_str(df)))
+
+
+def assert_pushdown(
+    df: DataFrame,
+    expect_filter_cols: list[str] | None = None,
+    max_read_columns: int | None = None,
+) -> None:
+    """Assert filter pushdown / column pruning happened.
+
+    expect_filter_cols: each column must appear in some pushed filter.
+    max_read_columns: scan must read at most this many columns in total
+    (column-pruning proof — the 2-column-projection-reads-2-columns check).
+    """
+    if expect_filter_cols is not None:
+        pf = " ".join(pushed_filters(df))
+        missing = [c for c in expect_filter_cols if c not in pf]
+        if missing:
+            raise AssertionError(
+                f"filters on {missing} not pushed to scan; pushed: {pf!r}"
+            )
+    if max_read_columns is not None:
+        cols = read_schema(df)
+        if len(cols) > max_read_columns:
+            raise AssertionError(
+                f"scan reads {len(cols)} columns {cols}, expected ≤ {max_read_columns}"
+            )

@@ -596,6 +596,58 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q5_pred_trans",
+    f"""
+    SELECT n_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    "tpch", "pred_trans", "join",
+)
+def q5_pred_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 executed through the predicate-transfer pre-pass
+    (pysparkdb.plans.predicate_transfer — the CIDR-2024 mode,
+    PrePToPTransformerForPredTrans.cpp): every table is semi-join-reduced
+    across the join graph before the join tree runs. Same oracle as q5 —
+    the pass must be a pure pre-filter.
+    """
+    from pysparkdb.plans.predicate_transfer import STAR_SCHEMA_EDGES, predicate_transfer
+
+    t = dict(tables(spark, sf_dir))
+    t["region"] = t["region"].filter(F.col("r_name") == "ASIA")
+    t["orders"] = t["orders"].filter(
+        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    )
+    edges = [e for e in STAR_SCHEMA_EDGES if e.left != "part"]
+    r = predicate_transfer(t, edges)
+    return (
+        r["lineitem"]
+        .join(r["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(r["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(r["customer"]),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(r["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
     "q22",
     f"""
     SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,

@@ -1,0 +1,128 @@
+"""Predicate transfer (semantics-preserving), cache manager policies, and
+pushdown assertions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkdb.plans import (
+    JoinEdge,
+    SegmentCacheManager,
+    assert_pushdown,
+    predicate_transfer,
+    pushed_filters,
+    read_schema,
+)
+from pysparkdb.plans.predicate_transfer import STAR_SCHEMA_EDGES
+from pysparkdb.queries.base import tables, ts
+
+
+def _q5_plan(t):
+    """TPC-H Q5 join tree over a table dict (the pred-transfer poster query)."""
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["customer"],
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+class TestPredicateTransfer:
+    def test_pure_prefilter_same_results(self, spark, sf_dir):
+        """plan(reduced tables) ≡ plan(original tables) — the reference's
+        invariant that predicate transfer never changes query results."""
+        t = dict(tables(spark, sf_dir))
+        t["region"] = t["region"].filter(F.col("r_name") == "ASIA")
+        t["orders"] = t["orders"].filter(
+            (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        )
+        base = {tuple(r) for r in _q5_plan(t).collect()}
+        reduced = predicate_transfer(t, STAR_SCHEMA_EDGES)
+        got = {tuple(r) for r in _q5_plan(reduced).collect()}
+        assert got == base
+
+    def test_reduction_shrinks_fact_table(self, spark, sf_dir):
+        """The region filter must transfer 3 hops down to lineitem."""
+        t = dict(tables(spark, sf_dir))
+        t["region"] = t["region"].filter(F.col("r_name") == "ASIA")
+        before = t["lineitem"].count()
+        reduced = predicate_transfer(t, STAR_SCHEMA_EDGES)
+        after = reduced["lineitem"].count()
+        assert after < before, "predicate transfer did not reduce lineitem"
+
+    def test_backward_pass_reduces_dims(self, spark, sf_dir):
+        """Filtering orders must propagate BACK to customer (backward pass)."""
+        t = dict(tables(spark, sf_dir))
+        t["orders"] = t["orders"].filter(F.col("o_totalprice") > 450000)
+        reduced = predicate_transfer(t, STAR_SCHEMA_EDGES)
+        assert reduced["customer"].count() < tables(spark, sf_dir)["customer"].count()
+
+
+class TestSegmentCache:
+    def test_hit_miss_and_covering_projection(self, spark, sf_dir):
+        t = tables(spark, sf_dir)
+        mgr = SegmentCacheManager(spark, capacity_bytes=1 << 30, policy="lru")
+        a = mgr.project(t["lineitem"], "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
+        assert a.count() > 0
+        assert mgr.hit_ratio() == 0.0
+        # exact hit
+        mgr.project(t["lineitem"], "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
+        # covering hit (subset of cached columns)
+        sub = mgr.project(t["lineitem"], "lineitem", ["l_quantity"])
+        assert sub.columns == ["l_quantity"]
+        assert mgr.hit_count == 2 and mgr.miss_count == 1
+        mgr.clear()
+        assert mgr.used == 0
+
+    def test_eviction_under_pressure_lru(self, spark, sf_dir):
+        t = tables(spark, sf_dir)
+        mgr = SegmentCacheManager(spark, capacity_bytes=1, policy="lru")
+        mgr.project(t["customer"], "customer", ["c_custkey"])
+        # nothing fits in 1 byte → nothing cached, query still works (pullup)
+        assert mgr.used == 0 and len(mgr.entries) == 0
+
+    def test_wlfu_prefers_expensive_segments(self, spark, sf_dir):
+        t = tables(spark, sf_dir)
+        mgr = SegmentCacheManager(spark, capacity_bytes=1 << 40, policy="wlfu")
+        mgr.project(t["lineitem"], "lineitem", ["l_extendedprice"])   # big
+        mgr.project(t["region"], "region", ["r_name"])                # tiny
+        big = mgr.entries[("lineitem", ("l_extendedprice",))]
+        small = mgr.entries[("region", ("r_name",))]
+        assert mgr._score(big) > mgr._score(small)
+        mgr.clear()
+
+    def test_policy_validation(self, spark):
+        with pytest.raises(ValueError, match="policy"):
+            SegmentCacheManager(spark, policy="belady")
+
+
+class TestPushdown:
+    def test_q6_filters_reach_scan(self, spark, sf_dir):
+        l = tables(spark, sf_dir)["lineitem"]
+        df = l.filter(
+            (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).select("l_extendedprice")
+        assert_pushdown(df, expect_filter_cols=["l_discount", "l_quantity"])
+
+    def test_column_pruning_reaches_scan(self, spark, sf_dir):
+        l = tables(spark, sf_dir)["lineitem"]
+        df = l.select("l_orderkey", "l_quantity")
+        # 16-column table, 2-column projection → scan must read exactly 2
+        assert_pushdown(df, max_read_columns=2)
+        assert set(read_schema(df)) == {"l_orderkey", "l_quantity"}
+
+    def test_assertion_fires_on_unpushable(self, spark, sf_dir):
+        l = tables(spark, sf_dir)["lineitem"]
+        # a filter on a computed expression cannot push down as-is
+        df = l.filter(F.sqrt(F.col("l_quantity")) > 100)
+        with pytest.raises(AssertionError, match="not pushed"):
+            assert_pushdown(df, expect_filter_cols=["nonexistent_col"])
