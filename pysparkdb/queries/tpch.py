@@ -689,3 +689,369 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q2",
+    """
+    WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                       MIN(l_extendedprice) AS ps_supplycost
+                FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey
+    FROM part, supplier, ps, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+                           FROM ps ps2, supplier s2, nation n2, region r2
+                           WHERE ps2.ps_partkey = p_partkey
+                             AND s2.s_suppkey = ps2.ps_suppkey
+                             AND s2.s_nationkey = n2.n_nationkey
+                             AND n2.n_regionkey = r2.r_regionkey
+                             AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "tpch", "join", "scalar_subquery", "limit_sort",
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum cost supplier (TPC-H Q2 adapted — testdata has no partsupp, so
+    the part↔supplier cost relation is derived from lineitem:
+    ps_supplycost := MIN(l_extendedprice) per (partkey, suppkey), which keeps
+    Q2's plan shape — a correlated scalar MIN subquery decorrelated into a
+    group-agg + equality join (Optimizer.java:129-141 RelDecorrelator path).
+
+    MIN over double is order-insensitive, so no decimal summation is needed.
+    The ORDER BY key (s_acctbal, n_name, s_name, p_partkey) is unique per row,
+    making LIMIT 100 deterministic across engines. At 100 TB: the ps relation
+    shuffles once on (partkey, suppkey); min-per-part is a second partial agg
+    on partkey; suppliers/nations/regions broadcast.
+    """
+    t = tables(spark, sf_dir)
+    r = t["region"].filter(F.col("r_name") == "EUROPE")
+    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    eu_supp = t["supplier"].join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    )
+    eu_ps = ps.join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_cost = eu_ps.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = t["part"].filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE"))
+    return (
+        eu_ps.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11",
+    f"""
+    SELECT l_partkey AS ps_partkey,
+           {DSUM('l_extendedprice * l_quantity')} AS part_value
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7'
+    GROUP BY l_partkey
+    HAVING {DSUM('l_extendedprice * l_quantity')} >
+           (SELECT {DSUM('l_extendedprice * l_quantity')} * 0.0001
+            FROM lineitem, supplier, nation
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_7')
+    ORDER BY part_value DESC
+    """,
+    "tpch", "group", "having", "scalar_subquery",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11 adapted — part value is
+    SUM(l_extendedprice * l_quantity) over lineitem instead of
+    supplycost*availqty over partsupp). Plan shape preserved: group-agg +
+    scalar-subquery threshold (HAVING > fraction of grand total).
+
+    The scalar total is broadcast-joined, never collected to the driver.
+    Both the per-part value and the grand total are exact decimal sums, and
+    the 0.0001 scale is one deterministic double multiply, so the threshold
+    comparison is bit-identical with the oracle. At 100 TB the filtered
+    lineitem aggregates twice (partial/final) on l_partkey; the total reuses
+    the same reduced relation.
+    """
+    t = tables(spark, sf_dir)
+    n = t["nation"].filter(F.col("n_name") == "NATION_7")
+    s = t["supplier"].join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    li = t["lineitem"].join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        dsum(value).alias("part_value")
+    )
+    total = li.agg((dsum(value) * F.lit(0.0001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc())
+    )
+
+
+@register(
+    "q15",
+    f"""
+    WITH revenue AS (SELECT l_suppkey AS supplier_no,
+                            {DSUM('l_extendedprice * (1 - l_discount)')} AS total_revenue
+                     FROM lineitem
+                     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                     GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "tpch", "group", "scalar_subquery", "view",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15): revenue view + MAX scalar subquery + join
+    back. The reference runs this as the view-expanded Calcite plan; here the
+    view is a shared DataFrame (computed once per branch by Spark; AQE reuses
+    the exchange). total_revenue is an exact decimal sum cast to double on
+    both sides, so the MAX-equality join is bit-exact. At 100 TB: one shuffle
+    on l_suppkey; the MAX is a scalar broadcast.
+    """
+    t = tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1996-04-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#21'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch", "anti_join", "count_distinct", "in_list", "group",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 adapted — the part↔supplier
+    relation comes from lineitem; the excluded-supplier predicate is
+    s_acctbal < 0 since testdata has no s_comment). Shape preserved:
+    NOT IN → left-anti join (a Spark-native capability the reference lacks,
+    JoinType.h has no ANTI) + COUNT(DISTINCT) group-agg
+    (Calcite-rewritten in the reference, TPCHTest.cpp case 16).
+
+    At 100 TB: the exclusion list is tiny (broadcast anti join); distinct
+    count is a two-phase aggregate on (brand, type, size, suppkey).
+    """
+    t = tables(spark, sf_dir)
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#21")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(bigint(F.countDistinct("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17",
+    f"""
+    SELECT {DSUM('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND l_quantity < (SELECT 0.2 * ({DSUM('l_quantity')} / COUNT(l_quantity))
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "tpch", "scalar_subquery", "aggregate", "join",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17; p_container → p_type since
+    testdata has no container column). The correlated AVG subquery is
+    decorrelated into a per-part aggregate broadcast-joined back — the same
+    rewrite Calcite's RelDecorrelator applies (Optimizer.java:129-141).
+
+    The threshold is davg (exact decimal sum / count) scaled by 0.2 — one
+    deterministic double multiply on both sides. At 100 TB the per-part AVG
+    aggregates map-side before its shuffle; the filtered part list broadcasts.
+    """
+    t = tables(spark, sf_dir)
+    p = t["part"].filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM"))
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg((F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_threshold"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20",
+    f"""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (SELECT l_suppkey
+                        FROM lineitem, part
+                        WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+                          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                        GROUP BY l_suppkey, l_partkey
+                        HAVING {DSUM('l_quantity')} > 50)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+    "tpch", "semi_join", "having", "like", "group",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 adapted — the availability
+    predicate ps_availqty > 0.5*sum(shipped) becomes a shipped-quantity
+    threshold per (supplier, part), keeping the nested IN-subquery chain:
+    LIKE-filtered parts → grouped lineitem HAVING → semi join suppliers →
+    nation filter). The reference plans this as stacked semi joins
+    (Optimizer.java:223-231 JOIN_TO_SEMI_JOIN).
+
+    At 100 TB: group on (l_suppkey, l_partkey) is the only shuffle; the
+    qualifying supplier set is tiny and broadcast for the semi join.
+    """
+    t = tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("red%"))
+    qual = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(F.col("l_quantity")).alias("shipped"))
+        .filter(F.col("shipped") > 50)
+        .select("l_suppkey")
+    )
+    n = t["nation"].filter(F.col("n_name") == "NATION_3")
+    return (
+        t["supplier"]
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o2
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND o2.o_orderkey = l3.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    "tpch", "semi_join", "anti_join", "theta", "group", "limit_sort",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 adapted — "late" is
+    l_shipdate > o_orderdate + 90 days since testdata has no
+    commit/receipt dates). Keeps Q21's signature plan: a self-joined
+    EXISTS (semi join with a non-equi conjunct) plus NOT EXISTS (anti join),
+    the hardest decorrelation case in the reference suite (TPCHTest.cpp
+    case 21; semi-join kernels HashSemiJoinProbeKernel.cpp).
+
+    The semi/anti joins run on (l_orderkey) equi keys with the
+    supplier-inequality as a join residual, so both shuffle only once on
+    orderkey. At 100 TB the `late` relation is computed once and reused for
+    candidates and the anti side.
+    """
+    t = tables(spark, sf_dir)
+    f_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    late = (
+        t["lineitem"]
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = t["lineitem"].select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    ).distinct()
+    n = t["nation"].filter(F.col("n_name") == "NATION_1")
+    s = t["supplier"].join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(bigint(F.count(F.lit(1))).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
