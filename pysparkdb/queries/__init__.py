@@ -49,6 +49,6 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module so REGISTRY is fully populated."""
-    from pysparkdb.queries import ops, pipeline, streaming, tpch  # noqa: F401
+    from pysparkdb.queries import ops, pipeline, ssb, streaming, tpch  # noqa: F401
 
     return REGISTRY
