@@ -1,0 +1,11 @@
+"""File sources and sinks (reference §2.2 scan/source surface)."""
+
+from pysparkdb.sources.files import (
+    read_csv,
+    read_parquet,
+    scan,
+    write_csv,
+    write_parquet,
+)
+
+__all__ = ["read_csv", "read_parquet", "scan", "write_csv", "write_parquet"]

@@ -1,0 +1,118 @@
+"""File readers/writers: CSV (configurable delimiter, gzip/bz2), Parquet.
+
+Reference surface being re-expressed (all file:line into /root/reference):
+
+- CSV with configurable delimiter: fpdb-tuple/include/fpdb/tuple/csv/
+  CSVFormat.h:12 (fieldSeparator, default '|' for TPC-H data).
+- gzip/bz2-compressed CSV: fpdb-executor/src/physical/s3/SelectPOp.cpp:112-135
+  (CompressionType GZIP/BZIP2) and fpdb-tuple/include/fpdb/tuple/arrow/
+  ArrowGzipInputStream.h. Spark's CSV reader infers both codecs from the
+  file extension — no explicit option needed.
+- Parquet: fpdb-tuple/include/fpdb/tuple/parquet/ParquetReader.h.
+- Pushdown scan (SELECT cols FROM object WHERE pred): fpdb-executor/src/
+  physical/s3/SelectPOp.cpp + SQL generation in transform/
+  PrePToS3PTransformer.cpp:463-469 — in Spark the same contract is "express
+  projection+filter on the raw scan and let Catalyst push them down";
+  ``scan()`` packages that and the pushdown is auditable via
+  pysparkdb.plans.pushdown.assert_pushdown.
+- Sink: the reference only returns results to the client
+  (fpdb-main/src/Client.cpp:104-110); writers here are the documented free
+  upgrade (SURVEY §2.2).
+
+Scale notes: schemas are always declared (never inferSchema — a 100 TB CSV
+inference pass is a full extra read); readers return splittable scans
+(Spark splits plain CSV and parquet by spark.sql.files.maxPartitionBytes;
+gzip is non-splittable per-file, so compressed corpora should be many
+files — same constraint the reference has with per-object S3 GETs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    delimiter: str = "|",
+    header: bool = False,
+    null_value: str | None = None,
+) -> DataFrame:
+    """Declared-schema CSV scan (CSVFormat.h semantics: explicit separator,
+    no inference). gzip/bz2 files are decoded transparently by extension."""
+    reader = (
+        spark.read.schema(schema)
+        .option("sep", delimiter)
+        .option("header", str(header).lower())
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    )
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    return reader.csv(path)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan; optional declared schema (projection enforced at the
+    footer level — extra on-disk columns are simply never read)."""
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
+
+
+def scan(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    predicate: Column | None = None,
+) -> DataFrame:
+    """FilterableScan (SelectPOp shape): SELECT <columns> WHERE <predicate>
+    expressed directly over the source relation so Catalyst pushes the
+    filter into the scan and prunes unread columns. Equivalent of the
+    reference's generated `select <cols> from s3Object where <pred>`
+    (PrePToS3PTransformer.cpp:463-469)."""
+    out = df
+    if predicate is not None:
+        out = out.filter(predicate)
+    if columns is not None:
+        out = out.select(*columns)
+    return out
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Parquet sink. partition_by produces hive-style directory partitioning
+    — the write-side half of partition pruning: a reader filtering on the
+    partition column scans only matching directories (the dynamic analog of
+    the reference's zone-map pruning, PartitionPruner.cpp:23-52)."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    delimiter: str = "|",
+    header: bool = False,
+    compression: str | None = None,
+) -> None:
+    """CSV sink with the same format knobs as the reader."""
+    w = (
+        df.write.mode(mode)
+        .option("sep", delimiter)
+        .option("header", str(header).lower())
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    )
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.csv(path)
