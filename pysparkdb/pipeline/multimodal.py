@@ -104,3 +104,89 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return df.mapInPandas(fake_decode, schema=out_schema)
+
+
+def resize_image(df: DataFrame, width: int = 4, height: int = 4,
+                 fake: bool = False) -> DataFrame:
+    """Resize binary image payloads to width×height pixel grids.
+
+    STUB (same contract as decode_image): ``fake=True`` produces a
+    deterministic byte-sampled grid through the real mapInPandas plumbing —
+    output schema carries the typed (width, height, pixels) shape a real
+    resampler would emit; ``fake=False`` raises.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/libvips — not available in this "
+            "container; call with fake=True for the deterministic stand-in"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    npx = width * height
+
+    def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                # deterministic nearest-neighbor byte sampling
+                step = max(len(raw) // npx, 1)
+                px = [float(raw[min(i * step, len(raw) - 1)]) / 255.0 for i in range(npx)]
+                pixels.append(px)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(fake_resize, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, num_frames: int = 3, fake: bool = False) -> DataFrame:
+    """Sample N frames from binary video payloads — 1→N row fan-out.
+
+    STUB: ``fake=True`` slices the payload into num_frames equal chunks
+    through the real mapInPandas plumbing (the batch shape that matters at
+    scale: one input row yields several output rows, so downstream
+    partition sizing must budget for the fan-out); ``fake=False`` raises.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video frame sampling requires ffmpeg/pyav — not available in "
+            "this container; call with fake=True for the deterministic stand-in"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def fake_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                chunk = max(len(raw) // num_frames, 1)
+                for i in range(num_frames):
+                    ids.append(did)
+                    idxs.append(i)
+                    # last frame absorbs the remainder: frames partition the
+                    # payload exactly (Σ octet_length(frame) == n_bytes)
+                    hi = (i + 1) * chunk if i < num_frames - 1 else len(raw)
+                    frames.append(raw[i * chunk : hi])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(fake_sample, schema=out_schema)

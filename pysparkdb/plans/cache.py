@@ -15,8 +15,14 @@ Spark's per-partition cached batches automatically. This manager owns the
 admit/evict decisions Spark leaves to the user:
 
 - LRU / LFU: classic recency/frequency over segment keys.
+- LFU-S: frequency normalized by size (small hot segments beat big warm
+  ones — fpdb-cache/include/fpdb/cache/policy/LFUSCachingPolicy.h).
 - W-LFU: frequency weighted by estimated recompute cost (bytes scanned —
   the reference weighs by network/scan time, Globals.h:23-32).
+- Belady: oracle policy — evict the entry whose *next* use is farthest in
+  a caller-supplied future access schedule
+  (fpdb-cache/include/fpdb/cache/policy/BeladyCachingPolicy.h); the
+  reference uses it as the offline upper bound in caching benches.
 
 Catalyst then substitutes cached projections automatically: any query whose
 column set ⊆ a cached projection's columns reuses the InMemoryRelation via
@@ -50,16 +56,19 @@ def _plan_size_bytes(df: DataFrame) -> int:
 class SegmentCacheManager:
     """Column-projection cache with LRU / LFU / W-LFU policies."""
 
-    POLICIES = ("lru", "lfu", "wlfu")
+    POLICIES = ("lru", "lfu", "lfus", "wlfu", "belady")
 
     def __init__(
         self,
         spark: SparkSession,
         capacity_bytes: int = 1 << 30,
         policy: str = "lru",
+        future: list[tuple[str, tuple[str, ...]]] | None = None,
     ):
         if policy not in self.POLICIES:
             raise ValueError(f"policy {policy!r} not in {self.POLICIES}")
+        if policy == "belady" and future is None:
+            raise ValueError("belady policy needs the future access schedule")
         self.spark = spark
         self.capacity = capacity_bytes
         self.policy = policy
@@ -67,13 +76,25 @@ class SegmentCacheManager:
         self.used = 0
         self.hit_count = 0
         self.miss_count = 0
+        # Belady oracle state: the known future request sequence and a
+        # cursor advanced on every project() call.
+        self._future = list(future or [])
+        self._clock = 0
 
     # -- policy scoring: lower score evicts first ---------------------------
-    def _score(self, e: _Entry) -> float:
+    def _score(self, e: _Entry, key: tuple[str, tuple[str, ...]] | None = None) -> float:
         if self.policy == "lru":
             return e.last_access
         if self.policy == "lfu":
             return float(e.hits)
+        if self.policy == "lfus":
+            return e.hits / max(e.size_bytes, 1)  # size-normalized frequency
+        if self.policy == "belady":
+            # farthest-next-use evicts first → score = -distance to next use
+            for i in range(self._clock, len(self._future)):
+                if self._future[i] == key:
+                    return -float(i)
+            return float("-inf")  # never used again → best victim
         return e.hits * max(e.size_bytes, 1)  # wlfu: frequency × recompute cost
 
     def project(self, df: DataFrame, table: str, columns: list[str]) -> DataFrame:
@@ -87,6 +108,7 @@ class SegmentCacheManager:
         """
         key = (table, tuple(sorted(columns)))
         now = time.monotonic()
+        self._clock += 1
 
         entry = self.entries.get(key) or self._covering(table, key[1])
         if entry is not None:
@@ -115,7 +137,9 @@ class SegmentCacheManager:
         if size > self.capacity:
             return False
         while self.used + size > self.capacity:
-            victim_key = min(self.entries, key=lambda k: self._score(self.entries[k]))
+            victim_key = min(
+                self.entries, key=lambda k: self._score(self.entries[k], k)
+            )
             self._evict(victim_key)
         return True
 

@@ -369,3 +369,65 @@ def op_case_in_like(spark, sf_dir):
         default=F.lit("other"),
     )
     return O.group(p.withColumn("bucket", bucket), ["bucket"], {"n": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_join_semi",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    "ops", "semi_join",
+)
+def op_join_semi(spark, sf_dir):
+    """LEFT SEMI hash join (HashSemiJoinProbeKernel.cpp; produced by
+    Calcite JOIN_TO_SEMI_JOIN, Optimizer.java:228-229): customers with ≥1
+    urgent order, each emitted once regardless of match count."""
+    t = tables(spark, sf_dir)
+    urgent = O.filter_(t["orders"], X.eq("o_orderpriority", "1-URGENT"))
+    j = O.hash_join(
+        t["customer"], urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    )
+    return O.group(j, ["c_mktsegment"], {"n_customers": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_join_anti",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    "ops", "anti_join",
+)
+def op_join_anti(spark, sf_dir):
+    """LEFT ANTI join — beyond-reference (SURVEY §2.4 'not present':
+    anti join is free in Spark): customers with no orders at all."""
+    t = tables(spark, sf_dir)
+    j = O.hash_join(
+        t["customer"], t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return O.group(j, ["c_mktsegment"], {"n_customers": bigint(F.count(F.lit(1)))})
+
+
+@register(
+    "op_cross_join",
+    """
+    SELECT r_name, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r_name, o_orderstatus
+    """,
+    "ops", "nested_loop_join", "cross",
+)
+def op_cross_join(spark, sf_dir):
+    """Unfiltered Cartesian product (NestedLoopJoinKernel without a
+    predicate, RecordBatchNestedLoopJoiner.cpp:48-60) over two small
+    inputs — the dense grid shape (every region × every order status)."""
+    t = tables(spark, sf_dir)
+    statuses = O.project(t["orders"], {"o_orderstatus": "o_orderstatus"}).distinct()
+    j = O.nested_loop_join(t["region"], statuses, predicate=None)
+    return O.group(j, ["r_name", "o_orderstatus"], {"n": bigint(F.count(F.lit(1)))})

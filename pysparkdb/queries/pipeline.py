@@ -242,3 +242,39 @@ def mm_binary_meta(spark, sf_dir):
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.content_md5").alias("content_md5"),
     )
+
+
+@register(
+    "mm_resize",
+    None,  # deterministic fake resampler; byte-level sampling is not
+           # reasonably SQL-expressible → rows-only check
+    "pipeline", "multimodal",
+)
+def mm_resize(spark, sf_dir):
+    """Image-resize plumbing (STUBBED codec): binary payloads → 4×4 pixel
+    grids via the deterministic fake resampler over mapInPandas."""
+    d = tables(spark, sf_dir)["documents"]
+    return multimodal.resize_image(multimodal.to_binary_column(d), fake=True)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes
+    FROM documents, (SELECT UNNEST([0, 1, 2]) AS idx)
+    """,
+    "pipeline", "multimodal",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out (STUBBED codec): each payload yields 3 frame
+    rows through mapInPandas; the oracle checks the fan-out shape
+    (doc × frame_idx grid) plus the conserved payload size."""
+    d = tables(spark, sf_dir)["documents"]
+    frames = multimodal.sample_frames(multimodal.to_binary_column(d), fake=True)
+    total = frames.groupBy("doc_id").agg(
+        F.sum(F.octet_length("frame")).alias("total_bytes")
+    )
+    return frames.join(total, "doc_id").select(
+        "doc_id", "frame_idx", F.col("total_bytes").cast("long").alias("total_bytes")
+    )

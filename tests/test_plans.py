@@ -101,7 +101,40 @@ class TestSegmentCache:
 
     def test_policy_validation(self, spark):
         with pytest.raises(ValueError, match="policy"):
+            SegmentCacheManager(spark, policy="mru")
+        with pytest.raises(ValueError, match="future"):
             SegmentCacheManager(spark, policy="belady")
+
+    def test_lfus_prefers_small_hot_segments(self, spark, sf_dir):
+        """LFU-S (size-normalized frequency, LFUSCachingPolicy.h): at equal
+        hit counts the big segment scores lower → evicts first."""
+        t = tables(spark, sf_dir)
+        mgr = SegmentCacheManager(spark, capacity_bytes=1 << 40, policy="lfus")
+        mgr.project(t["lineitem"], "lineitem", ["l_extendedprice"])   # big
+        mgr.project(t["region"], "region", ["r_name"])                # tiny
+        big = mgr.entries[("lineitem", ("l_extendedprice",))]
+        small = mgr.entries[("region", ("r_name",))]
+        assert mgr._score(big) < mgr._score(small)
+        mgr.clear()
+
+    def test_belady_evicts_farthest_next_use(self, spark, sf_dir):
+        """Belady oracle (BeladyCachingPolicy.h): with the future known,
+        the victim is the entry used farthest ahead (or never again)."""
+        t = tables(spark, sf_dir)
+        k_cust = ("customer", ("c_custkey",))
+        k_reg = ("region", ("r_name",))
+        future = [k_cust, k_reg, k_cust]  # region never used after step 2
+        mgr = SegmentCacheManager(
+            spark, capacity_bytes=1 << 40, policy="belady", future=future
+        )
+        mgr.project(t["customer"], "customer", ["c_custkey"])
+        mgr.project(t["region"], "region", ["r_name"])
+        # after both accesses the cursor sits at index 2: customer's next
+        # use is index 2, region is never used again → region is the victim
+        assert mgr._score(mgr.entries[k_reg], k_reg) < mgr._score(
+            mgr.entries[k_cust], k_cust
+        )
+        mgr.clear()
 
 
 class TestPushdown:
