@@ -108,6 +108,7 @@ def hyperplane_buckets(
     a seeded RNG, shipped as literals — no UDF, no broadcast variable)."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(nbits, dim)
+    df = _spread(df)
     v = _as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for i in range(nbits):

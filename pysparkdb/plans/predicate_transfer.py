@@ -65,20 +65,38 @@ def _semi_reduce(
     return target.join(keys, on=list(target_keys), how="left_semi")
 
 
+def _plan_bytes(df: DataFrame) -> int:
+    """Optimizer-estimated size — free (no job), from parquet footers /
+    plan stats; the stats.json role in the reference."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def predicate_transfer(
     tables: dict[str, DataFrame],
     edges: list[JoinEdge],
     sizes: dict[str, int] | None = None,
-    broadcast_threshold_rows: int = 10_000_000,
+    broadcast_threshold: int = 64 << 20,
 ) -> dict[str, DataFrame]:
     """Reduce every table by transferring join-key sets across ``edges``.
 
-    ``sizes``: estimated row counts per table (catalog stats in production —
-    the reference reads stats.json; defaults to a one-time count here).
-    Returns a new {name: reduced DataFrame} mapping; inputs are untouched.
+    ``sizes``: per-table size estimates (any consistent unit — the pass
+    only compares magnitudes and checks ``broadcast_threshold``). Defaults
+    to optimizer plan-stat bytes, which costs no Spark job — the transfer
+    pass itself must not spend scans before the query runs (the reference
+    reads precomputed stats.json for the same reason). Only tables named
+    by ``edges`` are sized. Returns a new {name: reduced DataFrame}
+    mapping; inputs are untouched.
+
+    Transfers whose *source* exceeds ``broadcast_threshold`` are SKIPPED
+    entirely (still correct: the pass only ever under-reduces) — the
+    reference's own cutoff, which refuses to build bloom filters above
+    20M rows (fpdb-executor physical/Globals.h:54). A fact table therefore
+    receives reductions from every dimension but never pays to emit its
+    own key set back.
     """
     if sizes is None:
-        sizes = {name: df.count() for name, df in tables.items()}
+        edge_tables = {e.left for e in edges} | {e.right for e in edges}
+        sizes = {name: _plan_bytes(tables[name]) for name in edge_tables}
 
     reduced = dict(tables)
 
@@ -103,9 +121,10 @@ def predicate_transfer(
                 if l_small
                 else (edge.left, edge.left_keys, edge.right, edge.right_keys)
             )
+        if sizes[src] > broadcast_threshold:
+            return  # over the build cutoff (Globals.h:54 analog): skip
         reduced[dst] = _semi_reduce(
-            reduced[dst], dk, reduced[src], sk,
-            broadcast_keys=sizes[src] <= broadcast_threshold_rows,
+            reduced[dst], dk, reduced[src], sk, broadcast_keys=True
         )
 
     for e in fwd:  # forward pass: small → large

@@ -630,7 +630,13 @@ def q5_pred_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
     )
     edges = [e for e in STAR_SCHEMA_EDGES if e.left != "part"]
-    r = predicate_transfer(t, edges)
+    # Catalog size ranks (stats.json role): only relative order matters for
+    # the small-to-large pass; orders is rank-small here because its date
+    # filter is highly selective. Everything but lineitem broadcasts its
+    # key set.
+    sizes = {"region": 1, "nation": 2, "supplier": 3, "customer": 4,
+             "orders": 5, "lineitem": 6}
+    r = predicate_transfer(t, edges, sizes=sizes, broadcast_threshold=5)
     return (
         r["lineitem"]
         .join(r["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
