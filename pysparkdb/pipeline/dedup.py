@@ -176,7 +176,18 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    # Verify ONLY among documents that appear in some candidate pair: the
+    # exact shingle-join is O(pairs sharing a shingle) — at corpus scale
+    # running it over everything would defeat the LSH; over the candidate
+    # doc subset it is O(near-dup cluster sizes). The final semi-join
+    # intersects back to exactly the banded pairs.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(cand_docs, id_col, "left_semi")
+    exact = ngram_jaccard_pairs(sub, id_col, text_col, n, threshold)
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 

@@ -43,8 +43,12 @@ BINARY_WITH_META = T.StructType(
 
 def to_binary_column(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pack a source column as an opaque binary payload (UTF-8 here; in
-    production the bytes come off object storage). JVM-side encode."""
-    return df.select(
+    production the bytes come off object storage). JVM-side encode; the
+    input is rebalanced to the session's shuffle parallelism so downstream
+    Arrow-batched python stages get even, parallel batches (a single
+    parquet file otherwise feeds one python worker)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n).select(
         "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
     )
 
