@@ -54,14 +54,14 @@ SUPPLYCOST = "l_quantity * p_retailprice * 0.5"
 # Derived SSB dim fragments (oracle side).
 _SUP_GEO = """
     (SELECT s_suppkey, n_name AS s_nation, r_name AS s_region,
-            n_name || '_' || CAST(s_suppkey % 10 AS VARCHAR) AS s_city
+            n_name || '_' || CAST(s_suppkey % 10 AS STRING) AS s_city
      FROM supplier
      JOIN nation ON s_nationkey = n_nationkey
      JOIN region ON n_regionkey = r_regionkey) sup
 """
 _CUST_GEO = """
     (SELECT c_custkey, n_name AS c_nation, r_name AS c_region,
-            n_name || '_' || CAST(c_custkey % 10 AS VARCHAR) AS c_city
+            n_name || '_' || CAST(c_custkey % 10 AS STRING) AS c_city
      FROM customer
      JOIN nation ON c_nationkey = n_nationkey
      JOIN region ON n_regionkey = r_regionkey) cus

@@ -1,0 +1,60 @@
+"""engine.sql() parity: the SQL entry point runs the corpus directly.
+
+The reference's primary interface is a SQL string through the full stack
+(Client::executeQuery, fpdb-main/src/Client.cpp:94-158). Here the same
+contract is `Engine.sql(text) -> DataFrame`: for every registered query
+whose oracle SQL is ANSI enough for both engines, Spark executes the SAME
+text DuckDB verifies against, and the result must row-match the DataFrame
+form of the query. That closes the loop: DataFrame form ≡ Spark SQL form
+≡ DuckDB — parser, analyzer and executor agree.
+
+(Queries excluded below use DuckDB-only constructs in their oracles —
+list lambdas, unnest literals, duck-style array indexing, json path
+shorthands; their DataFrame forms are still oracle-checked in the other
+suites.)
+"""
+
+import pytest
+
+from pysparkdb import Engine
+from pysparkdb.queries import load_all
+from pysparkdb.queries.base import tables
+
+# DuckDB-dialect oracles that Spark SQL cannot parse/run verbatim.
+NOT_ANSI_PORTABLE = {
+    "ann_topk",            # duck 1-based array indexing in the dot product
+    "dedup_embedding",     # same
+    "dedup_ngram_jaccard", # same corpus of duck list ops
+    "dedup_exact",         # regexp_replace 'g' flag argument
+    "text_fingerprint",    # same
+    "ev_json",             # json_extract_string
+    "ev_sliding",          # unnest([...]) window-start materialization
+    "mm_binary_meta",      # encode(text) 1-arg form
+    "mm_frame_sample",     # unnest literal list
+    "text_langid",         # list_filter lambda
+    "text_quality",        # list_filter / string_split
+    "text_tokens",         # string_split
+}
+
+SPECS = [
+    s
+    for s in load_all().values()
+    if s.oracle is not None and s.name not in NOT_ANSI_PORTABLE
+]
+
+
+def test_portable_subset_is_large():
+    # most of the corpus must stay SQL-portable; additions that silently
+    # fall out of the ANSI subset should be a conscious decision
+    assert len(SPECS) >= 48
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_sql_text_matches_dataframe_form(spark, sf_dir, spec):
+    eng = Engine(spark)
+    tables(spark, sf_dir)  # ensure temp views are registered
+    via_sql = eng.sql(spec.oracle)
+    via_df = spec.fn(spark, sf_dir)
+    a = sorted(map(tuple, via_sql.collect()))
+    b = sorted(map(tuple, via_df.collect()))
+    assert a == b, f"{spec.name}: SQL-text result differs from DataFrame form"
