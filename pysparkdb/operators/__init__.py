@@ -1,3 +1,4 @@
+from pysparkdb.operators.asof import as_of_join
 from pysparkdb.operators.relational import (
     aggregate,
     collate,
@@ -14,6 +15,7 @@ from pysparkdb.operators.relational import (
 )
 
 __all__ = [
-    "aggregate", "collate", "filter_", "group", "hash_join", "limit_sort",
-    "merge_union", "nested_loop_join", "project", "shuffle", "sort", "split",
+    "aggregate", "as_of_join", "collate", "filter_", "group", "hash_join",
+    "limit_sort", "merge_union", "nested_loop_join", "project", "shuffle",
+    "sort", "split",
 ]

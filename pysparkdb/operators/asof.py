@@ -1,0 +1,77 @@
+"""As-of (point-in-time) join — beyond-reference custom operator.
+
+The reference has no range/as-of join (SURVEY §2.4 "not present"); Spark
+has no built-in either. This is the standard time-series primitive — each
+left row picks the most recent right row at-or-before its timestamp —
+implemented as a *composition of existing DataFrame ops* (the preferred
+custom-operator strategy): tag both inputs, union, one window pass with
+``last(..., ignorenulls)`` carrying the latest right payload forward.
+
+Cost model at 100 TB: ONE hash shuffle on the key + a per-partition sort —
+identical to a sort-merge join's exchange, with no row multiplication at
+any point (the naive alternative, inequality-join then per-left-row argmax,
+materializes |L|×avg-matches intermediates). Skewed keys behave exactly
+like a skewed sort-merge join and respond to the same AQE skew handling.
+
+Tie semantics: a right row whose timestamp EQUALS the left timestamp is
+visible to it (inclusive, DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``
+semantics) — the union sorts (ts, marker) with right markers first.
+Right-side (key, ts) pairs should be unique (pre-aggregate otherwise);
+with duplicates the winner within the tied group is the union's physical
+order, i.e. unspecified — same caveat DuckDB documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same key (backward as-of, left
+    outer: unmatched left rows keep null right columns).
+
+    Output columns: all of ``left``'s, then all of ``right``'s (callers
+    ensure the names don't collide, as with any join followed by select).
+    """
+    l_struct = T.StructType(left.schema.fields)
+    r_struct = T.StructType(right.schema.fields)
+
+    tagged_l = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        F.lit(None).cast(r_struct).alias("_rrow"),
+    )
+    tagged_r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_struct).alias("_lrow"),
+        F.struct(*right.columns).alias("_rrow"),
+    )
+
+    # (ts, marker) order puts a right row before left rows at the same ts
+    # → inclusive as-of. last(ignorenulls) carries the newest right payload
+    # forward through each key partition.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged_l.unionByName(tagged_r)
+        .withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+        .select("_lrow.*", "_match.*")
+    )

@@ -121,3 +121,43 @@ def ev_json(spark, sf_dir):
         bigint(F.count(F.lit(1))).alias("n"),
         dsum(k).alias("sum_k"),
     )
+
+
+@register(
+    "ev_asof",
+    """
+    WITH r AS (SELECT o_custkey, o_orderdate,
+                      CAST(COUNT(*) AS BIGINT) AS n_orders,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS day_spend
+               FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, r.o_orderdate AS last_order_ts,
+           r.n_orders, r.day_spend
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    "events", "asof_join",
+)
+def ev_asof(spark, sf_dir):
+    """Point-in-time enrichment: each event joined to the user's most
+    recent order-day state at event time (pysparkdb.operators.asof — the
+    union-marker/window as-of join; oracle is DuckDB's native ASOF JOIN).
+    Orders are pre-aggregated per (custkey, day) so (key, ts) is unique
+    and ties are deterministic."""
+    from pysparkdb.operators.asof import as_of_join
+
+    t = tables(spark, sf_dir)
+    daily = t["orders"].groupBy("o_custkey", "o_orderdate").agg(
+        bigint(F.count(F.lit(1))).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("day_spend"),
+    )
+    e = t["events"].select("event_id", "user_id", "ts")
+    joined = as_of_join(
+        e, daily,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("o_orderdate").alias("last_order_ts"),
+        "n_orders", "day_spend",
+    )

@@ -36,3 +36,37 @@ def test_date_extract_validation():
 
     with pytest.raises(ValueError, match="unit"):
         X.date_extract("o_orderdate", "WEEK")
+
+
+class TestAsOfJoin:
+    """as_of_join edge semantics (operators/asof.py)."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 250), (3, 20, 150), (4, 30, 100)],
+            "eid long, k long, t long",
+        )
+        right = spark.createDataFrame(
+            [(10, 100, "a"), (10, 200, "b"), (20, 151, "c")],
+            "rk long, rt long, tag string",
+        )
+        return left, right
+
+    def test_backward_pick_and_outer_nulls(self, spark):
+        from pysparkdb.operators import as_of_join
+
+        left, right = self._frames(spark)
+        out = {
+            r.eid: (r.rt, r.tag)
+            for r in as_of_join(left, right, "k", "rk", "t", "rt").collect()
+        }
+        assert out[1] == (100, "a")     # tie: rt == t is visible (inclusive)
+        assert out[2] == (200, "b")     # most recent of two matches
+        assert out[3] == (None, None)   # right row is later than t → no match
+        assert out[4] == (None, None)   # key absent on right → left-outer null
+
+    def test_no_row_multiplication(self, spark):
+        from pysparkdb.operators import as_of_join
+
+        left, right = self._frames(spark)
+        assert as_of_join(left, right, "k", "rk", "t", "rt").count() == left.count()
