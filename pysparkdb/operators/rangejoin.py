@@ -1,0 +1,59 @@
+"""Bucketed range (interval) join — beyond-reference custom operator.
+
+The reference has no range joins (SURVEY §2.4 "not present"); Spark plans a
+raw inequality join as BroadcastNestedLoopJoin — O(|L|·|R|) and
+broadcast-bound. This operator implements the scalable pattern: quantize
+time into buckets the width of the join span, equi-join on (key, bucket)
+with the left side probing its own and the next bucket, then apply the
+exact interval predicate. Candidate generation is a HASH join — at 100 TB
+this is the difference between a shuffle join on (key, bucket) and an
+unexecutable cross product; cost is 2× left fan-out, no more.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_us: int,
+    min_gap_us: int = 0,
+) -> DataFrame:
+    """Pairs (l, r) with equal ``key`` and
+    ``min_gap_us < right_ts - left_ts <= max_gap_us`` (timestamps compared
+    at microsecond precision).
+
+    Output: all left columns + all right columns (caller pre-aliases to
+    avoid collisions) + ``gap_us``. Bucket width = ``max_gap_us`` so any
+    qualifying pair differs by at most one bucket: the left row probes
+    buckets {b, b+1} (explode ×2), the right row sits in its own bucket —
+    an equi-join Catalyst can hash-partition.
+    """
+    l_epoch = F.unix_micros(F.col(left_ts))
+    r_epoch = F.unix_micros(F.col(right_ts))
+
+    # exact integer bucket (div, not double division: epoch-micros ≈ 1.7e15
+    # sits too close to double's 2^53 integer limit for comfort)
+    l = left.withColumn("_le", l_epoch).withColumn(
+        "_b", F.explode(F.array(
+            F.expr(f"_le div {max_gap_us}"),
+            F.expr(f"_le div {max_gap_us}") + 1,
+        ))
+    )
+    r = right.withColumn("_re", r_epoch).withColumn(
+        "_b", F.expr(f"_re div {max_gap_us}")
+    )
+
+    gap = F.col("_re") - F.col("_le")
+    return (
+        l.join(r, on=[key, "_b"])
+        .filter((gap > min_gap_us) & (gap <= max_gap_us))
+        .withColumn("gap_us", gap)
+        .drop("_b", "_le", "_re")
+    )

@@ -161,3 +161,70 @@ def ev_asof(spark, sf_dir):
         F.col("o_orderdate").alias("last_order_ts"),
         "n_orders", "day_spend",
     )
+
+
+@register(
+    "ev_range_join",
+    """
+    SELECT a.event_id AS a_eid, b.event_id AS b_eid,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    """,
+    "events", "range_join",
+)
+def ev_range_join(spark, sf_dir):
+    """Interval self-join: event pairs of the same user within 5 minutes
+    (pysparkdb.operators.rangejoin — bucketed equi-join candidates, exact
+    gap filter; the oracle states the naive inequality join)."""
+    from pysparkdb.operators.rangejoin import range_interval_join
+
+    e = tables(spark, sf_dir)["events"]
+    a = e.select("user_id", F.col("event_id").alias("a_eid"), F.col("ts").alias("a_ts"))
+    b = e.select("user_id", F.col("event_id").alias("b_eid"), F.col("ts").alias("b_ts"))
+    j = range_interval_join(
+        a, b, key="user_id", left_ts="a_ts", right_ts="b_ts",
+        max_gap_us=300_000_000,
+    )
+    return j.select("a_eid", "b_eid", "gap_us")
+
+
+@register(
+    "ev_rollup",
+    """
+    SELECT COALESCE(date_trunc('day', ts), TIMESTAMP '1900-01-01') AS d,
+           COALESCE(date_trunc('hour', ts), TIMESTAMP '1900-01-01') AS h,
+           COALESCE(event_type, '(all)') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+    """,
+    "events", "rollup", "grouping_sets",
+)
+def ev_rollup(spark, sf_dir):
+    """Time-hierarchy rollup (hypertable-style continuous-aggregate shape):
+    counts/sums at (day, hour, type) → (day, hour) → (day) → () grains in
+    one pass. Grouping sets are beyond-reference (SURVEY §2.5 'not
+    present'); Spark computes the lattice with a single shuffle via the
+    Expand operator."""
+    e = tables(spark, sf_dir)["events"]
+    sentinel = F.lit("1900-01-01 00:00:00").cast("timestamp")
+    return (
+        e.rollup(
+            F.date_trunc("day", "ts").alias("_d"),
+            F.date_trunc("hour", "ts").alias("_h"),
+            F.col("event_type").alias("_et"),
+        )
+        .agg(bigint(F.count(F.lit(1))).alias("n"), dsum(F.col("value")).alias("total"))
+        # rolled-up grains surface as NULL keys; coalesce to sentinels so
+        # the oracle hash compare has totally-ordered, non-null key columns
+        .select(
+            F.coalesce(F.col("_d"), sentinel).alias("d"),
+            F.coalesce(F.col("_h"), sentinel).alias("h"),
+            F.coalesce(F.col("_et"), F.lit("(all)")).alias("event_type"),
+            "n", "total",
+        )
+    )

@@ -4,10 +4,11 @@ from pysparkdb.streaming.windows import (
     session_agg,
     sliding_counts,
     stateful_user_counter,
+    stream_dedup,
     tumbling_agg,
 )
 
 __all__ = [
     "read_events_stream", "run_to_memory", "session_agg", "sliding_counts",
-    "stateful_user_counter", "tumbling_agg",
+    "stateful_user_counter", "stream_dedup", "tumbling_agg",
 ]

@@ -135,6 +135,18 @@ def stateful_user_counter(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     )
 
 
+def stream_dedup(
+    events: DataFrame, watermark: str = "1 hour", keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; duplicate
+    state is evicted once the watermark passes (bounded memory — the only
+    way dedup-forever works on an unbounded stream). Batch twin:
+    dropDuplicates; at 100 TB of history the batch form is the hash-groupBy
+    exact dedup in pysparkdb.pipeline.dedup."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over all available input
     (Trigger.AvailableNow) into an in-memory table; returns the result as a

@@ -65,3 +65,19 @@ def test_stateful_counter_matches_batch_totals(spark, sf_dir, events_stream):
     diff = final.join(batch, "user_id").filter(final["n"] != batch["n"]).count()
     assert diff == 0
     assert final.count() == batch.count()
+
+
+def test_stream_dedup_first_occurrence_wins(spark, sf_dir, events_dir):
+    """Duplicated input stream → dedup restores the original row set."""
+    # stage the same file twice: every event_id arrives twice
+    import pathlib
+    d2 = pathlib.Path(events_dir).parent / "events_stream_dup"
+    if not d2.exists():
+        d2.mkdir()
+        (d2 / "a.parquet").symlink_to(f"{sf_dir}/events.parquet")
+        (d2 / "b.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    doubled = S.read_events_stream(spark, str(d2))
+    got = S.run_to_memory(S.stream_dedup(doubled), "t_dedup", output_mode="append")
+    n = tables(spark, sf_dir)["events"].count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
