@@ -1,0 +1,79 @@
+"""Physical-plan quality gates — the plans, not just the answers.
+
+The brief's 100 TB discipline, made executable: broadcast joins where a
+dimension is small, no accidental cartesian products, top-k as
+TakeOrderedAndProject (never global sort), partial/final aggregation, and
+codegen coverage. The reference's analog is its per-operator time / scan
+metrics reporting (SHOW_OP_TIMES / SHOW_SCAN_METRICS, exec.conf:7-8);
+Spark's physical plan is the richer, assertable form.
+"""
+
+import pytest
+
+from pysparkdb.plans.pushdown import explain_str
+from pysparkdb.queries import load_all
+
+SPECS = load_all()
+
+
+def plan(name, spark, sf_dir, mode="formatted"):
+    return explain_str(SPECS[name].fn(spark, sf_dir), mode)
+
+
+class TestJoinStrategies:
+    def test_ssb_dim_joins_broadcast(self, spark, sf_dir):
+        """Flight-2 star join: every dim side (part, supplier-geo) must be
+        broadcast — at any scale the dims stay MB-sized next to the fact."""
+        p = plan("ssb2_1", spark, sf_dir)
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    def test_tpch_q5_no_cartesian(self, spark, sf_dir):
+        p = plan("q5", spark, sf_dir)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    def test_theta_join_is_the_only_nlj(self, spark, sf_dir):
+        """op_join_theta genuinely needs a nested loop (pure inequality);
+        it must broadcast the small side rather than shuffle-cartesian."""
+        p = plan("op_join_theta", spark, sf_dir)
+        assert "BroadcastNestedLoopJoin" in p
+
+    def test_asof_join_is_not_a_product(self, spark, sf_dir):
+        """The as-of join must compile to exchange+sort+window, never a
+        join product."""
+        p = plan("ev_asof", spark, sf_dir)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "Window" in p
+
+    def test_range_join_is_hash_join(self, spark, sf_dir):
+        """Bucketing must buy a hash join for the interval predicate."""
+        p = plan("ev_range_join", spark, sf_dir)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+class TestAggregationAndTopK:
+    def test_q1_partial_final_aggregation(self, spark, sf_dir):
+        """Map-side partial agg before the exchange (two HashAggregate
+        levels) — the two-phase group-by the reference hand-builds
+        (PrePToPTransformer.cpp:433-582) must come out of Catalyst."""
+        p = plan("q1", spark, sf_dir, mode="simple")
+        assert p.count("HashAggregate") >= 2
+        assert "Exchange" in p
+
+    def test_limit_sort_is_take_ordered(self, spark, sf_dir):
+        """ORDER BY + LIMIT k must plan as TakeOrderedAndProject (per-
+        partition top-k + merge), not a global Sort — the LimitSortPOp
+        SelectK analog (limitsort/LimitSortPOp.cpp:66-110)."""
+        p = plan("op_limit_sort", spark, sf_dir)
+        assert "TakeOrderedAndProject" in p
+
+    def test_q6_stays_in_codegen(self, spark, sf_dir):
+        """Scan→filter→agg must be whole-stage-codegen'd. AQE's wrapper
+        reports zero codegen subtrees before execution, so plan once with
+        AQE off purely for the introspection."""
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            txt = explain_str(SPECS["q6"].fn(spark, sf_dir), "codegen")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert "WholeStageCodegen subtrees" in txt and "Found 0" not in txt
