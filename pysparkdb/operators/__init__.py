@@ -9,6 +9,7 @@ from pysparkdb.operators.relational import (
     merge_union,
     nested_loop_join,
     project,
+    salted_group,
     shuffle,
     sort,
     split,
@@ -16,6 +17,7 @@ from pysparkdb.operators.relational import (
 
 __all__ = [
     "aggregate", "as_of_join", "collate", "filter_", "group", "hash_join",
-    "limit_sort", "merge_union", "nested_loop_join", "project", "shuffle",
+    "limit_sort", "merge_union", "nested_loop_join", "project",
+    "salted_group", "shuffle",
     "sort", "split",
 ]

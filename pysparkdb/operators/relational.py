@@ -178,3 +178,30 @@ def collate(df: DataFrame):
     The ONLY driver-side materialization point in the engine.
     """
     return df.collect()
+
+
+def salted_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    partial_aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase group-by with key salting — the skew escape hatch.
+
+    A single hot key puts its entire group on one reducer; salting splits
+    it ``salt_buckets`` ways: phase 1 groups on (keys..., salt) computing
+    ``partial_aggs``, phase 2 re-groups on the true keys combining partials
+    with ``aggs``. Decomposable aggregates only (sum/count/min/max; avg =
+    sum+count recombined — the reference's AVG_INTERMEDIATE_SUM_/COUNT_
+    decomposition, AggregatePrePFunction.h:25-26).
+
+    At 100 TB this is insurance on top of AQE skew-join splitting: AQE
+    handles skewed *joins*, but a skewed *aggregation* key still needs the
+    salt (or a two-level agg, which this is).
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])

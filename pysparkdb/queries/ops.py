@@ -431,3 +431,118 @@ def op_cross_join(spark, sf_dir):
     statuses = O.project(t["orders"], {"o_orderstatus": "o_orderstatus"}).distinct()
     j = O.nested_loop_join(t["region"], statuses, predicate=None)
     return O.group(j, ["r_name", "o_orderstatus"], {"n": bigint(F.count(F.lit(1)))})
+
+
+
+
+def _ds(x: str) -> str:
+    """Exact decimal sum cast back to double (oracle side of base.dsum)."""
+    return f"CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+@register(
+    "op_salted_agg",
+    f"""
+    SELECT l_returnflag,
+           {_ds('l_extendedprice')} AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "ops", "group", "skew",
+)
+def op_salted_agg(spark, sf_dir):
+    """Salted two-phase group-by (skew insurance): must produce exactly the
+    plain group-by result — decimal partial sums recombine exactly."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return O.salted_group(
+        l,
+        ["l_returnflag"],
+        partial_aggs={
+            "ps": F.sum(F.col("l_extendedprice").cast("decimal(25,6)")),
+            "pn": F.count(F.lit(1)),
+        },
+        aggs={
+            "sum_price": F.sum(F.col("ps")).cast("double"),
+            "n": bigint(F.sum(F.col("pn"))),
+        },
+    )
+
+
+@register(
+    "op_percentile",
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "ops", "aggregate", "percentile",
+)
+def op_percentile(spark, sf_dir):
+    """Exact median / p90 per group — beyond-reference (SURVEY §2.5 'not
+    present': median/percentile). Exact percentile is order-insensitive, so
+    no decimal trick is needed; l_quantity is integral-valued doubles."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    )
+
+
+@register(
+    "op_variance",
+    f"""
+    SELECT l_returnflag,
+           ({_ds('l_quantity * l_quantity')}
+            - {_ds('l_quantity')} * {_ds('l_quantity')} / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "ops", "aggregate", "variance",
+)
+def op_variance(spark, sf_dir):
+    """Sample variance via exact decimal moments (Σx², (Σx)²/n) — the
+    hash-stable formulation of stddev/var (beyond-reference, §2.5 'not
+    present'); both engines evaluate the identical deterministic formula."""
+    l = tables(spark, sf_dir)["lineitem"]
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag").agg(
+        ((dsum(q * q) - dsum(q) * dsum(q) / n) / (n - 1)).alias("var_qty")
+    )
+
+
+@register(
+    "op_window_rank",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, c_name, c_acctbal,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)))
+                  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_name
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_bal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_name)
+    ) t WHERE rn <= 5
+    """,
+    "ops", "window_function",
+)
+def op_window_rank(spark, sf_dir):
+    """OVER-clause analytics (row_number / rank / running sum), top-5 per
+    segment — beyond-reference (SURVEY §2.10: no window functions in the
+    reference). Ties broken by c_name for total determinism."""
+    from pyspark.sql import Window
+
+    c = tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_name")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        c.select(
+            "c_mktsegment", "c_name", "c_acctbal",
+            bigint(F.row_number().over(w)).alias("rn"),
+            bigint(F.rank().over(w)).alias("rnk"),
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).over(run).cast("double").alias("running_bal"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
