@@ -159,3 +159,37 @@ class TestPushdown:
         df = l.filter(F.sqrt(F.col("l_quantity")) > 100)
         with pytest.raises(AssertionError, match="not pushed"):
             assert_pushdown(df, expect_filter_cols=["nonexistent_col"])
+
+
+class TestRuntimeBloomFilter:
+    def test_catalyst_injects_bloom_filter_on_selective_join(self, spark, sf_dir):
+        """§2.9 per-join baseline: Catalyst's runtime bloom filter is the
+        BloomFilterCreatePOp/BloomFilterUsePOp pair — a bloom_filter_agg on
+        the filtered build side and might_contain() guarding the probe scan
+        (spark.sql.optimizer.runtime.bloomFilter.enabled, on in
+        pysparkdb.session). Thresholds lowered to make MB-scale test data
+        eligible; at real scale the defaults govern."""
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            )
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        try:
+            t = tables(spark, sf_dir)
+            o = t["orders"].filter(F.col("o_totalprice") > 400000)
+            j = t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in plan
+            assert "bloom_filter_agg" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
