@@ -278,3 +278,22 @@ def mm_frame_sample(spark, sf_dir):
     return frames.join(total, "doc_id").select(
         "doc_id", "frame_idx", F.col("total_bytes").cast("long").alias("total_bytes")
     )
+
+
+@register(
+    "text_tokens_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    "pipeline", "text",
+)
+def text_tokens_bpe(spark, sf_dir):
+    """BPE-ish regex token counting (word / number / punctuation classes —
+    the pre-tokenizer split most BPE vocabularies assume), the second
+    counting mode the pipeline brief asks for next to whitespace tokens."""
+    d = tables(spark, sf_dir)["documents"]
+    n = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    return d.select("doc_id", n.cast("long").alias("n_tokens"))

@@ -1061,3 +1061,54 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# One cache manager per SparkSession for the hybrid-mode query (the
+# reference keeps one SegmentCacheActor per executor process,
+# fpdb-executor/src/Executor.cpp:46-60).
+_HYBRID_CACHES: dict = {}
+
+
+@register(
+    "q6_hybrid",
+    f"""
+    SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "tpch", "aggregate", "cache", "hybrid",
+)
+def q6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the CACHING/HYBRID scan path (Mode.h:13-18): the
+    4-column working set is served by the SegmentCacheManager — first call
+    admits the projection (miss → parquet scan with pushdown, then cached
+    as an InMemoryRelation), repeat calls serve the hot columns from
+    memory, exactly the reference's hot-segment economics
+    (CacheLoadPOp.cpp + PrePToS3PTransformer.cpp:309-461). Same oracle as
+    q6: the cache must be semantically invisible.
+    """
+    from pysparkdb.plans.cache import SegmentCacheManager
+
+    mgr = _HYBRID_CACHES.get(id(spark))
+    if mgr is None:
+        mgr = _HYBRID_CACHES[id(spark)] = SegmentCacheManager(
+            spark, capacity_bytes=1 << 30, policy="wlfu"
+        )
+    l = tables(spark, sf_dir)["lineitem"]
+    hot = mgr.project(
+        l, f"lineitem@{sf_dir}",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        hot.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )

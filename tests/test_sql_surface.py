@@ -36,6 +36,7 @@ NOT_ANSI_PORTABLE = {
     "text_langid",         # list_filter lambda
     "text_quality",        # list_filter / string_split
     "text_tokens",         # string_split
+    "text_tokens_bpe",     # regexp_extract_all group-index defaults differ
 }
 
 SPECS = [
