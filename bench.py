@@ -46,6 +46,11 @@ def main() -> None:
     # JVM/codegen/shuffle-service warmup is not billed to the first query
     specs["q6"].fn(spark, sf_dir).collect()
     specs["q3"].fn(spark, sf_dir).collect()
+    # pre-fork the Python/Arrow worker pool so the first mapInPandas query
+    # isn't billed ~3s of per-executor-thread worker spinup
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     per_query: dict[str, float] = {}
     total = 0.0
