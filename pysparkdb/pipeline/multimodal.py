@@ -156,6 +156,45 @@ def resize_image(df: DataFrame, width: int = 4, height: int = 4,
     return df.mapInPandas(fake_resize, schema=out_schema)
 
 
+def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Audio feature extraction (RMS energy, zero-crossing count) from
+    binary payloads.
+
+    STUB (no audio libs in this container): ``fake=True`` treats the bytes
+    as signed 8-bit samples through the real mapInPandas plumbing —
+    deterministic, numpy-vectorized per Arrow batch; ``fake=False`` raises.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa — not available in "
+            "this container; call with fake=True for the deterministic stand-in"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rms, zc = [], []
+            for p in pdf["payload"]:
+                x = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
+                if x.size == 0:
+                    rms.append(0.0); zc.append(0)
+                    continue
+                rms.append(float(np.sqrt(np.mean(x * x))))
+                zc.append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rms": rms, "zero_crossings": zc})
+
+    return df.mapInPandas(fake_features, schema=out_schema)
+
+
 def sample_frames(df: DataFrame, num_frames: int = 3, fake: bool = False) -> DataFrame:
     """Sample N frames from binary video payloads — 1→N row fan-out.
 

@@ -546,3 +546,57 @@ def op_window_rank(spark, sf_dir):
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "op_intersect",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "ops", "set_op",
+)
+def op_intersect(spark, sf_dir):
+    """INTERSECT (set semantics, dedup both sides) — beyond-reference:
+    Calcite would refuse to serialize set operators (SURVEY §2.10,
+    RelJsonSerializer.java unsupported branch); Spark plans it as a
+    left-semi join over distincts."""
+    t = tables(spark, sf_dir)
+    rich = t["customer"].filter(X.gt("c_acctbal", 5000)).select(F.col("c_custkey").alias("k"))
+    urgent = t["orders"].filter(X.eq("o_orderpriority", "1-URGENT")).select(F.col("o_custkey").alias("k"))
+    return rich.intersect(urgent)
+
+
+@register(
+    "op_except",
+    """
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+    "ops", "set_op",
+)
+def op_except(spark, sf_dir):
+    """EXCEPT (set difference) — beyond-reference set operator; Spark
+    plans a left-anti join over distincts."""
+    t = tables(spark, sf_dir)
+    rich = t["customer"].filter(X.gt("c_acctbal", 5000)).select(F.col("c_custkey").alias("k"))
+    ordered = t["orders"].select(F.col("o_custkey").alias("k"))
+    return rich.exceptAll(ordered).distinct()
+
+
+@register(
+    "op_approx_distinct",
+    None,  # HLL sketches differ across engines → rows-only; the 5%-error
+           # bound vs exact COUNT(DISTINCT) is asserted in test_operators
+    "ops", "aggregate", "approx",
+)
+def op_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per order priority — the
+    sketch path for 100 TB cardinality estimation (beyond-reference,
+    SURVEY §2.5 'not present'). Exact twin: op_count_distinct."""
+    o = tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )

@@ -297,3 +297,15 @@ def text_tokens_bpe(spark, sf_dir):
     d = tables(spark, sf_dir)["documents"]
     n = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
     return d.select("doc_id", n.cast("long").alias("n_tokens"))
+
+
+@register(
+    "mm_audio_features",
+    None,  # byte-level signal math not reasonably SQL-expressible → rows-only
+    "pipeline", "multimodal",
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio-feature plumbing (STUBBED codec): binary payloads → RMS +
+    zero-crossing features via numpy-vectorized mapInPandas."""
+    d = tables(spark, sf_dir)["documents"]
+    return multimodal.decode_audio(multimodal.to_binary_column(d), fake=True)

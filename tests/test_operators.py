@@ -5,7 +5,7 @@ import pytest
 from pysparkdb.queries import load_all
 from tests.oracle import compare, duckdb_conn
 
-SPECS = [s for s in load_all().values() if "ops" in s.tags]
+SPECS = [s for s in load_all().values() if "ops" in s.tags and s.oracle is not None]
 
 
 @pytest.fixture(scope="module")
@@ -70,3 +70,25 @@ class TestAsOfJoin:
 
         left, right = self._frames(spark)
         assert as_of_join(left, right, "k", "rk", "t", "rt").count() == left.count()
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """HLL++ estimate within 5% of exact count distinct per group."""
+    from pysparkdb.queries import load_all
+    from pysparkdb.queries.base import tables
+    import pyspark.sql.functions as F
+
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in load_all()["op_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in tables(spark, sf_dir)["orders"]
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
