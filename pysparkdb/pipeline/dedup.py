@@ -166,16 +166,16 @@ def minhash_lsh_pairs(
     ).select("did", "band_key.band", "band_key.bh")
     a = bands.select(F.col("did").alias("doc_a"), F.col("band").alias("band_a"), F.col("bh").alias("bh_a"))
     b = bands.select(F.col("did").alias("doc_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b"))
-    candidates = (
-        a.join(
-            b,
-            (F.col("band_a") == F.col("band_b"))
-            & (F.col("bh_a") == F.col("bh_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # NO .distinct() here: both consumers below are duplicate-insensitive
+    # (a left-semi probe and a distinct over doc ids), and deduping the
+    # pair stream would cost a full extra shuffle of the widest
+    # intermediate in the query.
+    candidates = a.join(
+        b,
+        (F.col("band_a") == F.col("band_b"))
+        & (F.col("bh_a") == F.col("bh_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b")
     # Verify ONLY among documents that appear in some candidate pair: the
     # exact shingle-join is O(pairs sharing a shingle) — at corpus scale
     # running it over everything would defeat the LSH; over the candidate
