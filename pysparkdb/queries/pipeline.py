@@ -309,3 +309,19 @@ def mm_audio_features(spark, sf_dir):
     zero-crossing features via numpy-vectorized mapInPandas."""
     d = tables(spark, sf_dir)["documents"]
     return multimodal.decode_audio(multimodal.to_binary_column(d), fake=True)
+
+
+@register(
+    "ann_ivf",
+    None,  # seeded k-means centroid literals impractical to mirror in SQL →
+           # rows-only; recall vs ann_topk asserted in tests
+    "pipeline", "similarity", "ivf",
+)
+def ann_ivf(spark, sf_dir):
+    """Approximate top-1 neighbor via IVF cells (data-adaptive coarse
+    quantizer, nprobe=2 of 8 cells) — the second ANN scale path next to
+    ann_lsh; recall per probed fraction is higher on clustered corpora."""
+    return similarity.ivf_topk_neighbors(
+        tables(spark, sf_dir)["embeddings"], dim=64, k=1,
+        query_filter=F.col("vec_id") < 50,
+    )
