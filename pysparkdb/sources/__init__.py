@@ -4,8 +4,9 @@ from pysparkdb.sources.files import (
     read_csv,
     read_parquet,
     scan,
+    write_bucketed,
     write_csv,
     write_parquet,
 )
 
-__all__ = ["read_csv", "read_parquet", "scan", "write_csv", "write_parquet"]
+__all__ = ["read_csv", "read_parquet", "scan", "write_bucketed", "write_csv", "write_parquet"]

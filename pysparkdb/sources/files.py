@@ -116,3 +116,32 @@ def write_csv(
     if compression is not None:
         w = w.option("compression", compression)
     w.csv(path)
+
+
+def write_bucketed(
+    df,
+    table: str,
+    num_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table sink — the co-located-join layout.
+
+    Two tables bucketed the same way on their join key hash-join WITHOUT
+    any Exchange: the shuffle the reference always pays per join
+    (transform/PrePToPTransformer.cpp:708-762 shuffles both inputs every
+    query) is paid ONCE at write time and amortized over every subsequent
+    join/aggregation on the bucket key — at 100 TB the single biggest
+    recurring cost a layout decision can delete. ``sort_cols`` pre-sorts
+    within buckets (sort-merge joins skip their sort too). Requires
+    saveAsTable (bucket metadata lives in the session catalog);
+    ``path`` makes it an external table at that location.
+    """
+    w = df.write.bucketBy(num_buckets, *bucket_cols).mode(mode)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

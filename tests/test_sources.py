@@ -87,3 +87,28 @@ def test_scan_pushdown_contract(spark, sf_dir):
     assert_pushdown(df, expect_filter_cols=["l_quantity"], max_read_columns=2)
     assert df.columns == ["l_orderkey", "l_quantity"]
     assert df.count() > 0
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
+    """Co-located join layout: both sides bucketed (and sorted) on the join
+    key → the hash join runs with ZERO Exchange operators, the write-once
+    amortization of the per-query shuffle the reference always pays."""
+    from pysparkdb.sources import write_bucketed
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = tables(spark, sf_dir)
+        write_bucketed(t["lineitem"], "li_bkt", 8, ["l_orderkey"],
+                       sort_cols=["l_orderkey"], path=str(tmp_path / "li"))
+        write_bucketed(t["orders"], "o_bkt", 8, ["o_orderkey"],
+                       sort_cols=["o_orderkey"], path=str(tmp_path / "o"))
+        li, o = spark.table("li_bkt"), spark.table("o_bkt")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert j.count() == t["lineitem"].count()  # FK: every line has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
