@@ -29,7 +29,7 @@ def main() -> None:
         extra_confs={
             "spark.sql.shuffle.partitions": cpus,
             "spark.ui.enabled": "false",
-            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
