@@ -145,3 +145,76 @@ STAR_SCHEMA_EDGES: list[JoinEdge] = [
     JoinEdge("supplier", ("s_suppkey",), "lineitem", ("l_suppkey",)),
     JoinEdge("part", ("p_partkey",), "lineitem", ("l_partkey",)),
 ]
+
+
+def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[JoinEdge]:
+    """Derive the join graph from a DataFrame's ANALYZED logical plan — the
+    JoinOriginTracer analog (fpdb-plan/src/prephysical/JoinOriginTracer.cpp
+    walks the prephysical tree for the same purpose): callers of
+    ``predicate_transfer`` need not hand-declare edges for a query they
+    already built.
+
+    Walks the plan via py4j: leaf relations are identified by their full
+    column-name signature against ``tables``; every equi-conjunct
+    (`a = b` over two base-table attributes, possibly under casts) in any
+    join condition becomes part of a JoinEdge; multiple conjuncts between
+    the same table pair merge into one multi-key edge. Non-column and
+    non-equi conjuncts are ignored (they cannot carry a key-set transfer).
+    """
+    plan = df._jdf.queryExecution().analyzed()
+
+    sig_to_name = {
+        frozenset(t.schema.fieldNames()): name for name, t in tables.items()
+    }
+    attr_origin: dict[int, tuple[str, str]] = {}  # exprId -> (table, column)
+    equalities: list[tuple[int, int]] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "LogicalRelation":
+            out = node.output()
+            names = [out.apply(i).name() for i in range(out.size())]
+            table = sig_to_name.get(frozenset(names))
+            if table is not None:
+                for i in range(out.size()):
+                    a = out.apply(i)
+                    attr_origin[a.exprId().id()] = (table, a.name())
+        elif cls == "Join" and node.condition().isDefined():
+            collect_eq(node.condition().get())
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    def strip_cast(e):
+        while e.getClass().getSimpleName() in ("Cast", "Alias"):
+            e = e.child()
+        return e
+
+    def collect_eq(e):
+        cls = e.getClass().getSimpleName()
+        if cls == "And":
+            collect_eq(e.left())
+            collect_eq(e.right())
+        elif cls == "EqualTo":
+            l, r = strip_cast(e.left()), strip_cast(e.right())
+            if (
+                l.getClass().getSimpleName() == "AttributeReference"
+                and r.getClass().getSimpleName() == "AttributeReference"
+            ):
+                equalities.append((l.exprId().id(), r.exprId().id()))
+
+    walk(plan)
+
+    merged: dict[tuple[str, str], tuple[list, list]] = {}
+    for lid, rid in equalities:
+        lo, ro = attr_origin.get(lid), attr_origin.get(rid)
+        if lo is None or ro is None or lo[0] == ro[0]:
+            continue
+        (lt, lc), (rt, rc) = sorted([lo, ro])  # canonical table order
+        lks, rks = merged.setdefault((lt, rt), ([], []))
+        if lc not in lks or rc not in rks:
+            lks.append(lc)
+            rks.append(rc)
+    return [
+        JoinEdge(lt, tuple(lks), rt, tuple(rks))
+        for (lt, rt), (lks, rks) in merged.items()
+    ]

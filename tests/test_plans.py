@@ -193,3 +193,40 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestJoinEdgeExtraction:
+    def test_q5_edges_extracted_from_plan(self, spark, sf_dir):
+        """JoinOriginTracer analog: the analyzed plan of the Q5 DataFrame
+        yields its full join graph without hand-declared edges."""
+        from pysparkdb.plans.predicate_transfer import extract_join_edges
+        from pysparkdb.queries import load_all
+
+        t = tables(spark, sf_dir)
+        df = load_all()["q5"].fn(spark, sf_dir)
+        edges = {
+            (e.left, e.left_keys, e.right, e.right_keys)
+            for e in extract_join_edges(df, t)
+        }
+        assert ("lineitem", ("l_orderkey",), "orders", ("o_orderkey",)) in edges
+        assert ("nation", ("n_regionkey",), "region", ("r_regionkey",)) in edges
+        assert ("customer", ("c_custkey",), "orders", ("o_custkey",)) in edges
+        assert ("lineitem", ("l_suppkey",), "supplier", ("s_suppkey",)) in edges
+        assert len(edges) == 6
+
+    def test_transfer_with_extracted_edges_preserves_results(self, spark, sf_dir):
+        from pysparkdb.plans.predicate_transfer import (
+            extract_join_edges,
+            predicate_transfer,
+        )
+        from pysparkdb.queries import load_all
+
+        base_tables = tables(spark, sf_dir)
+        edges = extract_join_edges(
+            load_all()["q5"].fn(spark, sf_dir), base_tables
+        )
+        t = dict(base_tables)
+        t["region"] = t["region"].filter(F.col("r_name") == "ASIA")
+        base = {tuple(r) for r in _q5_plan(t).collect()}
+        got = {tuple(r) for r in _q5_plan(predicate_transfer(t, edges)).collect()}
+        assert got == base
