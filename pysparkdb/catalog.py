@@ -154,3 +154,54 @@ class Catalog:
         if name not in self.tables:
             raise KeyError(f"table {name!r} not registered (have {sorted(self.tables)})")
         return self.tables[name]
+
+
+def zone_map(path: str) -> list[dict]:
+    """Per-row-group min/max statistics from the parquet footer — the
+    reference's zoneMap.json, read from where Parquet already keeps it
+    (per-partition min/max per column,
+    fpdb-catalogue/src/obj-store/ObjStoreCatalogueEntryReader.cpp:318-333).
+
+    No Spark job and no data pages touched: pyarrow reads footer metadata
+    only. Spark's scan uses the same stats for row-group skipping
+    (spark.sql.parquet.filterPushdown), so this is the *observable* form of
+    the pruning the engine gets for free — PartitionPruner.cpp:23-52 parity
+    as introspection rather than a re-implementation.
+
+    Returns one dict per row group: {"num_rows": n, "columns":
+    {col: {"min": x, "max": x, "null_count": n}}} (stats None when the
+    writer omitted them).
+    """
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    out: list[dict] = []
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        cols: dict = {}
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            s = c.statistics
+            cols[c.path_in_schema] = (
+                {"min": s.min, "max": s.max, "null_count": s.null_count}
+                if s is not None and s.has_min_max
+                else {"min": None, "max": None, "null_count": None}
+            )
+        out.append({"num_rows": g.num_rows, "columns": cols})
+    return out
+
+
+def prunable_row_groups(path: str, column: str, lo, hi) -> tuple[int, int]:
+    """Static zone-map pruning decision (PartitionPruner shape): how many
+    row groups could be skipped for `column BETWEEN lo AND hi`.
+    Returns (kept, total). Purely footer-driven, for plan auditing."""
+    zones = zone_map(path)
+    kept = 0
+    for z in zones:
+        st = z["columns"].get(column)
+        if st is None or st["min"] is None:
+            kept += 1  # no stats → must scan
+            continue
+        if not (st["max"] < lo or st["min"] > hi):
+            kept += 1
+    return kept, len(zones)

@@ -621,15 +621,18 @@ def q5_pred_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the join graph before the join tree runs. Same oracle as q5 —
     the pass must be a pure pre-filter.
     """
-    from pysparkdb.plans.predicate_transfer import STAR_SCHEMA_EDGES, predicate_transfer
+    from pysparkdb.plans.predicate_transfer import extract_join_edges, predicate_transfer
 
-    t = dict(tables(spark, sf_dir))
+    base = tables(spark, sf_dir)
+    # the join graph comes from the q5 plan itself (JoinOriginTracer
+    # analog), not a hand-declared edge list
+    edges = extract_join_edges(q5(spark, sf_dir), base)
+    t = dict(base)
     t["region"] = t["region"].filter(F.col("r_name") == "ASIA")
     t["orders"] = t["orders"].filter(
         (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
     )
-    edges = [e for e in STAR_SCHEMA_EDGES if e.left != "part"]
     # Catalog size ranks (stats.json role): only relative order matters for
     # the small-to-large pass; orders is rank-small here because its date
     # filter is highly selective. Everything but lineitem broadcasts its

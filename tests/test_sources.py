@@ -112,3 +112,19 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def test_zone_map_reads_footer_stats(sf_dir):
+    """zoneMap.json parity: per-row-group min/max straight from the parquet
+    footer, no Spark job."""
+    from pysparkdb.catalog import prunable_row_groups, zone_map
+
+    zones = zone_map(f"{sf_dir}/lineitem.parquet")
+    assert zones and all(z["num_rows"] > 0 for z in zones)
+    st = zones[0]["columns"]["l_quantity"]
+    assert st["min"] is not None and 1 <= st["min"] <= st["max"] <= 50
+    # a predicate inside the domain keeps groups; one outside prunes all
+    kept, total = prunable_row_groups(f"{sf_dir}/lineitem.parquet", "l_quantity", 1, 50)
+    assert kept == total
+    kept0, _ = prunable_row_groups(f"{sf_dir}/lineitem.parquet", "l_quantity", 999, 1000)
+    assert kept0 == 0
