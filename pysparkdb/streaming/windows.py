@@ -147,6 +147,34 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_self_join(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: pairs of same-user events within
+    ``gap``, on an unbounded stream. Watermarks on BOTH sides bound the
+    join state — each side retains only rows newer than (watermark −
+    interval), which is what makes a stream×stream join feasible at all.
+    Batch twin: pysparkdb.operators.rangejoin.range_interval_join /
+    ev_range_join (same pair semantics, bucketed equi-join instead of
+    state-store probes)."""
+    a = events.select(
+        F.col("user_id").alias("a_uid"),
+        F.col("event_id").alias("a_eid"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    b = events.select(
+        F.col("user_id").alias("b_uid"),
+        F.col("event_id").alias("b_eid"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    return a.join(
+        b,
+        (F.col("a_uid") == F.col("b_uid"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {gap}")),
+    ).select("a_eid", "b_eid", "a_ts", "b_ts")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over all available input
     (Trigger.AvailableNow) into an in-memory table; returns the result as a

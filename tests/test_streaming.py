@@ -81,3 +81,17 @@ def test_stream_dedup_first_occurrence_wins(spark, sf_dir, events_dir):
     n = tables(spark, sf_dir)["events"].count()
     assert got.count() == n
     assert got.select("event_id").distinct().count() == n
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
+    """Watermarked stream×stream interval join produces the same pair set
+    as the batch bucketed range join (ev_range_join)."""
+    got = S.run_to_memory(
+        S.stream_interval_self_join(events_stream), "t_ssjoin", output_mode="append"
+    )
+    from pysparkdb.queries import load_all
+
+    batch = load_all()["ev_range_join"].fn(spark, sf_dir)
+    got_pairs = {(r.a_eid, r.b_eid) for r in got.collect()}
+    batch_pairs = {(r.a_eid, r.b_eid) for r in batch.collect()}
+    assert got_pairs == batch_pairs
