@@ -55,3 +55,29 @@ class Engine:
                 self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
             except Exception:
                 pass
+
+    def explain(self, query_or_df, mode: str = "formatted") -> str:
+        """Physical-plan text for a SQL string or DataFrame — the
+        SHOW_OP_TIMES-style introspection surface (exec.conf:7-8)."""
+        from pysparkdb.plans.pushdown import explain_str
+
+        df = self.sql(query_or_df) if isinstance(query_or_df, str) else query_or_df
+        return explain_str(df, mode)
+
+    def scan_audit(self, query_or_df) -> dict:
+        """Scan-efficiency audit before running at scale: filters that
+        reached the scan, columns actually read, codegen stage count —
+        the SHOW_SCAN_METRICS analog (bytes-read evidence lives in the
+        same plan nodes)."""
+        from pysparkdb.plans.pushdown import (
+            codegen_stage_count,
+            pushed_filters,
+            read_schema,
+        )
+
+        df = self.sql(query_or_df) if isinstance(query_or_df, str) else query_or_df
+        return {
+            "pushed_filters": pushed_filters(df),
+            "read_columns": read_schema(df),
+            "codegen_stages": codegen_stage_count(df),
+        }

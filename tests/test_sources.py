@@ -128,3 +128,17 @@ def test_zone_map_reads_footer_stats(sf_dir):
     assert kept == total
     kept0, _ = prunable_row_groups(f"{sf_dir}/lineitem.parquet", "l_quantity", 999, 1000)
     assert kept0 == 0
+
+
+def test_engine_scan_audit(spark, sf_dir):
+    """Engine façade exposes the scan audit (SHOW_SCAN_METRICS analog)."""
+    from pysparkdb import Engine
+
+    eng = Engine(spark)
+    tables(spark, sf_dir)
+    audit = eng.scan_audit(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity < 5"
+    )
+    assert any("l_quantity" in f for f in audit["pushed_filters"])
+    assert set(audit["read_columns"]) == {"l_orderkey", "l_quantity"}
+    assert "Scan parquet" in eng.explain("SELECT * FROM region")
