@@ -228,3 +228,54 @@ def ev_rollup(spark, sf_dir):
             "n", "total",
         )
     )
+
+
+# -- true Structured Streaming entries ------------------------------------
+# file-stream sources need a directory: stage a symlink dir per sf_dir
+_STAGED_EVENTS: dict = {}
+_RUN_SEQ = [0]
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    d = _STAGED_EVENTS.get(sf_dir)
+    if d is None:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="pysparkdb_events_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+        _STAGED_EVENTS[sf_dir] = d
+    return d
+
+
+@register(
+    "ev_stateful",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    "events", "streaming", "stateful",
+)
+def ev_stateful(spark, sf_dir):
+    """Custom stateful streaming operator THROUGH an actual stream run:
+    applyInPandasWithState keeps a per-user running count
+    (pysparkdb.streaming.stateful_user_counter); the events parquet is
+    replayed as a file stream (Trigger.AvailableNow) into a memory sink
+    and the final per-user counts must equal the batch GROUP BY — integer
+    counts only, because float accumulation order across micro-batches is
+    not oracle-reproducible."""
+    from pysparkdb import streaming as S
+
+    stream = S.read_events_stream(spark, _events_stream_dir(sf_dir))
+    _RUN_SEQ[0] += 1
+    out = S.run_to_memory(
+        S.stateful_user_counter(stream),
+        f"ev_stateful_{_RUN_SEQ[0]}",
+        output_mode="update",
+    )
+    return out.groupBy("user_id").agg(
+        bigint(F.max("n_events")).alias("n_events")
+    )
