@@ -325,3 +325,35 @@ def ann_ivf(spark, sf_dir):
         tables(spark, sf_dir)["embeddings"], dim=64, k=1,
         query_filter=F.col("vec_id") < 50,
     )
+
+
+@register(
+    "text_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce(
+             [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')],
+             (acc, x) -> (acc * 31 + x) % 1000000007
+           ) AS rhash
+    FROM documents WHERE length(text) > 0
+    """,
+    "pipeline", "text", "fingerprint",
+)
+def text_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint (base 31 mod 1e9+7)
+    over character codes — the incremental-update fingerprint the pipeline
+    brief names next to the md5 digest (text_fingerprint). Exact integer
+    math, so the fold is engine-reproducible; both engines seed with the
+    first character's code and fold the rest."""
+    d = tables(spark, sf_dir)["documents"].filter(F.length("text") > 0)
+    rhash = F.expr(
+        """
+        aggregate(
+          slice(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                2, size(split(text, '')) - 1),
+          CAST(ascii(substring(text, 1, 1)) AS BIGINT),
+          (acc, x) -> (acc * 31 + x) % 1000000007
+        )
+        """
+    )
+    return d.select("doc_id", rhash.alias("rhash"))

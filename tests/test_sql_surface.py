@@ -37,6 +37,7 @@ NOT_ANSI_PORTABLE = {
     "text_quality",        # list_filter / string_split
     "text_tokens",         # string_split
     "text_tokens_bpe",     # regexp_extract_all group-index defaults differ
+    "text_rolling_hash",   # list comprehension + list_reduce are DuckDB-only
 }
 
 SPECS = [
