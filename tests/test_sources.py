@@ -40,6 +40,16 @@ def test_csv_roundtrip_gzip_and_custom_delim(spark, nation, tmp_path):
     assert _sorted_rows(back, ["n_nationkey"]) == _sorted_rows(nation, ["n_nationkey"])
 
 
+def test_csv_roundtrip_bzip2(spark, nation, tmp_path):
+    """bz2 codec parity (SelectPOp.cpp:112-135 supports GZIP and BZIP2)."""
+    path = str(tmp_path / "nation_bz2")
+    write_csv(nation, path, compression="bzip2")
+    files = [f for f in os.listdir(path) if f.endswith(".csv.bz2")]
+    assert files, "expected bzip2-compressed part files"
+    back = read_csv(spark, path, nation.schema)
+    assert _sorted_rows(back, ["n_nationkey"]) == _sorted_rows(nation, ["n_nationkey"])
+
+
 def test_csv_roundtrip_timestamps(spark, sf_dir, tmp_path):
     """Timestamp columns survive the CSV round-trip (reference CSV scans
     parse date columns per the declared catalog schema)."""
