@@ -357,3 +357,43 @@ def text_rolling_hash(spark, sf_dir):
         """
     )
     return d.select("doc_id", rhash.alias("rhash"))
+
+
+@register(
+    "pipeline_clean",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    quality AS (SELECT * FROM toks WHERE n_tokens BETWEEN 20 AND 1000),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id, min(lang) AS lang
+      FROM (SELECT doc_id, lang,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+            FROM quality)
+      GROUP BY fp
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM survivors GROUP BY lang
+    """,
+    "pipeline", "dedup", "text", "composite",
+)
+def pipeline_clean(spark, sf_dir):
+    """End-to-end cleaning pipeline in one plan: quality gate (token-count
+    band) → exact dedup (survivor = min doc_id per normalized-text digest)
+    → per-language survivor counts. The composition the LLM-data run
+    chains nightly; every stage is the already-tested operator, fused by
+    Catalyst into scan → hash-agg → hash-agg with no extra passes."""
+    d = tables(spark, sf_dir)["documents"]
+    quality = d.filter(text.token_count("text").between(20, 1000))
+    survivors = (
+        quality.select(
+            F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+            "doc_id", "lang",
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
+    )
+    return survivors.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("n_docs"))

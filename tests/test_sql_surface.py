@@ -38,6 +38,7 @@ NOT_ANSI_PORTABLE = {
     "text_tokens",         # string_split
     "text_tokens_bpe",     # regexp_extract_all group-index defaults differ
     "text_rolling_hash",   # list comprehension + list_reduce are DuckDB-only
+    "pipeline_clean",      # regexp_replace 'g' flag argument
 }
 
 SPECS = [
