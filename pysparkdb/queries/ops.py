@@ -490,6 +490,25 @@ def op_percentile(spark, sf_dir):
 
 
 @register(
+    "op_approx_percentile",
+    None,  # t-digest/GK sketches differ across engines → rows-only; the
+           # error bound vs exact percentile() is asserted in test_operators
+    "ops", "aggregate", "percentile", "approx",
+)
+def op_approx_percentile(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna sketch) median/p90 per group —
+    the scale-safe percentile path: exact percentile() buffers whole groups
+    in memory at 100 TB, the sketch is fixed-size and mergeable across
+    partitions. Exact twin: op_percentile (same exact/approx pairing as
+    op_count_distinct/op_approx_distinct)."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("med_qty"),
+        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("p90_qty"),
+    )
+
+
+@register(
     "op_variance",
     f"""
     SELECT l_returnflag,
@@ -579,11 +598,14 @@ def op_intersect(spark, sf_dir):
 )
 def op_except(spark, sf_dir):
     """EXCEPT (set difference) — beyond-reference set operator; Spark
-    plans a left-anti join over distincts."""
+    plans a left-anti join over distincts. Uses DataFrame.subtract (EXCEPT
+    DISTINCT semantics): exceptAll().distinct() would be multiset
+    difference then dedup, which keeps a value appearing twice on the left
+    and once on the right — not SQL EXCEPT."""
     t = tables(spark, sf_dir)
     rich = t["customer"].filter(X.gt("c_acctbal", 5000)).select(F.col("c_custkey").alias("k"))
     ordered = t["orders"].select(F.col("o_custkey").alias("k"))
-    return rich.exceptAll(ordered).distinct()
+    return rich.subtract(ordered)
 
 
 @register(

@@ -252,9 +252,21 @@ def mm_binary_meta(spark, sf_dir):
 )
 def mm_resize(spark, sf_dir):
     """Image-resize plumbing (STUBBED codec): binary payloads → 4×4 pixel
-    grids via the deterministic fake resampler over mapInPandas."""
+    grids via the deterministic fake resampler over mapInPandas. The
+    registered projection digests the pixel array (md5 of the comma-joined
+    values) so every emitted column is scalar-hashable for the rows-only
+    check; the raw array<double> form stays a library output exercised by
+    tests/test_pipeline.py."""
     d = tables(spark, sf_dir)["documents"]
-    return multimodal.resize_image(multimodal.to_binary_column(d), fake=True)
+    grids = multimodal.resize_image(multimodal.to_binary_column(d), fake=True)
+    return grids.select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5(F.concat_ws(",", F.col("pixels").cast("array<string>"))).alias(
+            "pixel_md5"
+        ),
+    )
 
 
 @register(
