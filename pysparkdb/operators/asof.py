@@ -53,7 +53,15 @@ def as_of_join(
         F.struct(*left.columns).alias("_lrow"),
         F.lit(None).cast(r_struct).alias("_rrow"),
     )
-    tagged_r = right.select(
+    # Join semantics: a NULL key (or NULL timestamp) on the right can never
+    # be a valid match — but Window.partitionBy groups NULL keys together,
+    # which would otherwise let NULL-keyed left rows "match" NULL-keyed
+    # right rows. Drop them before the union; NULL-keyed left rows still
+    # pass through (left-outer) and find no right payload in their
+    # partition, yielding the correct null columns.
+    tagged_r = right.filter(
+        F.col(right_on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(right_on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),

@@ -38,16 +38,20 @@ def range_interval_join(
     l_epoch = F.unix_micros(F.col(left_ts))
     r_epoch = F.unix_micros(F.col(right_ts))
 
-    # exact integer bucket (div, not double division: epoch-micros ≈ 1.7e15
-    # sits too close to double's 2^53 integer limit for comfort)
+    # exact integer FLOOR bucket (not double division: epoch-micros ≈ 1.7e15
+    # sits too close to double's 2^53 integer limit for comfort; not bare
+    # `div`, which truncates toward zero and misaligns buckets for negative
+    # epochs, i.e. pre-1970 timestamps). pmod is non-negative, so
+    # (x - pmod(x, w)) is the greatest multiple of w ≤ x — exact floor.
+    fdiv = f"(({{0}} - pmod({{0}}, {max_gap_us})) div {max_gap_us})"
     l = left.withColumn("_le", l_epoch).withColumn(
         "_b", F.explode(F.array(
-            F.expr(f"_le div {max_gap_us}"),
-            F.expr(f"_le div {max_gap_us}") + 1,
+            F.expr(fdiv.format("_le")),
+            F.expr(fdiv.format("_le")) + 1,
         ))
     )
     r = right.withColumn("_re", r_epoch).withColumn(
-        "_b", F.expr(f"_re div {max_gap_us}")
+        "_b", F.expr(fdiv.format("_re"))
     )
 
     gap = F.col("_re") - F.col("_le")

@@ -167,7 +167,8 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
         frozenset(t.schema.fieldNames()): name for name, t in tables.items()
     }
     attr_origin: dict[int, tuple[str, str]] = {}  # exprId -> (table, column)
-    equalities: list[tuple[int, int]] = []
+    equalities: list[tuple[int, int, int]] = []  # (join_node_id, lid, rid)
+    join_seq = [0]
 
     def walk(node):
         cls = node.getClass().getSimpleName()
@@ -180,7 +181,8 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
                     a = out.apply(i)
                     attr_origin[a.exprId().id()] = (table, a.name())
         elif cls == "Join" and node.condition().isDefined():
-            collect_eq(node.condition().get())
+            join_seq[0] += 1
+            collect_eq(node.condition().get(), join_seq[0])
         for i in range(node.children().size()):
             walk(node.children().apply(i))
 
@@ -189,32 +191,37 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
             e = e.child()
         return e
 
-    def collect_eq(e):
+    def collect_eq(e, join_id):
         cls = e.getClass().getSimpleName()
         if cls == "And":
-            collect_eq(e.left())
-            collect_eq(e.right())
+            collect_eq(e.left(), join_id)
+            collect_eq(e.right(), join_id)
         elif cls == "EqualTo":
             l, r = strip_cast(e.left()), strip_cast(e.right())
             if (
                 l.getClass().getSimpleName() == "AttributeReference"
                 and r.getClass().getSimpleName() == "AttributeReference"
             ):
-                equalities.append((l.exprId().id(), r.exprId().id()))
+                equalities.append((join_id, l.exprId().id(), r.exprId().id()))
 
     walk(plan)
 
-    merged: dict[tuple[str, str], tuple[list, list]] = {}
-    for lid, rid in equalities:
+    # Conjuncts merge into one multi-key edge ONLY within a single Join
+    # node: two different joins between the same table pair (e.g. a fact
+    # joined twice against one dimension on different keys) are two edges —
+    # AND-ing their conjuncts would demand one row matching both, a stronger
+    # condition than the plan's, breaking the pure-prefilter invariant.
+    merged: dict[tuple[int, str, str], tuple[list, list]] = {}
+    for join_id, lid, rid in equalities:
         lo, ro = attr_origin.get(lid), attr_origin.get(rid)
         if lo is None or ro is None or lo[0] == ro[0]:
             continue
         (lt, lc), (rt, rc) = sorted([lo, ro])  # canonical table order
-        lks, rks = merged.setdefault((lt, rt), ([], []))
+        lks, rks = merged.setdefault((join_id, lt, rt), ([], []))
         if lc not in lks or rc not in rks:
             lks.append(lc)
             rks.append(rc)
     return [
         JoinEdge(lt, tuple(lks), rt, tuple(rks))
-        for (lt, rt), (lks, rks) in merged.items()
+        for (_jid, lt, rt), (lks, rks) in merged.items()
     ]

@@ -23,14 +23,47 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _balanced_body(text: str, start: int) -> str:
+    """Content of the bracket group opening at text[start] == '[', scanned
+    with bracket/paren balancing — In-list filters like ``In(x, [1, 2])``
+    contain nested ``]`` that a non-greedy regex would truncate at."""
+    depth = 0
+    for i in range(start, len(text)):
+        c = text[i]
+        if c in "[(":
+            depth += 1
+        elif c in "])":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    return text[start + 1 :]
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas not enclosed in brackets/parens."""
+    out, depth, cur = [], 0, []
+    for c in body:
+        if c in "[(":
+            depth += 1
+        elif c in "])":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return [p for p in out if p]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters that reached the parquet scan (PushedFilters entries)."""
     text = explain_str(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", text):
-        body = m.group(1).strip()
-        if body:
-            out.extend(p.strip() for p in body.split(","))
+    for m in re.finditer(r"PushedFilters:\s*(?=\[)", text):
+        out.extend(_split_top_level(_balanced_body(text, m.end())))
     return out
 
 

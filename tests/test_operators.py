@@ -1,6 +1,7 @@
 """Operator-level queries hash-match the DuckDB oracle."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from pysparkdb.queries import load_all
 from tests.oracle import compare, duckdb_conn
@@ -70,6 +71,59 @@ class TestAsOfJoin:
 
         left, right = self._frames(spark)
         assert as_of_join(left, right, "k", "rk", "t", "rt").count() == left.count()
+
+    def test_null_keys_never_match(self, spark):
+        """Join semantics: NULL keys don't equal NULL keys — a NULL-keyed
+        left row stays unmatched even when a NULL-keyed right row exists."""
+        from pysparkdb.operators import as_of_join
+
+        left = spark.createDataFrame(
+            [(1, None, 100), (2, 10, 250), (3, 10, None)],
+            "eid long, k long, t long",
+        )
+        right = spark.createDataFrame(
+            [(None, 50, "null-key"), (10, 200, "b"), (10, None, "null-ts")],
+            "rk long, rt long, tag string",
+        )
+        out = {
+            r.eid: (r.rt, r.tag)
+            for r in as_of_join(left, right, "k", "rk", "t", "rt").collect()
+        }
+        assert out[1] == (None, None)   # NULL left key matches nothing
+        assert out[2] == (200, "b")     # NULL-ts right row is not a match
+        assert out[3] == (None, None)   # NULL left ts precedes everything
+        assert len(out) == 3            # left-outer: all left rows kept
+
+
+class TestRangeJoinBuckets:
+    def test_pre_1970_timestamps(self, spark):
+        """Bucket floor-division must align for negative epochs: truncating
+        `div` sends -1us and +1us to the same bucket 0, splitting pairs that
+        straddle more than one floor-bucket boundary."""
+        from pysparkdb.operators.rangejoin import range_interval_join
+
+        gap = 10_000_000  # 10s in micros
+        lrows = [(1, -25_000_000), (1, -10_000_001), (1, -5_000_000)]
+        rrows = [(1, -20_000_000), (1, -2_000_001), (1, 3_000_000)]
+        l = spark.createDataFrame(lrows, "k long, lus long").withColumn(
+            "l_ts", F.timestamp_micros("lus")
+        )
+        r = spark.createDataFrame(rrows, "k long, rus long").withColumn(
+            "r_ts", F.timestamp_micros("rus")
+        )
+        got = {
+            (x.lus, x.rus)
+            for x in range_interval_join(
+                l, r, key="k", left_ts="l_ts", right_ts="r_ts", max_gap_us=gap
+            ).collect()
+        }
+        expect = {
+            (lt, rt)
+            for (_, lt) in lrows
+            for (_, rt) in rrows
+            if 0 < rt - lt <= gap
+        }
+        assert got == expect
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):

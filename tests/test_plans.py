@@ -160,6 +160,27 @@ class TestPushdown:
         with pytest.raises(AssertionError, match="not pushed"):
             assert_pushdown(df, expect_filter_cols=["nonexistent_col"])
 
+    def test_in_list_filter_not_truncated(self, spark, sf_dir):
+        """In-list pushed filters contain nested ']' — the parser must
+        bracket-balance, not stop at the first ']'."""
+        l = tables(spark, sf_dir)["lineitem"]
+        df = l.filter(F.col("l_linenumber").isin(1, 2, 3)).select("l_orderkey")
+        in_filters = [f for f in pushed_filters(df) if f.startswith("In(")]
+        assert in_filters, pushed_filters(df)
+        assert any("3" in f and f.endswith(")") for f in in_filters), in_filters
+
+    def test_filter_list_parser_units(self):
+        """Deterministic parser check against a synthetic explain body."""
+        from pysparkdb.plans.pushdown import _balanced_body, _split_top_level
+
+        text = "... PushedFilters: [In(a, [1, 2, 3]), IsNotNull(b), GreaterThan(c, 5)], ..."
+        body = _balanced_body(text, text.index("["))
+        assert body == "In(a, [1, 2, 3]), IsNotNull(b), GreaterThan(c, 5)"
+        assert _split_top_level(body) == [
+            "In(a, [1, 2, 3])", "IsNotNull(b)", "GreaterThan(c, 5)",
+        ]
+        assert _split_top_level("") == []
+
 
 class TestRuntimeBloomFilter:
     def test_catalyst_injects_bloom_filter_on_selective_join(self, spark, sf_dir):
@@ -213,6 +234,31 @@ class TestJoinEdgeExtraction:
         assert ("customer", ("c_custkey",), "orders", ("o_custkey",)) in edges
         assert ("lineitem", ("l_suppkey",), "supplier", ("s_suppkey",)) in edges
         assert len(edges) == 6
+
+    def test_twice_joined_pair_yields_separate_edges(self, spark, sf_dir):
+        """Conjuncts from two DIFFERENT Join nodes between the same table
+        pair must stay two single-key edges: AND-merging them would demand
+        one row matching both joins — over-reduction, a wrong prefilter."""
+        from pysparkdb.plans.predicate_transfer import extract_join_edges
+
+        t = tables(spark, sf_dir)
+        # second, independent scan of customer (same column signature)
+        customer2 = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        df = (
+            t["nation"]
+            .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+            .select("n_nationkey", "n_name")
+            .join(customer2, F.col("n_nationkey") == customer2["c_custkey"])
+        )
+        edges = extract_join_edges(df, t)
+        pair = [e for e in edges if {e.left, e.right} == {"nation", "customer"}]
+        key_sets = {(e.left_keys, e.right_keys) for e in pair}
+        assert ((("c_nationkey",), ("n_nationkey",)) in key_sets
+                or (("n_nationkey",), ("c_nationkey",)) in key_sets)
+        assert ((("c_custkey",), ("n_nationkey",)) in key_sets
+                or (("n_nationkey",), ("c_custkey",)) in key_sets)
+        # two separate single-key edges, never one AND-merged multi-key edge
+        assert all(len(e.left_keys) == 1 for e in pair), pair
 
     def test_transfer_with_extracted_edges_preserves_results(self, spark, sf_dir):
         from pysparkdb.plans.predicate_transfer import (

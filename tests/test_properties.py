@@ -14,7 +14,7 @@ from pysparkdb.operators import as_of_join, salted_group
 from pysparkdb.operators.rangejoin import range_interval_join
 
 KEYS = st.integers(min_value=0, max_value=3)
-TS = st.integers(min_value=0, max_value=50)  # small epoch range → many ties
+TS = st.integers(min_value=-50, max_value=50)  # ties + pre-1970 epochs
 VALS = st.integers(min_value=-100, max_value=100)
 
 _SETTINGS = dict(
