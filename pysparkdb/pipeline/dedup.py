@@ -64,19 +64,40 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard ≥ t).
 
     shingle-explode → self-join on shingle (this IS an LSH on exact-shingle
     collision: only pairs sharing ≥1 shingle are ever materialized) →
     |A∩B| / (|A|+|B|-|A∩B|). Division of two BIGINTs → deterministic double,
-    oracle-exact. At 100 TB, cap shingle frequency first (drop shingles in
-    >F docs) to bound the join fan-out — the classic stop-shingle guard.
+    oracle-exact when ``max_doc_freq`` is None.
+
+    ``max_doc_freq`` is the stop-shingle guard — the 100 TB fan-out bound
+    (same philosophy as the reference's bloom build-side cutoff,
+    fpdb-executor/include/fpdb/executor/physical/Globals.h:54): a shingle
+    appearing in d documents fans the self-join out d·(d-1)/2 pairs, so one
+    boilerplate phrase shared by a million docs is a 5·10^11-pair explosion.
+    With the cap, shingles in > max_doc_freq docs are dropped from the JOIN
+    ONLY — set sizes still count every shingle — so the reported jaccard is
+    an UNDERESTIMATE of the true value: capping can only remove result
+    pairs, never add or inflate one (property-tested). The stop set itself
+    is small by construction (≤ total-occurrences / F entries) and
+    broadcasts.
     """
     sh = _shingled(df, id_col, text_col, n)
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joinable = sh
+    if max_doc_freq is not None:
+        stop = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        joinable = sh.join(F.broadcast(stop), "sh", "left_anti")
+    a = joinable.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = joinable.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
     common = (
         a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
@@ -147,6 +168,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified: signature → band buckets →
     candidate pairs (band-equal) → exact Jaccard verify → pairs ≥ threshold.
@@ -157,6 +179,12 @@ def minhash_lsh_pairs(
     shape: cheap probabilistic pre-filter, exact verify — the same
     philosophy as the reference's bloom-filter pre-pass (SURVEY §2.9), for
     near-dup search instead of joins.
+
+    ``max_doc_freq`` bounds the verify stage's shingle self-join fan-out
+    (see ngram_jaccard_pairs): within the candidate-doc subset, shingles in
+    more than that many docs don't join. Verified jaccard becomes a slight
+    underestimate, so choose it well above the expected near-dup cluster
+    size; the recall-vs-exact floor is asserted in tests/test_pipeline.py.
     """
     num_bands = num_hashes // rows_per_band
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
@@ -204,7 +232,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sub = df.join(cand_docs, id_col, "left_semi")
-    exact = ngram_jaccard_pairs(sub, id_col, text_col, n, threshold)
+    exact = ngram_jaccard_pairs(sub, id_col, text_col, n, threshold, max_doc_freq)
     return exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
 
 

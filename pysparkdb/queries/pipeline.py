@@ -76,8 +76,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32)+LSH(16 bands × 2 rows) candidates, exact-Jaccard-verified
-    at t=0.5 — the scalable two-phase near-dup shape."""
-    return dedup.minhash_lsh_pairs(tables(spark, sf_dir)["documents"], threshold=0.5)
+    at t=0.5 — the scalable two-phase near-dup shape. max_doc_freq=256 is
+    the stop-shingle fan-out guard: far above this corpus's max shingle
+    doc-freq (25 at sf0.1, recall unaffected — asserted in
+    tests/test_pipeline.py), it bounds the verify join against boilerplate
+    shingles at real corpus scale."""
+    return dedup.minhash_lsh_pairs(
+        tables(spark, sf_dir)["documents"], threshold=0.5, max_doc_freq=256
+    )
 
 
 @register(

@@ -42,11 +42,56 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         (r.doc_a, r.doc_b)
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
-    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, max_doc_freq=256
+        ).collect()
+    }
     assert lsh <= exact
     assert len(exact) > 0, "corpus should contain near-dup clones"
     recall = len(lsh) / len(exact)
     assert recall == 1.0, f"LSH recall {recall} < 1 on clone-heavy corpus"
+
+
+def test_stop_shingle_cap_never_adds_pairs(spark):
+    """The stop-shingle guard may only REMOVE pairs, and any surviving
+    pair's jaccard is ≤ its uncapped value (sizes count every shingle; only
+    the join is capped). Corpus engineered so a stop shingle exists: every
+    doc shares one boilerplate 3-gram."""
+    from pysparkdb.pipeline import dedup
+
+    boiler = "terms of service apply"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " alpha beta gamma delta zeta"),
+        (3, boiler + " one two three four five"),
+        (4, boiler + " six seven eight nine ten"),
+        (5, boiler + " alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    for cap in (1, 2, 4):
+        capped = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.01, max_doc_freq=cap
+            ).collect()
+        }
+        assert set(capped) <= set(full), (cap, capped, full)
+        for pair, j in capped.items():
+            assert j <= full[pair] + 1e-12, (cap, pair, j, full[pair])
+    # cap above every doc-freq → identical result
+    uncapped_equal = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.01, max_doc_freq=100
+        ).collect()
+    }
+    assert uncapped_equal == full
 
 
 def test_simhash_identical_docs_collide(spark, sf_dir):
