@@ -593,6 +593,7 @@ def op_intersect(spark, sf_dir):
     SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
     EXCEPT
     SELECT o_custkey AS k FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
     """,
     "ops", "set_op",
 )
@@ -603,8 +604,16 @@ def op_except(spark, sf_dir):
     difference then dedup, which keeps a value appearing twice on the left
     and once on the right — not SQL EXCEPT."""
     t = tables(spark, sf_dir)
+    # right side restricted to pre-1996 orders so both sides AND the
+    # difference are non-empty at test scale — an empty result would make
+    # the oracle comparison vacuous (unable to catch EXCEPT-vs-exceptAll
+    # regressions)
     rich = t["customer"].filter(X.gt("c_acctbal", 5000)).select(F.col("c_custkey").alias("k"))
-    ordered = t["orders"].select(F.col("o_custkey").alias("k"))
+    ordered = (
+        t["orders"]
+        .filter(F.col("o_orderdate") < ts("1996-01-01 00:00:00"))
+        .select(F.col("o_custkey").alias("k"))
+    )
     return rich.subtract(ordered)
 
 

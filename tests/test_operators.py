@@ -126,6 +126,37 @@ class TestRangeJoinBuckets:
         assert got == expect
 
 
+def test_approx_percentile_within_error_bound(spark, sf_dir):
+    """GK sketch rank error ≤ 1/accuracy: the approx median/p90 must lie
+    between the exact percentiles at p ± 2/accuracy (accuracy=10000 in
+    op_approx_percentile → ±0.0002 rank window, widened to ±0.001 here)."""
+    from pysparkdb.queries import load_all
+    from pysparkdb.queries.base import tables
+    import pyspark.sql.functions as F
+
+    approx = {
+        r.l_returnflag: (r.med_qty, r.p90_qty)
+        for r in load_all()["op_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    bounds = {
+        r.l_returnflag: r
+        for r in tables(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.499)").alias("med_lo"),
+            F.expr("percentile(l_quantity, 0.501)").alias("med_hi"),
+            F.expr("percentile(l_quantity, 0.899)").alias("p90_lo"),
+            F.expr("percentile(l_quantity, 0.901)").alias("p90_hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(bounds)
+    for flag, (med, p90) in approx.items():
+        b = bounds[flag]
+        assert b.med_lo <= med <= b.med_hi, (flag, med, b)
+        assert b.p90_lo <= p90 <= b.p90_hi, (flag, p90, b)
+
+
 def test_approx_distinct_within_error_bound(spark, sf_dir):
     """HLL++ estimate within 5% of exact count distinct per group."""
     from pysparkdb.queries import load_all

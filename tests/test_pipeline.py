@@ -54,6 +54,28 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert recall == 1.0, f"LSH recall {recall} < 1 on clone-heavy corpus"
 
 
+def test_resize_image_pixel_grid(spark):
+    """resize_image's deterministic stand-in: known payload → known pixel
+    grid (shape, [0,1] range, exact byte-sampled values)."""
+    from pysparkdb.pipeline.multimodal import resize_image
+
+    payload = bytes(range(256))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"\x00\xff"))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_image(df, 4, 4, fake=True).collect()}
+    r1 = out[1]
+    assert (r1.width, r1.height, len(r1.pixels)) == (4, 4, 16)
+    # 256-byte payload, 16 pixels → step 16: pixel i samples byte 16·i
+    assert r1.pixels == [float(16 * i) / 255.0 for i in range(16)]
+    r2 = out[2]
+    # 2-byte payload → step 1, clamped to the last byte past the end
+    assert len(r2.pixels) == 16
+    assert r2.pixels[0] == 0.0 and r2.pixels[2:] == [1.0] * 14
+    assert all(0.0 <= p <= 1.0 for r in out.values() for p in r.pixels)
+
+
 def test_stop_shingle_cap_never_adds_pairs(spark):
     """The stop-shingle guard may only REMOVE pairs, and any surviving
     pair's jaccard is ≤ its uncapped value (sizes count every shingle; only
