@@ -73,6 +73,10 @@ DECLARED_SCHEMAS: dict[str, T.StructType] = _tpch_like()
 
 TABLE_NAMES = tuple(DECLARED_SCHEMAS)
 
+#: CSV catalog file extensions, co-equal with parquet (gzip/bz2 decoded
+#: transparently by Spark's CSV reader).
+_CSV_EXTS = (".csv", ".csv.gz", ".csv.bz2")
+
 
 def _types_compatible(declared: T.DataType, actual: T.DataType) -> bool:
     # Parquet timestamps may surface as NTZ depending on writer metadata;
@@ -99,16 +103,42 @@ class Catalog:
     tables: dict[str, DataFrame] = field(default_factory=dict)
 
     def register_all(self, validate: bool = True) -> "Catalog":
+        """Register every declared table found under ``data_dir`` — parquet
+        preferred, CSV (plain/gzip/bz2) co-equal, as in the reference's
+        catalogs (resources/metadata/tpch-sf0.01/csv/schema.json declares
+        the same tables over CSV)."""
         for name in TABLE_NAMES:
-            path = os.path.join(self.data_dir, f"{name}.parquet")
-            if not os.path.exists(path):
-                continue
-            self.register(name, path, validate=validate)
+            for ext in (".parquet", *_CSV_EXTS):
+                path = os.path.join(self.data_dir, name + ext)
+                if os.path.exists(path):
+                    self.register(name, path, validate=validate)
+                    break
         return self
 
-    def register(self, name: str, path: str, validate: bool = True) -> DataFrame:
-        df = self.spark.read.parquet(path)
-        df = self._resolve_nanos(name, df)
+    def register(
+        self,
+        name: str,
+        path: str,
+        validate: bool = True,
+        delimiter: str = "|",
+        header: bool = False,
+    ) -> DataFrame:
+        if any(path.endswith(e) for e in _CSV_EXTS):
+            from pysparkdb.sources.files import read_csv
+
+            declared = DECLARED_SCHEMAS.get(name)
+            if declared is None:
+                raise ValueError(
+                    f"table {name!r}: CSV registration needs a declared "
+                    "schema (CSV carries none; inference is forbidden, "
+                    "CSVFormat.h semantics)"
+                )
+            df = read_csv(
+                self.spark, path, declared, delimiter=delimiter, header=header
+            )
+        else:
+            df = self.spark.read.parquet(path)
+            df = self._resolve_nanos(name, df)
         if validate and name in DECLARED_SCHEMAS:
             self._validate(name, df)
         df.createOrReplaceTempView(name)

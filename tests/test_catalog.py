@@ -38,6 +38,53 @@ def test_register_all_skips_absent_tables(spark, tmp_path):
     assert cat.tables == {}
 
 
+def test_register_all_from_csv_catalog(spark, sf_dir, tmp_path):
+    """CSV catalogs are co-equal with parquet (reference:
+    resources/metadata/tpch-sf0.01/csv/schema.json): a directory of
+    <table>.csv[.gz] registers through the same declared-schema path, and a
+    TPC-H query over it matches the parquet-backed result."""
+    import gzip
+
+    import pandas as pd
+
+    def to_csv(table, dest, compress=False):
+        pdf = pd.read_parquet(f"{sf_dir}/{table}.parquet")
+        text = pdf.to_csv(
+            sep="|", header=False, index=False,
+            date_format="%Y-%m-%d %H:%M:%S",
+        )
+        if compress:
+            with gzip.open(dest, "wt") as f:
+                f.write(text)
+        else:
+            with open(dest, "w") as f:
+                f.write(text)
+
+    to_csv("lineitem", str(tmp_path / "lineitem.csv.gz"), compress=True)
+    to_csv("region", str(tmp_path / "region.csv"))
+
+    cat = Catalog(spark, str(tmp_path)).register_all(validate=True)
+    assert set(cat.tables) == {"lineitem", "region"}
+    assert cat.table("region").count() == 5
+    assert [f.name for f in cat.table("lineitem").schema.fields][:3] == [
+        "l_orderkey", "l_partkey", "l_suppkey",
+    ]
+
+    from pysparkdb.queries import load_all
+
+    q1 = load_all()["q1"]
+    csv_rows = sorted(map(tuple, q1.fn(spark, str(tmp_path)).collect()))
+    pq_rows = sorted(map(tuple, q1.fn(spark, sf_dir).collect()))
+    assert csv_rows == pq_rows
+
+
+def test_csv_registration_requires_declared_schema(spark, tmp_path):
+    (tmp_path / "mystery.csv").write_text("1|2\n")
+    cat = Catalog(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="declared schema"):
+        cat.register("mystery", str(tmp_path / "mystery.csv"))
+
+
 def test_table_lookup_error_names_known_tables(spark, sf_dir):
     cat = Catalog(spark, sf_dir)
     cat.register("region", os.path.join(sf_dir, "region.parquet"))
