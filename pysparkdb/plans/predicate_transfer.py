@@ -76,6 +76,7 @@ def predicate_transfer(
     edges: list[JoinEdge],
     sizes: dict[str, int] | None = None,
     broadcast_threshold: int = 64 << 20,
+    order: str = "small_to_large",
 ) -> dict[str, DataFrame]:
     """Reduce every table by transferring join-key sets across ``edges``.
 
@@ -93,6 +94,24 @@ def predicate_transfer(
     20M rows (fpdb-executor physical/Globals.h:54). A fact table therefore
     receives reductions from every dimension but never pays to emit its
     own key set back.
+
+    ``order`` selects the transfer schedule, mirroring the reference's two
+    PredTransOrder strategies (fpdb-executor/src/physical/transform/
+    pred-trans/{SmallToLargePredTransOrder,BFSPredTransOrder}.cpp):
+
+    - ``"small_to_large"``: edges ordered by the max size of their
+      endpoints; forward reduces the larger endpoint with the smaller's
+      keys, backward reverses.
+    - ``"bfs"``: Yannakakis-style two-phase over a BFS spanning order
+      rooted at the smallest table — forward processes edges in reverse
+      BFS-discovery order transferring child → parent (leaves inward),
+      backward replays them root-outward parent → child. For an acyclic
+      join graph this is the classic full semi-join reduction; extra
+      (cycle) edges still transfer and remain pure prefilters.
+
+    Either order yields identical RESULTS for any downstream plan (the
+    purity invariant — property-tested); they differ only in how much
+    reduction each single pass achieves on a given graph shape.
     """
     if sizes is None:
         edge_tables = {e.left for e in edges} | {e.right for e in edges}
@@ -100,38 +119,85 @@ def predicate_transfer(
 
     reduced = dict(tables)
 
-    # Small-to-large: process edges ordered by the max size of their
-    # endpoints, so small dims reduce mid-size tables before those reduce
-    # the fact table (SmallToLargePredTransOrder.cpp's ordering intent).
-    fwd = sorted(edges, key=lambda e: max(sizes[e.left], sizes[e.right]))
+    # fwd: ordered list of (edge, src_is_left) — the forward-pass schedule
+    # with each edge's forward SOURCE side; the backward pass replays it
+    # reversed with flipped orientation.
+    if order == "small_to_large":
+        # Edges ordered by the max size of their endpoints, so small dims
+        # reduce mid-size tables before those reduce the fact table
+        # (SmallToLargePredTransOrder.cpp's ordering intent); forward
+        # source = the smaller endpoint.
+        fwd = [
+            (e, sizes[e.left] <= sizes[e.right])
+            for e in sorted(edges, key=lambda e: max(sizes[e.left], sizes[e.right]))
+        ]
+    elif order == "bfs":
+        fwd = _bfs_edge_order(edges, sizes)
+    else:
+        raise ValueError(f"unknown transfer order {order!r}")
 
-    def transfer(edge: JoinEdge, direction_fwd: bool) -> None:
-        l_small = sizes[edge.left] <= sizes[edge.right]
-        if direction_fwd:
-            # reduce the larger side with the smaller side's keys
-            src, sk, dst, dk = (
-                (edge.left, edge.left_keys, edge.right, edge.right_keys)
-                if l_small
-                else (edge.right, edge.right_keys, edge.left, edge.left_keys)
-            )
-        else:
-            # backward: push reductions back into the smaller side
-            src, sk, dst, dk = (
-                (edge.right, edge.right_keys, edge.left, edge.left_keys)
-                if l_small
-                else (edge.left, edge.left_keys, edge.right, edge.right_keys)
-            )
+    def transfer(edge: JoinEdge, src_is_left: bool) -> None:
+        src, sk, dst, dk = (
+            (edge.left, edge.left_keys, edge.right, edge.right_keys)
+            if src_is_left
+            else (edge.right, edge.right_keys, edge.left, edge.left_keys)
+        )
         if sizes[src] > broadcast_threshold:
             return  # over the build cutoff (Globals.h:54 analog): skip
         reduced[dst] = _semi_reduce(
             reduced[dst], dk, reduced[src], sk, broadcast_keys=True
         )
 
-    for e in fwd:  # forward pass: small → large
-        transfer(e, True)
-    for e in reversed(fwd):  # backward pass: large → small
-        transfer(e, False)
+    for e, src_is_left in fwd:  # forward pass
+        transfer(e, src_is_left)
+    for e, src_is_left in reversed(fwd):  # backward pass, flipped
+        transfer(e, not src_is_left)
     return reduced
+
+
+def _bfs_edge_order(
+    edges: list[JoinEdge], sizes: dict[str, int]
+) -> list[tuple[JoinEdge, bool]]:
+    """Yannakakis-style schedule over a BFS spanning order
+    (BFSPredTransOrder.cpp analog): BFS from the smallest table assigns
+    each edge a (parent, child) orientation at discovery; the forward pass
+    runs edges deepest-first transferring child → parent (the classic
+    leaf-to-root semi-join reduction), the backward pass replays them
+    root-outward parent → child. Cycle edges (endpoint already visited)
+    and disconnected components schedule with the same convention."""
+    adj: dict[str, list[tuple[JoinEdge, bool]]] = {}
+    for e in edges:
+        # stored as (edge, other_endpoint_is_left_side)
+        adj.setdefault(e.left, []).append((e, False))
+        adj.setdefault(e.right, []).append((e, True))
+
+    visited: set[str] = set()
+    scheduled: set[int] = set()
+    discovery: list[tuple[JoinEdge, bool]] = []  # (edge, child_is_left)
+
+    for root in sorted(adj, key=lambda t: sizes[t]):
+        if root in visited:
+            continue
+        visited.add(root)
+        queue = [root]
+        while queue:
+            parent = queue.pop(0)
+            # visit smaller neighbors first (deterministic, dimension-first)
+            for e, other_is_left in sorted(
+                adj[parent],
+                key=lambda x: sizes[x[0].left if x[1] else x[0].right],
+            ):
+                if id(e) in scheduled:
+                    continue
+                scheduled.add(id(e))
+                child = e.left if other_is_left else e.right
+                if child not in visited:
+                    visited.add(child)
+                    queue.append(child)
+                discovery.append((e, other_is_left))
+
+    # forward = deepest-first (reverse discovery order), source = child
+    return [(e, child_is_left) for e, child_is_left in reversed(discovery)]
 
 
 # The TPC-H-shape join graph of the driver's star schema, usable directly

@@ -65,6 +65,39 @@ class TestPredicateTransfer:
         reduced = predicate_transfer(t, STAR_SCHEMA_EDGES)
         assert reduced["customer"].count() < tables(spark, sf_dir)["customer"].count()
 
+    def test_bfs_order_same_results_as_small_to_large(self, spark, sf_dir):
+        """order='bfs' (BFSPredTransOrder/Yannakakis analog) must satisfy
+        the same purity invariant and match small-to-large's results on the
+        q5 shape."""
+        t = dict(tables(spark, sf_dir))
+        t["region"] = t["region"].filter(F.col("r_name") == "ASIA")
+        t["orders"] = t["orders"].filter(
+            (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+        )
+        base = {tuple(r) for r in _q5_plan(t).collect()}
+        bfs = predicate_transfer(t, STAR_SCHEMA_EDGES, order="bfs")
+        assert {tuple(r) for r in _q5_plan(bfs).collect()} == base
+
+    def test_bfs_order_fully_reduces_acyclic_graph(self, spark, sf_dir):
+        """On the (acyclic) star schema the BFS schedule is a full
+        Yannakakis reduction: the region filter reaches lineitem forward
+        and the orders filter reaches customer backward, in ONE fwd+bwd
+        sweep."""
+        t = dict(tables(spark, sf_dir))
+        t["region"] = t["region"].filter(F.col("r_name") == "ASIA")
+        t["orders"] = t["orders"].filter(F.col("o_totalprice") > 450000)
+        reduced = predicate_transfer(t, STAR_SCHEMA_EDGES, order="bfs")
+        full = tables(spark, sf_dir)
+        assert reduced["lineitem"].count() < full["lineitem"].count()
+        assert reduced["customer"].count() < full["customer"].count()
+
+    def test_unknown_order_rejected(self, spark, sf_dir):
+        with pytest.raises(ValueError, match="transfer order"):
+            predicate_transfer(
+                dict(tables(spark, sf_dir)), STAR_SCHEMA_EDGES, order="dfs"
+            )
+
 
 class TestSegmentCache:
     def test_hit_miss_and_covering_projection(self, spark, sf_dir):
