@@ -2,11 +2,20 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": ...}
+   "queries": {"q1": sec, ...}, "sf": ..., "repeats": N}
 
 Each query is executed to completion (collect — the reference's CollatePOp
 boundary, fpdb-main/src/Client.cpp:104-110) after a warm-up pass of the
 catalog so parquet footer reads don't pollute per-query numbers.
+
+Protocol (frozen, see BENCH_BASELINE.md): every query runs
+$PYSPARKDB_BENCH_REPEATS times (default 3) in ROUND-ROBIN order — full
+sweep 1, then sweep 2, ... — and reports the per-query MEDIAN; "value" is
+the sum of medians. Round-robin decorrelates a query's repeats from one
+GC/compaction episode; medians discard the single-run outliers that made
+round-over-round single-run numbers unattributable (2.5-8x family-wide
+swings with zero code change, VERDICT round 2). Set repeats=1 for a quick
+iteration loop.
 """
 
 from __future__ import annotations
@@ -52,25 +61,33 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        spec = specs[name]
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 4)
-        total += dt
+    repeats = int(os.environ.get("PYSPARKDB_BENCH_REPEATS", "3"))
+    times: dict[str, list[float]] = {name: [] for name in names}
+    for _rep in range(repeats):
+        for name in names:
+            spec = specs[name]
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            times[name].append(time.perf_counter() - t0)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    per_query = {name: round(median(ts), 4) for name, ts in times.items()}
+    total = sum(per_query.values())
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "pysparkdb headline queries total wall-clock",
+                "metric": "pysparkdb headline queries total wall-clock (per-query median)",
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": repeats,
             }
         )
     )

@@ -89,3 +89,33 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     corpora (hash once, group on the 16-byte digest, never on the text)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the context-window packing primitive of a training-data pipeline
+    (size=200, stride=150 → 50-char overlap).
+
+    Chunk starts are 0, stride, 2·stride, …, ceil(max(len-size,0)/stride)·
+    stride — the last chunk always covers the document tail. Pure column
+    expressions: explode over a sequence of offsets, one substr per chunk;
+    no UDF, no shuffle (the explode is map-side), output partitioning
+    inherits the scan. Returns (id_col, chunk_id, chunk).
+    """
+    n = F.length(F.col(text_col))
+    last = F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(stride)).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), last)))
+        .select(
+            id_col,
+            "chunk_id",
+            F.expr(f"substr({text_col}, CAST(chunk_id * {stride} + 1 AS INT), {size})").alias("chunk"),
+        )
+    )

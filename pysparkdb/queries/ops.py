@@ -631,3 +631,176 @@ def op_approx_distinct(spark, sf_dir):
     return o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
     )
+
+
+@register(
+    "op_rollup",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           {_ds('l_quantity')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ops", "aggregate", "rollup",
+)
+def op_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (flag, status) → (flag) → () — beyond-
+    reference grouping-sets aggregate (SURVEY §2.5 'not present'). NULL
+    subtotal keys COALESCEd to 'ALL' sentinels: the oracle compare sorts
+    rows and None breaks ordering. One shuffle: Spark expands grouping
+    sets map-side (Expand node), partial-aggregates each set, then a
+    single hash exchange — identical shape at any scale."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+             bigint(F.count(F.lit(1))).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "sum_qty", "n",
+        )
+    )
+
+
+@register(
+    "op_window_lead_lag",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           COALESCE(lag(o_totalprice) OVER w, -1.0) AS prev_price,
+           COALESCE(lead(o_totalprice) OVER w, -1.0) AS next_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "ops", "window_function",
+)
+def op_window_lead_lag(spark, sf_dir):
+    """lead/lag over each customer's order history — the offset-window
+    complement to op_window_rank (beyond-reference, SURVEY §2.10). Ordering
+    (o_orderdate, o_orderkey) is total (orderkey unique) so the offsets are
+    deterministic; partition-edge NULLs COALESCE to -1.0 sentinels (the
+    oracle compare sorts rows; None breaks ordering). Same one-shuffle-per-window-partitioning shape as any
+    sort-window; values pass through untouched → hash-exact."""
+    from pyspark.sql import Window
+
+    o = tables(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.coalesce(F.lag("o_totalprice").over(w), F.lit(-1.0)).alias("prev_price"),
+        F.coalesce(F.lead("o_totalprice").over(w), F.lit(-1.0)).alias("next_price"),
+    )
+
+
+@register(
+    "op_min_max_by",
+    """
+    SELECT o_orderpriority,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "ops", "aggregate",
+)
+def op_min_max_by(spark, sf_dir):
+    """min_by/max_by (argmin/argmax) per priority — beyond-reference
+    'which row attains the extreme' aggregate; partial-aggregable, so it
+    map-side combines like MIN/MAX (no row sort, no window). o_totalprice
+    is duplicate-free per group at these scales, making the arg unique and
+    the compare deterministic."""
+    o = tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "op_hash_sample",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, {_ds('o_totalprice')} AS total
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS STRING)), 1, 1) IN ('0', '1')
+    """,
+    "ops", "sampling",
+)
+def op_hash_sample(spark, sf_dir):
+    """Deterministic 1/8 hash sample (first md5 hex digit ∈ {{0,1}}) —
+    the reproducible-sampling primitive a training-data pipeline needs:
+    unlike TABLESAMPLE/rand(), membership is a pure function of the key,
+    so the sample is identical across engines, runs, and partitionings
+    (oracle-exact), composable (same rows at sf0.01 and inside any join),
+    and pushes down to the scan as a filter."""
+    o = tables(spark, sf_dir)["orders"]
+    digit = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.filter(digit.isin("0", "1")).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "op_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN CAST(epoch(ts) AS BIGINT)
+                       - lag(CAST(epoch(ts) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    "ops", "window_function", "sessionize",
+)
+def op_sessionize(spark, sf_dir):
+    """Batch sessionization: 30-min-gap session boundaries via lag, session
+    ids via running sum of boundary flags, then per-session rollup — the
+    relational twin of the streaming session window (ev_session), for
+    backfills over historical event data. Two window passes over ONE
+    partitioning (user_id) then a group-by on (user_id, session_seq), a
+    prefix of the window keys — Catalyst reuses the same exchange, so the
+    whole query is a single shuffle of the events table at any scale.
+    Ordering (ts, event_id) is total → deterministic boundaries."""
+    from pyspark.sql import Window
+
+    e = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sec = F.unix_timestamp("ts")
+    prev = F.lag(sec).over(w)
+    is_start = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("is_start", is_start)
+        .withColumn("session_seq", F.sum("is_start").over(run))
+        .groupBy("user_id", bigint(F.col("session_seq")).alias("session_seq"))
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+    )

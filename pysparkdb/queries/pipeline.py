@@ -415,3 +415,25 @@ def pipeline_clean(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
     )
     return survivors.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("n_docs"))
+
+
+@register(
+    "text_chunk",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(greatest(length(text) - 200, 0) / 150.0)
+                             AS BIGINT) + 1)) AS i
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           substr(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk
+    FROM idx
+    """,
+    "pipeline", "text", "chunk",
+)
+def text_chunk(spark, sf_dir):
+    """Overlapping character chunking (size 200, stride 150) of every
+    document — the context-window packing step before tokenization. Map-side
+    explode, no shuffle; oracle-exact against DuckDB's unnest(range())."""
+    return text.chunk_text(tables(spark, sf_dir)["documents"], size=200, stride=150)

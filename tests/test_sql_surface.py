@@ -39,6 +39,8 @@ NOT_ANSI_PORTABLE = {
     "text_tokens_bpe",     # regexp_extract_all group-index defaults differ
     "text_rolling_hash",   # list comprehension + list_reduce are DuckDB-only
     "pipeline_clean",      # regexp_replace 'g' flag argument
+    "op_sessionize",       # epoch() is DuckDB-only (Spark: unix_timestamp)
+    "text_chunk",          # unnest(range()) offset materialization
 }
 
 SPECS = [
