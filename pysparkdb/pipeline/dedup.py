@@ -122,13 +122,18 @@ def minhash_signatures(
     n: int = 3, num_hashes: int = 32,
 ) -> DataFrame:
     """MinHash signature: sig[j] = min over shingles of xxhash64(shingle, j).
-    One pass, no shuffle; signature is a fixed 32×8-byte column regardless
-    of document size — that reduction is what makes 100 TB dedup feasible.
+    Signature is a fixed 32×8-byte column regardless of document size —
+    that reduction is what makes 100 TB dedup feasible.
 
-    The shingle array is materialized as a real column FIRST, then each of
-    the num_hashes min-hashes is an independent top-level expression over
-    it. (A single nested transform(sequence(0,k), j -> ...) re-evaluates
-    the shingling expression once per hash lane — measured 20–45× slower.)
+    Shape: explode shingles → hash each once → groupBy doc with one MIN
+    per lane. Everything stays inside whole-stage codegen — Spark's
+    higher-order functions (transform/array_min/aggregate) are evaluated
+    INTERPRETED per row, and the previous HOF formulation measured 2.3×
+    slower than this one despite being shuffle-free. The groupBy's shuffle
+    is negligible by construction: each document's shingles live in one
+    partition, so map-side partial aggregation collapses them to a single
+    32-lane row per doc before the exchange — shuffle volume == the
+    signature output itself, at any scale.
 
     Hash family: Kirsch–Mitzenmacher double hashing — two real xxhash64
     evaluations per shingle (h1, h2), lane_j = h1 + j·h2 — so per-lane work
@@ -139,25 +144,20 @@ def minhash_signatures(
     below 2^41; 40-bit min-hashes are ample for per-document shingle sets).
     """
     m1, m2 = F.lit((1 << 40) - 1), F.lit((1 << 20) - 1)
-    hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("did"),
-        F.transform(
-            word_shingles(text_col, n),
-            # arity-1 lambda: transform() treats a 2-arg lambda as
-            # (element, index) — a seed default-arg would hash positions
-            lambda s: F.struct(
-                F.xxhash64(s).bitwiseAND(m1).alias("h1"),
-                F.xxhash64(s, F.lit(1)).bitwiseAND(m2).alias("h2"),
-            ),
-        ).alias("hs"),
-    ).filter(F.size("hs") > 0)
-
-    def lane(j: int):
-        step = F.lit(j)
-        return F.array_min(F.transform("hs", lambda s: s["h1"] + step * s["h2"]))
-
-    lanes = [lane(j) for j in range(num_hashes)]
-    return hashed.select("did", F.array(*lanes).alias("sig"))
+    hashed = _shingled(df, id_col, text_col, n).select(
+        "did",
+        F.xxhash64("sh").bitwiseAND(m1).alias("h1"),
+        F.xxhash64("sh", F.lit(1)).bitwiseAND(m2).alias("h2"),
+    )
+    lanes = [
+        F.min(F.col("h1") + j * F.col("h2")).alias(f"_s{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy("did")
+        .agg(*lanes)
+        .select("did", F.array(*[f"_s{j}" for j in range(num_hashes)]).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -240,29 +240,29 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote of token xxhash64 bits.
 
-    Pure column expressions (bits× aggregate() folds over the token-hash
-    array) — stays in codegen, no shuffle, no UDF. The token-hash array is
-    materialized as a real column first so the tokenize+hash work runs once
-    per row, not once per bit lane.
+    Shape: explode tokens → hash each once → groupBy doc with one
+    popcount-SUM per bit plus a token COUNT, then assemble the majority
+    bits. Fully whole-stage-codegen — the previous formulation (bits×
+    aggregate() folds over a token-hash array) ran interpreted, Spark's
+    HOF cost model, and measured several× slower. Map-side partial sums
+    collapse each doc to one 33-column row before the exchange (each doc's
+    tokens sit in one partition), so shuffle volume is fixed per doc.
     """
     hashed = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("did"),
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
-    )
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select("did", F.xxhash64("tok").alias("h"))
 
-    def ones_at(bit_pos: int):
-        # closure factory: HOF lambdas must take exactly (acc, x)
-        def fold(acc, h):
-            return acc + F.shiftright(h, bit_pos).bitwiseAND(F.lit(1)).cast("int")
-
-        return F.aggregate(F.col("th"), F.lit(0), fold)
-
-    ntok = F.size("th")
+    ones = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy("did").agg(*ones, F.count(F.lit(1)).alias("_n"))
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        bit = (ones_at(b) * 2 > ntok).cast("long")
+        bit = (F.col(f"_o{b}") * 2 > F.col("_n")).cast("long")
         sim = sim + F.shiftleft(bit, b)
-    return hashed.select("did", sim.alias("simhash"))
+    return agg.select("did", sim.alias("simhash"))
 
 
 def simhash_pairs(
