@@ -804,3 +804,63 @@ def op_sessionize(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "op_pivot",
+    f"""
+    SELECT o_orderstatus,
+           {_ds("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent,
+           {_ds("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0 END")} AS high,
+           {_ds("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END")} AS medium,
+           {_ds("CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice ELSE 0 END")} AS unspecified,
+           {_ds("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice ELSE 0 END")} AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "ops", "pivot",
+)
+def op_pivot(spark, sf_dir):
+    """PIVOT: priority columns × status rows — beyond-reference reshaping
+    aggregate. Expressed as conditional aggregation (what Spark's .pivot()
+    compiles to once values are pinned): one hash aggregate, no extra
+    shuffle vs a plain group-by, and the explicit value list keeps the
+    plan static — .pivot() without values runs a distinct JOB first, a
+    driver round-trip you never want at 100 TB."""
+    o = tables(spark, sf_dir)["orders"]
+
+    def bucket(val, alias):
+        cond = F.when(F.col("o_orderpriority") == val, F.col("o_totalprice")).otherwise(F.lit(0.0))
+        return dsum(cond).alias(alias)
+
+    return o.groupBy("o_orderstatus").agg(
+        bucket("1-URGENT", "urgent"),
+        bucket("2-HIGH", "high"),
+        bucket("3-MEDIUM", "medium"),
+        bucket("4-NOT SPECIFIED", "unspecified"),
+        bucket("5-LOW", "low"),
+    )
+
+
+@register(
+    "op_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    "ops", "aggregate", "histogram",
+)
+def op_histogram(spark, sf_dir):
+    """Fixed-width histogram of order totals (12 buckets of 50k, top
+    bucket open) — the profiling primitive behind range-partition sizing
+    and skew detection. Pure arithmetic bucketing → one hash aggregate;
+    floor() (not integer div) so the formula is engine-portable and
+    correct for any sign."""
+    o = tables(spark, sf_dir)["orders"]
+    b = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11)).cast("long")
+    return o.groupBy(b.alias("bucket")).agg(
+        bigint(F.count(F.lit(1))).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

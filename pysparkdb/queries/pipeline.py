@@ -437,3 +437,70 @@ def text_chunk(spark, sf_dir):
     document — the context-window packing step before tokenization. Map-side
     explode, no shuffle; oracle-exact against DuckDB's unnest(range())."""
     return text.chunk_text(tables(spark, sf_dir)["documents"], size=200, stride=150)
+
+
+@register(
+    "text_stratified_sample",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS STRING)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+    GROUP BY lang
+    """,
+    "pipeline", "text", "sampling",
+)
+def text_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: 1/8 of 'en' docs (hex '20' =
+    32/256), 1/2 of every other language — the class-rebalancing step of a
+    training-data mix. Membership is a pure function of doc_id (md5 prefix
+    against a per-stratum hex threshold), so the sample is reproducible
+    across engines/runs/partitionings — unlike sampleBy(), whose
+    rand()-based picks no oracle can replay. The threshold compare pushes
+    into the scan as a filter."""
+    d = tables(spark, sf_dir)["documents"]
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
+    return (
+        d.filter(prefix < thresh)
+        .groupBy("lang")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_sampled"),
+            bigint(F.min("doc_id")).alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "emb_norm_stats",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT label, sqrt({_duck_dot('v', 'v')}) AS nrm FROM e)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+           CAST(SUM(CAST(nrm AS DECIMAL(25,6))) AS DOUBLE) AS sum_norm
+    FROM n GROUP BY label
+    """,
+    "pipeline", "similarity", "stats",
+)
+def emb_norm_stats(spark, sf_dir):
+    """Per-label embedding-norm statistics — the sanity profile run before
+    any ANN build (zero-norm and scale-drift vectors break cosine). Norms
+    fold sequentially (same shape as dedup_embedding) so the doubles are
+    bit-identical to the oracle's; the aggregate is one hash shuffle of
+    (label, norm) pairs."""
+    from pysparkdb.pipeline.similarity import norm, _as_double
+
+    e = tables(spark, sf_dir)["embeddings"]
+    nrm = norm(_as_double(F.col("embedding")))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_vecs"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.sum(F.col("nrm").cast("decimal(25,6)")).cast("double").alias("sum_norm"),
+        )
+    )

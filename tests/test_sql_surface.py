@@ -41,6 +41,7 @@ NOT_ANSI_PORTABLE = {
     "pipeline_clean",      # regexp_replace 'g' flag argument
     "op_sessionize",       # epoch() is DuckDB-only (Spark: unix_timestamp)
     "text_chunk",          # unnest(range()) offset materialization
+    "emb_norm_stats",      # duck DOUBLE[] cast + list-comprehension dot
 }
 
 SPECS = [
