@@ -736,8 +736,10 @@ def op_hash_sample(spark, sf_dir):
     the reproducible-sampling primitive a training-data pipeline needs:
     unlike TABLESAMPLE/rand(), membership is a pure function of the key,
     so the sample is identical across engines, runs, and partitionings
-    (oracle-exact), composable (same rows at sf0.01 and inside any join),
-    and pushes down to the scan as a filter."""
+    (oracle-exact) and composable (same rows at sf0.01 and inside any
+    join). The md5 predicate is computed, so it filters during the scan
+    stage but not at the parquet reader (no PushedFilters entry) —
+    acceptable: it reads one narrow key column."""
     o = tables(spark, sf_dir)["orders"]
     digit = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
     return o.filter(digit.isin("0", "1")).agg(
@@ -779,10 +781,11 @@ def op_sessionize(spark, sf_dir):
     ids via running sum of boundary flags, then per-session rollup — the
     relational twin of the streaming session window (ev_session), for
     backfills over historical event data. Two window passes over ONE
-    partitioning (user_id) then a group-by on (user_id, session_seq), a
-    prefix of the window keys — Catalyst reuses the same exchange, so the
-    whole query is a single shuffle of the events table at any scale.
-    Ordering (ts, event_id) is total → deterministic boundaries."""
+    partitioning (user_id), then a group-by on (user_id, session_seq):
+    the events table shuffles once (the window exchange); the group-by's
+    second exchange moves only map-side-combined per-session rows — tiny
+    at any scale. Ordering (ts, event_id) is total → deterministic
+    boundaries."""
     from pyspark.sql import Window
 
     e = tables(spark, sf_dir)["events"]

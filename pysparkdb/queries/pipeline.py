@@ -457,8 +457,9 @@ def text_stratified_sample(spark, sf_dir):
     training-data mix. Membership is a pure function of doc_id (md5 prefix
     against a per-stratum hex threshold), so the sample is reproducible
     across engines/runs/partitionings — unlike sampleBy(), whose
-    rand()-based picks no oracle can replay. The threshold compare pushes
-    into the scan as a filter."""
+    rand()-based picks no oracle can replay. The md5 threshold is a
+    computed predicate (filters in the scan stage, not at the parquet
+    reader)."""
     d = tables(spark, sf_dir)["documents"]
     prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     thresh = F.when(F.col("lang") == "en", F.lit("20")).otherwise(F.lit("80"))
