@@ -867,3 +867,81 @@ def op_histogram(spark, sf_dir):
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@register(
+    "op_collect_set",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "ops", "aggregate", "collect",
+)
+def op_collect_set(spark, sf_dir):
+    """collect_set → sorted → joined to one string — beyond-reference
+    array aggregation. The sort + string join makes the result order-
+    and type-stable for the hash compare (raw collect_set order is
+    nondeterministic, and array cells hash differently per engine). At
+    scale: set semantics bound the state per group to distinct values —
+    unlike collect_list, which buffers every row and is the classic
+    aggregation-state OOM."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        bigint(F.count(F.lit(1))).alias("n"),
+    )
+
+
+@register(
+    "op_string_funcs",
+    """
+    SELECT c_custkey,
+           trim(c_name) AS trimmed,
+           lpad(CAST(c_custkey AS STRING), 10, '0') AS padded,
+           reverse(c_mktsegment) AS rev_seg,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlat,
+           split_part(c_name, '#', 2) AS name_num,
+           CAST(length(c_name) AS BIGINT) AS name_len
+    FROM customer WHERE c_custkey <= 200
+    """,
+    "ops", "expression", "string",
+)
+def op_string_funcs(spark, sf_dir):
+    """String expression surface: trim/lpad/reverse/translate/split_part/
+    length — the text-wrangling slice of §2.8 beyond the reference's
+    substr/like set. All JVM codegen builtins, evaluated in the scan
+    stage; identical semantics in DuckDB makes them oracle-exact."""
+    c = tables(spark, sf_dir)["customer"].filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.trim(F.col("c_name")).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("xlat"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        bigint(F.length(F.col("c_name"))).alias("name_len"),
+    )
+
+
+@register(
+    "op_date_trunc",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY month
+    """,
+    "ops", "expression", "date",
+)
+def op_date_trunc(spark, sf_dir):
+    """date_trunc-based monthly rollup — the calendar-bucketing twin of
+    the unit-extraction already covered by op_expr_datefuncs. DuckDB's
+    date_trunc yields DATE where Spark yields TIMESTAMP, so the oracle
+    casts back to TIMESTAMP for value-hash equality."""
+    o = tables(spark, sf_dir)["orders"]
+    return o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        bigint(F.count(F.lit(1))).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("revenue"),
+    )

@@ -42,6 +42,7 @@ NOT_ANSI_PORTABLE = {
     "op_sessionize",       # epoch() is DuckDB-only (Spark: unix_timestamp)
     "text_chunk",          # unnest(range()) offset materialization
     "emb_norm_stats",      # duck DOUBLE[] cast + list-comprehension dot
+    "op_collect_set",      # duck list()/list_sort vs Spark collect_set
 }
 
 SPECS = [
