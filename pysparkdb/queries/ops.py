@@ -780,12 +780,12 @@ def op_sessionize(spark, sf_dir):
     """Batch sessionization: 30-min-gap session boundaries via lag, session
     ids via running sum of boundary flags, then per-session rollup — the
     relational twin of the streaming session window (ev_session), for
-    backfills over historical event data. Two window passes over ONE
-    partitioning (user_id), then a group-by on (user_id, session_seq):
-    the events table shuffles once (the window exchange); the group-by's
-    second exchange moves only map-side-combined per-session rows — tiny
-    at any scale. Ordering (ts, event_id) is total → deterministic
-    boundaries."""
+    backfills over historical event data. ONE shuffle total at any
+    scale: the window exchanges on user_id, and the session rollup's
+    group keys (user_id, session_seq) are satisfied by that same hash
+    distribution — Catalyst plans the final aggregate with no second
+    exchange (asserted in test_plan_quality). Ordering (ts, event_id) is
+    total → deterministic boundaries."""
     from pyspark.sql import Window
 
     e = tables(spark, sf_dir)["events"]

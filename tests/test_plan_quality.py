@@ -77,3 +77,52 @@ class TestAggregationAndTopK:
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         assert "WholeStageCodegen subtrees" in txt and "Found 0" not in txt
+
+
+class TestRound3Additions:
+    def test_rollup_is_expand_plus_one_aggregation(self, spark, sf_dir):
+        """ROLLUP must plan as a map-side Expand feeding ONE two-phase
+        hash aggregate (a single exchange on the expanded keys) — not one
+        aggregation per grouping set."""
+        p = plan("op_rollup", spark, sf_dir, mode="simple")
+        assert "Expand" in p
+        assert p.count("Exchange") == 1
+
+    def test_pivot_is_single_aggregation(self, spark, sf_dir):
+        """The pinned-values pivot is conditional aggregation: exactly the
+        plain group-by's plan shape (one exchange), no distinct job, no
+        extra pass."""
+        p = plan("op_pivot", spark, sf_dir, mode="simple")
+        assert p.count("Exchange") == 1
+        assert p.count("HashAggregate") >= 2  # partial + final
+
+    def test_sessionize_shuffles_events_once(self, spark, sf_dir):
+        """The whole query must be a SINGLE shuffle of the events table:
+        the session rollup groups on (user_id, session_seq), and hash
+        distribution on user_id — already in place from the window —
+        satisfies that clustering, so Catalyst plans the final aggregate
+        with NO second exchange."""
+        p = plan("op_sessionize", spark, sf_dir, mode="simple")
+        assert p.count("Exchange") == 1
+        assert "Window" in p
+
+    def test_sketch_aggregations_are_partial_final(self, spark, sf_dir):
+        """minhash/simhash sketches must show map-side partial aggregation
+        (the explode→groupBy form): per-doc rows collapse before the
+        exchange, so shuffle volume == sketch size."""
+        from pysparkdb.pipeline.dedup import minhash_signatures, simhash
+        from pysparkdb.queries.base import tables as t
+
+        docs = t(spark, sf_dir)["documents"]
+        for df in (minhash_signatures(docs), simhash(docs)):
+            p = explain_str(df, "simple")
+            assert p.count("HashAggregate") >= 2, p
+
+    def test_hash_sample_filters_before_aggregation(self, spark, sf_dir):
+        """Deterministic sampling is a filter in the scan stage (below
+        the exchange — the plan prints top-down, so the Filter line comes
+        after Exchange), never a post-shuffle subset; the md5 predicate
+        reaches the scan node's DataFilters."""
+        p = plan("op_hash_sample", spark, sf_dir, mode="simple")
+        assert p.index("Exchange") < p.index("Filter")
+        assert "DataFilters: [substring(md5(" in p
