@@ -135,22 +135,24 @@ def minhash_signatures(
     32-lane row per doc before the exchange — shuffle volume == the
     signature output itself, at any scale.
 
-    Hash family: Kirsch–Mitzenmacher double hashing — two real xxhash64
-    evaluations per shingle (h1, h2), lane_j = h1 + j·h2 — so per-lane work
-    is one multiply-add instead of a full string hash. K-M is the standard
-    multi-hash construction (bloom filters, minhash); recall floors are
-    asserted in tests. h1/h2 are masked to 40/20 bits so the affine
-    combine cannot overflow a long under ANSI arithmetic (lane values stay
-    below 2^41; 40-bit min-hashes are ample for per-document shingle sets).
+    Hash family: the shingle STRING is hashed once (xxhash64 → long);
+    each lane then re-hashes that 8-byte long with the lane index,
+    lane_j = xxhash64(h, j) — a full-width integer hash per lane, far
+    cheaper than a string hash and, unlike an affine
+    Kirsch–Mitzenmacher combine (h1 + j·h2), genuinely independent
+    across lanes. K-M is NOT min-wise independent: across j the lane
+    values of a document's shingles form a lower envelope of lines, so
+    only the few envelope-segment shingles ever attain the min — an
+    earlier K-M version produced signatures where J≈0.98 clone pairs
+    shared 0/32 lanes (the one differing shingle owned the envelope).
+    Recall floors vs the exact baseline are asserted in tests at both
+    test scales.
     """
-    m1, m2 = F.lit((1 << 40) - 1), F.lit((1 << 20) - 1)
     hashed = _shingled(df, id_col, text_col, n).select(
-        "did",
-        F.xxhash64("sh").bitwiseAND(m1).alias("h1"),
-        F.xxhash64("sh", F.lit(1)).bitwiseAND(m2).alias("h2"),
+        "did", F.xxhash64("sh").alias("h")
     )
     lanes = [
-        F.min(F.col("h1") + j * F.col("h2")).alias(f"_s{j}")
+        F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"_s{j}")
         for j in range(num_hashes)
     ]
     return (

@@ -76,6 +76,28 @@ def test_resize_image_pixel_grid(spark):
     assert all(0.0 <= p <= 1.0 for r in out.values() for p in r.pixels)
 
 
+def test_minhash_lane_agreement_tracks_jaccard(spark):
+    """MinHash lanes must be (near-)independent: for a doc pair with
+    known Jaccard J, the fraction of agreeing lanes estimates J. The
+    failure mode guarded here is structural lane correlation — an affine
+    K-M lane family (h1 + j·h2) once produced 0/32 agreement on J≈0.9
+    clones because only lower-envelope shingles could attain any lane's
+    min."""
+    from pysparkdb.pipeline import dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    # doc 2 changes the last 2 words → word-3-gram J ≈ 0.86
+    variant = " ".join(f"w{i}" for i in range(38)) + " x1 x2"
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id long, text string"
+    )
+    sigs = {r.did: r.sig for r in dedup.minhash_signatures(docs).collect()}
+    agree = sum(1 for a, b in zip(sigs[1], sigs[2]) if a == b)
+    # E[agree] = 32·J ≈ 27.5; demand at least half — generous for noise,
+    # far above the 0 the correlated family produced
+    assert agree >= 16, f"lane agreement {agree}/32 too low for J≈0.86"
+
+
 def test_stop_shingle_cap_never_adds_pairs(spark):
     """The stop-shingle guard may only REMOVE pairs, and any surviving
     pair's jaccard is ≤ its uncapped value (sizes count every shingle; only
