@@ -211,3 +211,41 @@ def test_ann_ivf_structure_and_recall(spark, sf_dir):
     recall = sum(1 for q, c in exact.items() if q in approx and approx[q][0] == c) / len(exact)
     print(f"ann_ivf top-1 recall vs exact: {recall:.2f} over {len(approx)} queries")
     assert recall >= 0.6
+
+
+def test_chunk_text_covers_and_reconstructs(spark):
+    """Every chunk is exactly text[start:start+size]; chunk starts step by
+    stride; the last chunk reaches the document end (full coverage); and
+    stripping the overlap reconstructs the original text."""
+    from pysparkdb.pipeline.text import chunk_text
+
+    texts = ["x" * 10, "".join(chr(97 + i % 26) for i in range(487)), "short"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    size, stride = 100, 60
+    out = {}
+    for r in chunk_text(docs, size=size, stride=stride).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk
+    for i, text in enumerate(texts):
+        chunks = [out[i][k] for k in sorted(out[i])]
+        for k, c in enumerate(chunks):
+            assert c == text[k * stride : k * stride + size], (i, k)
+        # coverage: last chunk reaches the end
+        assert (len(chunks) - 1) * stride + len(chunks[-1]) >= len(text)
+        # reconstruction: first chunk + non-overlap tails
+        rebuilt = chunks[0] + "".join(c[size - stride:] for c in chunks[1:])
+        assert rebuilt == text, i
+
+
+def test_hash_sample_deterministic_under_repartition(spark, sf_dir):
+    """Hash-sample membership is a pure function of the key: the same rows
+    are selected regardless of partitioning or run."""
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"]
+    pred = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    a = {r.doc_id for r in d.filter(pred).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in d.repartition(17, "lang").filter(pred).select("doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < d.count()
