@@ -233,3 +233,60 @@ def sample_frames(df: DataFrame, num_frames: int = 3, fake: bool = False) -> Dat
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(fake_sample, schema=out_schema)
+
+
+def chunk_audio(
+    df: DataFrame, window_bytes: int = 1024, hop_bytes: int = 512,
+    fake: bool = False,
+) -> DataFrame:
+    """Split binary audio payloads into overlapping fixed-byte windows
+    with per-window RMS — the framing step before any spectral feature
+    (the audio twin of text.chunk_text). 1→N row fan-out.
+
+    STUB (no audio libs in this container; same contract as decode_audio):
+    ``fake=True`` treats the bytes as signed 8-bit samples through the
+    real mapInPandas plumbing, numpy-vectorized per Arrow batch;
+    ``fake=False`` raises. Window starts are 0, hop, 2·hop, … — every
+    payload yields at least one (possibly short) window, and partition
+    sizing must budget for the len/hop fan-out like sample_frames.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio framing requires a decoder (soundfile/librosa) — not "
+            "available in this container; call with fake=True for the "
+            "deterministic stand-in"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("window_id", T.LongType()),
+            T.StructField("start_byte", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def fake_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, wids, starts, sizes, rms = [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
+                n = max(x.size, 1)
+                w = 0
+                for start in range(0, n, hop_bytes):
+                    seg = x[start : start + window_bytes]
+                    ids.append(did); wids.append(w); starts.append(start)
+                    sizes.append(int(seg.size))
+                    rms.append(float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0)
+                    w += 1
+                    if start + window_bytes >= n:
+                        break
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_id": wids, "start_byte": starts,
+                 "n_bytes": sizes, "rms": rms}
+            )
+
+    return df.mapInPandas(fake_chunks, schema=out_schema)

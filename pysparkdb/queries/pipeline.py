@@ -505,3 +505,18 @@ def emb_norm_stats(spark, sf_dir):
             F.sum(F.col("nrm").cast("decimal(25,6)")).cast("double").alias("sum_norm"),
         )
     )
+
+
+@register(
+    "mm_chunk_audio",
+    None,  # byte-level windowed signal math not SQL-expressible → rows-only;
+           # window math content-checked in tests/test_pipeline.py
+    "pipeline", "multimodal",
+)
+def mm_chunk_audio(spark, sf_dir):
+    """Overlapping fixed-byte audio framing (1 KiB windows, 512 B hop) with
+    per-window RMS over document payloads-as-audio — the framing step
+    before any spectral feature, through the real mapInPandas plumbing."""
+    d = tables(spark, sf_dir)["documents"]
+    audio = multimodal.to_binary_column(d)
+    return multimodal.chunk_audio(audio, fake=True)

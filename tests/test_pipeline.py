@@ -249,3 +249,23 @@ def test_hash_sample_deterministic_under_repartition(spark, sf_dir):
         for r in d.repartition(17, "lang").filter(pred).select("doc_id").collect()
     }
     assert a == b and 0 < len(a) < d.count()
+
+
+def test_chunk_audio_window_math(spark):
+    """Known payload → known windows: starts step by hop, last window
+    reaches the end, sizes clamp, RMS of a constant signal is its level."""
+    from pysparkdb.pipeline.multimodal import chunk_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray([3] * 1500)), (2, bytearray(b"")), (3, bytearray([5] * 100))],
+        "doc_id long, payload binary",
+    )
+    out = {}
+    for r in chunk_audio(df, window_bytes=1024, hop_bytes=512, fake=True).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    w1 = sorted(out[1], key=lambda r: r.window_id)
+    assert [(r.start_byte, r.n_bytes) for r in w1] == [(0, 1024), (512, 988)]
+    assert all(abs(r.rms - 3.0) < 1e-12 for r in w1)
+    assert [(r.start_byte, r.n_bytes, r.rms) for r in out[2]] == [(0, 0, 0.0)]
+    assert [(r.start_byte, r.n_bytes) for r in out[3]] == [(0, 100)]
+    assert abs(out[3][0].rms - 5.0) < 1e-12
