@@ -945,3 +945,40 @@ def op_date_trunc(spark, sf_dir):
         bigint(F.count(F.lit(1))).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "op_grouping_sets",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           {_ds('l_quantity')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "ops", "aggregate", "rollup",
+)
+def op_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS ((flag), (status), ()) — the general form
+    beyond op_rollup's hierarchy. Planned as ONE Expand pass: cube()
+    generates all four sets map-side and grouping_id() filters out the
+    unwanted (flag, status) set — a single scan + single exchange, where
+    a UNION-of-group-bys formulation would scan the fact table once per
+    set. NULL subtotal keys COALESCE to 'ALL' sentinels (compare sorts
+    rows; None breaks ordering)."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            bigint(F.count(F.lit(1))).alias("n"),
+            F.grouping_id().alias("_gid"),
+        )
+        .filter(F.col("_gid") != 0)
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "sum_qty", "n",
+        )
+    )
