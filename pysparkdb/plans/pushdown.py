@@ -23,12 +23,33 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _skip_quoted(text: str, i: int) -> int:
+    """If text[i] opens a quoted span (' or \"), return the index just past
+    its closing quote (or len(text) if unterminated); else return i.
+    Bracket/comma characters inside string literals — e.g.
+    ``StringContains(c_comment, 'a]b')`` or In-lists of strings with
+    commas — must not participate in balancing or splitting."""
+    q = text[i]
+    if q not in "'\"":
+        return i
+    j = i + 1
+    while j < len(text) and text[j] != q:
+        j += 1
+    return min(j + 1, len(text))
+
+
 def _balanced_body(text: str, start: int) -> str:
     """Content of the bracket group opening at text[start] == '[', scanned
     with bracket/paren balancing — In-list filters like ``In(x, [1, 2])``
-    contain nested ``]`` that a non-greedy regex would truncate at."""
+    contain nested ``]`` that a non-greedy regex would truncate at.
+    Quoted literals are skipped wholesale (see _skip_quoted)."""
     depth = 0
-    for i in range(start, len(text)):
+    i = start
+    while i < len(text):
+        j = _skip_quoted(text, i)
+        if j != i:
+            i = j
+            continue
         c = text[i]
         if c in "[(":
             depth += 1
@@ -36,13 +57,21 @@ def _balanced_body(text: str, start: int) -> str:
             depth -= 1
             if depth == 0:
                 return text[start + 1 : i]
+        i += 1
     return text[start + 1 :]
 
 
 def _split_top_level(body: str) -> list[str]:
-    """Split on commas not enclosed in brackets/parens."""
+    """Split on commas not enclosed in brackets/parens/quoted literals."""
     out, depth, cur = [], 0, []
-    for c in body:
+    i = 0
+    while i < len(body):
+        j = _skip_quoted(body, i)
+        if j != i:
+            cur.append(body[i:j])
+            i = j
+            continue
+        c = body[i]
         if c in "[(":
             depth += 1
         elif c in "])":
@@ -52,6 +81,7 @@ def _split_top_level(body: str) -> list[str]:
             cur = []
         else:
             cur.append(c)
+        i += 1
     tail = "".join(cur).strip()
     if tail:
         out.append(tail)

@@ -699,8 +699,8 @@ def op_window_lead_lag(spark, sf_dir):
     "op_min_max_by",
     """
     SELECT o_orderpriority,
-           min_by(o_orderkey, o_totalprice) AS cheapest_order,
-           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           min({'p': o_totalprice, 'k': o_orderkey}).k AS cheapest_order,
+           max({'p': o_totalprice, 'k': o_orderkey}).k AS priciest_order,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
     FROM orders GROUP BY o_orderpriority
@@ -710,13 +710,15 @@ def op_window_lead_lag(spark, sf_dir):
 def op_min_max_by(spark, sf_dir):
     """min_by/max_by (argmin/argmax) per priority — beyond-reference
     'which row attains the extreme' aggregate; partial-aggregable, so it
-    map-side combines like MIN/MAX (no row sort, no window). o_totalprice
-    is duplicate-free per group at these scales, making the arg unique and
-    the compare deterministic."""
+    map-side combines like MIN/MAX (no row sort, no window). The ordering
+    key is the struct (o_totalprice, o_orderkey) — a TOTAL order, so ties
+    on price resolve to the smallest/largest orderkey deterministically in
+    both engines (bare min_by/max_by tie-breaking is engine-defined)."""
     o = tables(spark, sf_dir)["orders"]
+    key = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
     return o.groupBy("o_orderpriority").agg(
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min(key).getField("k").alias("cheapest_order"),
+        F.max(key).getField("k").alias("priciest_order"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
@@ -763,7 +765,7 @@ def op_hash_sample(spark, sf_dir):
       FROM events
     ), sessions AS (
       SELECT user_id, ts, value,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM gaps
     )

@@ -214,6 +214,19 @@ class TestPushdown:
         ]
         assert _split_top_level("") == []
 
+    def test_filter_parser_skips_quoted_literals(self):
+        """Brackets/commas inside string literals must not unbalance the
+        scan or split a filter — e.g. StringContains(c, 'a]b') or an
+        In-list of strings containing commas."""
+        from pysparkdb.plans.pushdown import _balanced_body, _split_top_level
+
+        text = "PushedFilters: [StringContains(c, 'a]b'), In(s, ['x,y', \"p)q\"])] tail"
+        body = _balanced_body(text, text.index("["))
+        assert body == "StringContains(c, 'a]b'), In(s, ['x,y', \"p)q\"])"
+        assert _split_top_level(body) == [
+            "StringContains(c, 'a]b')", "In(s, ['x,y', \"p)q\"])",
+        ]
+
 
 class TestRuntimeBloomFilter:
     def test_catalyst_injects_bloom_filter_on_selective_join(self, spark, sf_dir):

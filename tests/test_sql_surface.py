@@ -43,6 +43,7 @@ NOT_ANSI_PORTABLE = {
     "text_chunk",          # unnest(range()) offset materialization
     "emb_norm_stats",      # duck DOUBLE[] cast + list-comprehension dot
     "op_collect_set",      # duck list()/list_sort vs Spark collect_set
+    "op_min_max_by",       # duck {'k': v} struct literal for the total argmin key
 }
 
 SPECS = [
