@@ -138,20 +138,25 @@ class Catalog:
             )
         else:
             df = self.spark.read.parquet(path)
-            df = self._resolve_nanos(name, df)
+            df = self._resolve_timestamps(name, df)
         if validate and name in DECLARED_SCHEMAS:
             self._validate(name, df)
         df.createOrReplaceTempView(name)
         self.tables[name] = df
         return df
 
-    def _resolve_nanos(self, name: str, df: DataFrame) -> DataFrame:
-        """Convert TIMESTAMP(NANOS) columns (read as epoch-nanos longs under
-        spark.sql.legacy.parquet.nanosAsLong) to proper timestamps.
+    def _resolve_timestamps(self, name: str, df: DataFrame) -> DataFrame:
+        """Normalize on-disk timestamp representations to declared TIMESTAMP.
 
-        Integer `div` (not `/`) so ~1.7e18 nanos don't round through double;
-        truncation toward zero matches DuckDB's ns→us behaviour for the
-        positive epochs in the testdata.
+        Two writer variants appear in the wild:
+        - TIMESTAMP(NANOS): read as epoch-nanos longs under
+          spark.sql.legacy.parquet.nanosAsLong; converted with integer `div`
+          (not `/`) so ~1.7e18 nanos don't round through double; truncation
+          toward zero matches DuckDB's ns→us behaviour for positive epochs.
+        - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads these as
+          TIMESTAMP_NTZ. Under the engine's fixed UTC session timezone the
+          NTZ→LTZ cast is the identity on wall-clock values, and downstream
+          operators (unix_micros, window, asof) see one consistent type.
         """
         from pyspark.sql import functions as F
 
@@ -160,12 +165,14 @@ class Catalog:
             return df
         actual = {f.name: f.dataType for f in df.schema.fields}
         for f in declared.fields:
-            if isinstance(f.dataType, T.TimestampType) and isinstance(
-                actual.get(f.name), T.LongType
-            ):
+            if not isinstance(f.dataType, T.TimestampType):
+                continue
+            if isinstance(actual.get(f.name), T.LongType):
                 df = df.withColumn(
                     f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
                 )
+            elif isinstance(actual.get(f.name), T.TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         return df
 
     def _validate(self, name: str, df: DataFrame) -> None:

@@ -35,8 +35,11 @@ def range_interval_join(
     buckets {b, b+1} (explode ×2), the right row sits in its own bucket —
     an equi-join Catalyst can hash-partition.
     """
-    l_epoch = F.unix_micros(F.col(left_ts))
-    r_epoch = F.unix_micros(F.col(right_ts))
+    # cast("timestamp") is a no-op on TIMESTAMP and, under the engine's UTC
+    # session timezone, the identity on TIMESTAMP_NTZ wall-clock values —
+    # unix_micros itself rejects NTZ input outright.
+    l_epoch = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_epoch = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
     # exact integer FLOOR bucket (not double division: epoch-micros ≈ 1.7e15
     # sits too close to double's 2^53 integer limit for comfort; not bare

@@ -70,30 +70,106 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_minhash_lsh",
-    None,  # xxhash64 signatures not reproducible in DuckDB → rows-only;
-           # recall vs the exact baseline is asserted in tests/test_pipeline.py
+    # Self-certifying: xxhash64 signatures aren't reproducible in DuckDB,
+    # but the exact-Jaccard ground truth IS — the Spark side emits the
+    # checked invariant (LSH pairs ⊆ exact pairs, recall == 1 on this
+    # clone-heavy corpus, b=16/r=2 ⇒ P(candidate|J≥0.5) ≈ .99) plus the
+    # DuckDB-verifiable exact-pair count.
+    f"""
+    WITH pairs AS ({_DUCK_JACCARD.format(t=0.5)})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS precision_ok, TRUE AS recall_ok
+    FROM pairs
+    """,
     "pipeline", "dedup", "lsh",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32)+LSH(16 bands × 2 rows) candidates, exact-Jaccard-verified
     at t=0.5 — the scalable two-phase near-dup shape. max_doc_freq=256 is
     the stop-shingle fan-out guard: far above this corpus's max shingle
-    doc-freq (25 at sf0.1, recall unaffected — asserted in
-    tests/test_pipeline.py), it bounds the verify join against boilerplate
-    shingles at real corpus scale."""
-    return dedup.minhash_lsh_pairs(
-        tables(spark, sf_dir)["documents"], threshold=0.5, max_doc_freq=256
+    doc-freq (25 at sf0.1, recall unaffected), it bounds the verify join
+    against boilerplate shingles at real corpus scale.
+
+    Registered form is the driver-checkable invariant: the LSH pair set is
+    compared (distributed, semi/anti joins — no collect) against the exact
+    shingle-Jaccard pair set at the same threshold; precision_ok ⇔ every
+    LSH pair is an exact pair, recall_ok ⇔ every exact pair was found.
+    The raw pair stream is the library output (dedup.minhash_lsh_pairs),
+    exercised directly by tests/test_pipeline.py."""
+    d = tables(spark, sf_dir)["documents"]
+    lsh = dedup.minhash_lsh_pairs(d, threshold=0.5, max_doc_freq=256)
+    exact = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    return _pair_set_compare(lsh, exact)
+
+
+def _pair_set_compare(got, truth):
+    """One-plan distributed set compare of (doc_a, doc_b) pair frames:
+    (n_exact_pairs, precision_ok = got ⊆ truth, recall_ok = truth ⊆ got).
+    Union + groupBy — no collect, no driver-side loop; shuffle volume is
+    the pair sets themselves."""
+    g = got.select("doc_a", "doc_b", F.lit(1).alias("g"), F.lit(0).alias("t"))
+    t = truth.select("doc_a", "doc_b", F.lit(0).alias("g"), F.lit(1).alias("t"))
+    sets = (
+        g.unionAll(t)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("g").alias("g"), F.max("t").alias("t"))
+    )
+    def _zero(c):  # empty input → SUM yields NULL; treat as 0
+        return F.coalesce(c, F.lit(0))
+
+    return sets.agg(
+        _zero(F.sum("t")).cast("long").alias("n_exact_pairs"),
+        (_zero(F.sum(F.when((F.col("g") == 1) & (F.col("t") == 0), 1).otherwise(0))) == 0)
+        .alias("precision_ok"),
+        (_zero(F.sum(F.when((F.col("t") == 1) & (F.col("g") == 0), 1).otherwise(0))) == 0)
+        .alias("recall_ok"),
     )
 
 
 @register(
     "dedup_simhash",
-    None,  # xxhash64-based fingerprint → rows-only + tests
+    # Self-certifying: the xxhash64-based fingerprint isn't reproducible in
+    # DuckDB, but the banding THEOREM is checkable engine-side — pigeonhole
+    # (4 bands × 8 bits, Hamming ≤ 3 ⇒ ≥1 band equal) says the banded pair
+    # set must equal the brute-force all-pairs Hamming scan of the same
+    # fingerprints. The oracle pins the corpus size; the booleans certify
+    # band completeness/soundness.
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS bands_complete, TRUE AS bands_sound
+    FROM documents
+    """,
     "pipeline", "dedup", "lsh",
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash(32-bit) near-dup pairs at Hamming ≤ 3 via 8-bit band join."""
-    return dedup.simhash_pairs(tables(spark, sf_dir)["documents"])
+    """SimHash(32-bit) near-dup pairs at Hamming ≤ 3 via 8-bit band join.
+
+    Registered form is the driver-checkable invariant: the banded pair set
+    is compared (distributed) against the brute-force O(n²) Hamming scan of
+    the same fingerprints — bands_complete ⇔ banding lost no pair
+    (pigeonhole exhaustiveness), bands_sound ⇔ it added none. Brute force
+    is a codegen popcount over the n² id pairs — fine at test scale, and
+    exactly the check you'd run on a sample before trusting the banded
+    path on the full corpus. Raw pairs: dedup.simhash_pairs (library
+    output, exercised by tests/test_pipeline.py)."""
+    d = tables(spark, sf_dir)["documents"]
+    banded = dedup.simhash_pairs(d).select("doc_a", "doc_b")
+    sims = dedup.simhash(d)
+    a = sims.select(F.col("did").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sims.select(F.col("did").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3)
+        .select("doc_a", "doc_b")
+    )
+    cmp = _pair_set_compare(banded, brute)
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return n_docs.crossJoin(
+        cmp.select(
+            F.col("recall_ok").alias("bands_complete"),
+            F.col("precision_ok").alias("bands_sound"),
+        )
+    )
 
 
 @register(
@@ -141,17 +217,53 @@ def ann_topk(spark, sf_dir):
 
 @register(
     "ann_lsh",
-    None,  # seeded hyperplane literals impractical to mirror in SQL →
-           # rows-only; recall vs ann_topk asserted in tests
+    # Self-certifying: seeded hyperplane literals are impractical to mirror
+    # in SQL, so the Spark side emits the checked quality invariant — for
+    # queries whose TRUE nearest neighbor is genuinely near (cosine ≥ 0.8,
+    # where the (nbits=6, L=8) math promises ≥95% recall), the LSH answer
+    # must match the exact answer ≥ 90% of the time. The oracle pins the
+    # query-set size.
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS near_recall_ok
+    FROM embeddings WHERE vec_id < 50
+    """,
     "pipeline", "similarity", "lsh",
 )
 def ann_lsh(spark, sf_dir):
     """Approximate top-1 neighbor via random-hyperplane LSH buckets (the
-    scale path: per-query candidate set shrinks 2^nbits-fold)."""
-    return similarity.lsh_topk_neighbors(
-        tables(spark, sf_dir)["embeddings"], dim=64, k=1,
-        query_filter=F.col("vec_id") < 50,
+    scale path: per-query candidate set shrinks 2^nbits-fold).
+
+    Registered form is the driver-checkable invariant: LSH top-1 vs exact
+    top-1 (both distributed, joined on query id — no collect); recall is
+    measured over the near-neighbor subset (exact cosine ≥ 0.8), the regime
+    LSH contracts for. Raw neighbor rows: similarity.lsh_topk_neighbors
+    (library output, exercised by tests/test_pipeline.py)."""
+    e = tables(spark, sf_dir)["embeddings"]
+    qf = F.col("vec_id") < 50
+    approx = similarity.lsh_topk_neighbors(e, dim=64, k=1, query_filter=qf)
+    exact = similarity.topk_neighbors(e, k=1, query_filter=qf)
+    return _ann_recall_certificate(e, approx, exact, near_cos=0.8, floor=0.9,
+                                   ok_col="near_recall_ok")
+
+
+def _ann_recall_certificate(emb, approx, exact, near_cos, floor, ok_col):
+    """(n_queries, <ok_col>) in one distributed plan: recall@1 of ``approx``
+    vs ``exact`` over exact-neighbor rows with cosine ≥ ``near_cos``; ok ⇔
+    recall ≥ floor (vacuously true when no query clears near_cos)."""
+    ex = exact.select(
+        F.col("qid"), F.col("cid").alias("true_cid"), F.col("cosine").alias("true_cos")
+    ).filter(F.col("true_cos") >= near_cos)
+    ap = approx.select("qid", F.col("cid").alias("got_cid"))
+    hits = ex.join(ap, "qid", "left").agg(
+        F.coalesce(
+            F.avg(F.when(F.col("got_cid") == F.col("true_cid"), 1.0).otherwise(0.0)),
+            F.lit(1.0),
+        ).alias("recall")
     )
+    n_q = emb.filter(F.col("vec_id") < 50).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return n_q.crossJoin(hits.select((F.col("recall") >= floor).alias(ok_col)))
 
 
 @register(
@@ -252,16 +364,29 @@ def mm_binary_meta(spark, sf_dir):
 
 @register(
     "mm_resize",
-    None,  # deterministic fake resampler; byte-level sampling is not
-           # reasonably SQL-expressible → rows-only check
+    # Full value oracle: the deterministic fake resampler samples payload
+    # byte min(i·step, len−1), step = max(len//16, 1) — on this pure-ASCII
+    # corpus (verified: octet_length(encode(text)) == length(text) for
+    # every row) payload bytes ARE ascii() codes, so DuckDB replays the
+    # sampling exactly. Pixels are emitted as the comma-joined recovered
+    # byte values (round(p·255) is exact: |p·255 − b| < 3 ulp).
+    """
+    SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           array_to_string(
+             [ascii(substr(text,
+                           least(i * greatest(length(text) // 16, 1),
+                                 length(text) - 1) + 1, 1))
+              for i in range(0, 16)], ',') AS px
+    FROM documents
+    """,
     "pipeline", "multimodal",
 )
 def mm_resize(spark, sf_dir):
     """Image-resize plumbing (STUBBED codec): binary payloads → 4×4 pixel
     grids via the deterministic fake resampler over mapInPandas. The
-    registered projection digests the pixel array (md5 of the comma-joined
-    values) so every emitted column is scalar-hashable for the rows-only
-    check; the raw array<double> form stays a library output exercised by
+    registered projection recovers the sampled byte values from the
+    normalized pixels so the oracle compare is value-exact; the raw
+    array<double> form stays a library output exercised by
     tests/test_pipeline.py."""
     d = tables(spark, sf_dir)["documents"]
     grids = multimodal.resize_image(multimodal.to_binary_column(d), fake=True)
@@ -269,9 +394,9 @@ def mm_resize(spark, sf_dir):
         "doc_id",
         "width",
         "height",
-        F.md5(F.concat_ws(",", F.col("pixels").cast("array<string>"))).alias(
-            "pixel_md5"
-        ),
+        F.concat_ws(
+            ",", F.transform(F.col("pixels"), lambda p: F.round(p * 255).cast("int"))
+        ).alias("px"),
     )
 
 
@@ -319,30 +444,63 @@ def text_tokens_bpe(spark, sf_dir):
 
 @register(
     "mm_audio_features",
-    None,  # byte-level signal math not reasonably SQL-expressible → rows-only
+    # Full value oracle: bytes-as-signed-int8 on a pure-ASCII corpus are
+    # the ascii() codes (all ≤ 127 ⇒ sign-extension is the identity).
+    # Sums of squared int8 samples are exact integers in double (≤ 127²·n
+    # ≪ 2^53), so rms = sqrt(sum/n) is bit-identical regardless of
+    # summation order; zero-crossings are exact integer counts.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             [CASE WHEN ascii(c) > 127 THEN ascii(c) - 256 ELSE ascii(c) END
+              for c in string_split(text, '')] AS s
+      FROM documents)
+    SELECT doc_id,
+           sqrt(list_sum([CAST(x * x AS DOUBLE) for x in s]) / len(s)) AS rms,
+           CAST(COALESCE(list_sum(
+             [CASE WHEN (s[i] < 0) <> (s[i+1] < 0) THEN 1 ELSE 0 END
+              for i in range(1, len(s))]), 0) AS BIGINT) AS zero_crossings
+    FROM b
+    """,
     "pipeline", "multimodal",
 )
 def mm_audio_features(spark, sf_dir):
     """Audio-feature plumbing (STUBBED codec): binary payloads → RMS +
-    zero-crossing features via numpy-vectorized mapInPandas."""
+    zero-crossing features via numpy-vectorized mapInPandas. Value-exact
+    vs the oracle: integer sums of squares are order-insensitive in
+    double, and the corpus is pure ASCII so DuckDB sees the same
+    signed-int8 samples."""
     d = tables(spark, sf_dir)["documents"]
     return multimodal.decode_audio(multimodal.to_binary_column(d), fake=True)
 
 
 @register(
     "ann_ivf",
-    None,  # seeded k-means centroid literals impractical to mirror in SQL →
-           # rows-only; recall vs ann_topk asserted in tests
+    # Self-certifying (same shape as ann_lsh): data-adaptive centroids are
+    # impractical to mirror in SQL; the Spark side emits overall recall@1 ≥
+    # 0.6 vs the exact baseline (the floor the IVF config (nlist=8,
+    # nprobe=2) sustains on this corpus — asserted at both test scales).
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 50
+    """,
     "pipeline", "similarity", "ivf",
 )
 def ann_ivf(spark, sf_dir):
     """Approximate top-1 neighbor via IVF cells (data-adaptive coarse
     quantizer, nprobe=2 of 8 cells) — the second ANN scale path next to
-    ann_lsh; recall per probed fraction is higher on clustered corpora."""
-    return similarity.ivf_topk_neighbors(
-        tables(spark, sf_dir)["embeddings"], dim=64, k=1,
-        query_filter=F.col("vec_id") < 50,
-    )
+    ann_lsh; recall per probed fraction is higher on clustered corpora.
+
+    Registered form is the driver-checkable invariant: IVF top-1 vs exact
+    top-1 over ALL queries (near_cos=-1 ⇒ no subset restriction), floor
+    0.6. Raw neighbor rows: similarity.ivf_topk_neighbors (library output,
+    exercised by tests/test_pipeline.py)."""
+    e = tables(spark, sf_dir)["embeddings"]
+    qf = F.col("vec_id") < 50
+    approx = similarity.ivf_topk_neighbors(e, dim=64, k=1, query_filter=qf)
+    exact = similarity.topk_neighbors(e, k=1, query_filter=qf)
+    return _ann_recall_certificate(e, approx, exact, near_cos=-1.0, floor=0.6,
+                                   ok_col="recall_ok")
 
 
 @register(
@@ -509,14 +667,37 @@ def emb_norm_stats(spark, sf_dir):
 
 @register(
     "mm_chunk_audio",
-    None,  # byte-level windowed signal math not SQL-expressible → rows-only;
-           # window math content-checked in tests/test_pipeline.py
+    # Full value oracle (same ASCII/int8 argument as mm_audio_features):
+    # window starts are 0, 512, …; the last window is the first whose
+    # start+1024 reaches the payload end, so the window count is
+    # ceil(max(len−1024, 0)/512)+1 — the text_chunk formula at
+    # (size=1024, stride=512). Per-window RMS over exact integer sums.
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(greatest(length(text) - 1024, 0) / 512.0)
+                             AS BIGINT) + 1)) AS w
+      FROM documents),
+    seg AS (
+      SELECT doc_id, w,
+             [CASE WHEN ascii(c) > 127 THEN ascii(c) - 256 ELSE ascii(c) END
+              for c in string_split(
+                substr(text, CAST(w * 512 + 1 AS INTEGER), 1024), '')] AS s
+      FROM idx)
+    SELECT doc_id, CAST(w AS BIGINT) AS window_id,
+           CAST(w * 512 AS BIGINT) AS start_byte,
+           CAST(len(s) AS BIGINT) AS n_bytes,
+           sqrt(list_sum([CAST(x * x AS DOUBLE) for x in s]) / len(s)) AS rms
+    FROM seg
+    """,
     "pipeline", "multimodal",
 )
 def mm_chunk_audio(spark, sf_dir):
     """Overlapping fixed-byte audio framing (1 KiB windows, 512 B hop) with
     per-window RMS over document payloads-as-audio — the framing step
-    before any spectral feature, through the real mapInPandas plumbing."""
+    before any spectral feature, through the real mapInPandas plumbing.
+    Value-exact vs the oracle on the pure-ASCII corpus (integer
+    sums-of-squares → deterministic doubles)."""
     d = tables(spark, sf_dir)["documents"]
     audio = multimodal.to_binary_column(d)
     return multimodal.chunk_audio(audio, fake=True)

@@ -24,20 +24,47 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pysparkdb.catalog import DECLARED_SCHEMAS
 
-#: events schema for file streams (must be declared — readStream cannot
-#: infer). The driver's parquet stores ts as TIMESTAMP(NANOS), which Spark
-#: reads only as an epoch-nanos long (see pysparkdb.catalog), so the stream
-#: schema declares LongType and converts after read.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField(
-            f.name,
-            T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType,
-            True,
-        )
-        for f in DECLARED_SCHEMAS["events"].fields
-    ]
-)
+def _events_stream_schema(path: str) -> tuple[T.StructType, str]:
+    """Declared schema for the events file stream (readStream cannot infer).
+
+    Writers vary in how they store ``ts``; one parquet footer under ``path``
+    is peeked (driver-side, metadata only) to pick the representation:
+    - timestamp[ns] no-tz → Spark only reads it as an epoch-nanos long
+      (spark.sql.legacy.parquet.nanosAsLong); declare LongType, div 1000.
+    - timestamp no-tz (us/ms) → TIMESTAMP_NTZ; cast to TIMESTAMP (identity
+      under the engine's UTC session timezone).
+    - timestamp with tz → plain TIMESTAMP, no conversion.
+    Returns (schema, conversion) with conversion in {"nanos","ntz","none"}.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    conv = "none"
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if files:
+        ts_type = pq.read_schema(files[0]).field("ts").type
+        if getattr(ts_type, "unit", None) == "ns" and ts_type.tz is None:
+            conv = "nanos"
+        elif ts_type.tz is None:
+            conv = "ntz"
+    ts_decl = {
+        "nanos": T.LongType(),
+        "ntz": T.TimestampNTZType(),
+        "none": T.TimestampType(),
+    }[conv]
+    schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                ts_decl if isinstance(f.dataType, T.TimestampType) else f.dataType,
+                True,
+            )
+            for f in DECLARED_SCHEMAS["events"].fields
+        ]
+    )
+    return schema, conv
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -46,12 +73,17 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     In production this is the object-store landing zone; maxFilesPerTrigger
     bounds per-micro-batch work.
     """
+    schema, conv = _events_stream_schema(path)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if conv == "nanos":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if conv == "ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
