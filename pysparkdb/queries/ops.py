@@ -754,7 +754,7 @@ def op_hash_sample(spark, sf_dir):
     "op_sessionize",
     """
     WITH gaps AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN CAST(epoch(ts) AS BIGINT)
                        - lag(CAST(epoch(ts) AS BIGINT))
                          OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -44,6 +44,10 @@ NOT_ANSI_PORTABLE = {
     "emb_norm_stats",      # duck DOUBLE[] cast + list-comprehension dot
     "op_collect_set",      # duck list()/list_sort vs Spark collect_set
     "op_min_max_by",       # duck {'k': v} struct literal for the total argmin key
+    "dedup_minhash_lsh",   # duck list comprehension for minhash signature bands
+    "mm_resize",           # ascii()/list ops in the byte-level value oracle
+    "mm_audio_features",   # same ascii-bytes oracle idioms
+    "mm_chunk_audio",      # unnest(range()) chunk-offset materialization
 }
 
 SPECS = [
