@@ -103,11 +103,15 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # sizes has ONE ROW PER DOCUMENT — unbounded at corpus scale, so it must
+    # never be force-broadcast (at 100 TB it is a multi-GB table and a forced
+    # broadcast OOMs driver and executors). Plain shuffle joins on the pair
+    # frame's own keys; AQE may still pick broadcast when genuinely small.
     na = sizes.select(F.col("did").alias("doc_a"), F.col("nsh").alias("na"))
     nb = sizes.select(F.col("did").alias("doc_b"), F.col("nsh").alias("nb"))
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -491,20 +491,47 @@ def op_percentile(spark, sf_dir):
 
 @register(
     "op_approx_percentile",
-    None,  # t-digest/GK sketches differ across engines → rows-only; the
-           # error bound vs exact percentile() is asserted in test_operators
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS exact_med,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS exact_p90,
+           TRUE AS med_ok,
+           TRUE AS p90_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     "ops", "aggregate", "percentile", "approx",
 )
 def op_approx_percentile(spark, sf_dir):
     """approx_percentile (Greenwald-Khanna sketch) median/p90 per group —
     the scale-safe percentile path: exact percentile() buffers whole groups
     in memory at 100 TB, the sketch is fixed-size and mergeable across
-    partitions. Exact twin: op_percentile (same exact/approx pairing as
-    op_count_distinct/op_approx_distinct)."""
+    partitions. Exact twin: op_percentile.
+
+    Self-certifying form: sketches are engine-specific, so the raw approx
+    value can never hash-match DuckDB. Instead the Spark side emits the
+    EXACT percentiles (DuckDB-computable) plus |approx − exact| ≤ 1.0
+    booleans; the oracle emits the same exact values and TRUE. The compare
+    therefore certifies both the exact twin AND the sketch's error bound
+    (GK accuracy 10000 → rank error ~n/10⁴; l_quantity spans 1..50, so a
+    1.0 absolute bound is ~2% of range yet far above the sketch's noise —
+    interpolated exact medians at x.5 vs the sketch's on-sample value make
+    0.5 the minimum honest bound)."""
     l = tables(spark, sf_dir)["lineitem"]
-    return l.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("med_qty"),
-        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("p90_qty"),
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("exact_med"),
+            F.expr("percentile(l_quantity, 0.9)").alias("exact_p90"),
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_med"),
+            F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("approx_p90"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_med",
+            "exact_p90",
+            (F.abs(F.col("approx_med") - F.col("exact_med")) <= 1.0).alias("med_ok"),
+            (F.abs(F.col("approx_p90") - F.col("exact_p90")) <= 1.0).alias("p90_ok"),
+        )
     )
 
 
@@ -619,17 +646,40 @@ def op_except(spark, sf_dir):
 
 @register(
     "op_approx_distinct",
-    None,  # HLL sketches differ across engines → rows-only; the 5%-error
-           # bound vs exact COUNT(DISTINCT) is asserted in test_operators
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderpriority
+    """,
     "ops", "aggregate", "approx",
 )
 def op_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) per order priority — the
     sketch path for 100 TB cardinality estimation (beyond-reference,
-    SURVEY §2.5 'not present'). Exact twin: op_count_distinct."""
+    SURVEY §2.5 'not present'). Exact twin: op_count_distinct.
+
+    Self-certifying form: HLL sketches are engine-specific, so the Spark
+    side emits the EXACT distinct count plus a |approx − exact|/exact ≤ 5%
+    boolean (rsd=0.02 → 2σ ≈ 4%, 5% is the honest cover); the oracle emits
+    the exact count and TRUE. A hash match certifies both the exact twin
+    and the sketch's relative-error bound."""
     o = tables(spark, sf_dir)["orders"]
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            bigint(F.count_distinct("o_custkey")).alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("within_bound"),
+        )
     )
 
 
