@@ -1115,3 +1115,294 @@ def q6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Original-form partsupp queries (TPC-H Q2/Q11/Q16/Q20).
+#
+# The reference runs the ORIGINAL partsupp-based forms
+# (resources/query/tpch/original/{02,11,16,20}.sql, fpdb-main/test/
+# TPCHTest.cpp cases 2/11/16/20); the driver's testdata has no partsupp
+# table, so the adapted q2/q11/q16/q20 above substitute lineitem-derived
+# proxies. To close that parity gap without inventing data files, a
+# deterministic partsupp relation is DERIVED from part × supplier with
+# dbgen's topology (4 suppliers per part, stride S/4 + p/S — TPC-H spec
+# §4.2.3) and arithmetic-only availqty/supplycost in place of dbgen's
+# RNG. Both engines evaluate the identical integer formulas, so the
+# relation is bit-identical across Spark and DuckDB with no materialized
+# file and no path coupling in the oracle SQL. At 100 TB the derivation
+# is map-side from part (4× fan-out, one broadcast scalar for |supplier|)
+# — strictly cheaper than scanning a stored partsupp.
+# ---------------------------------------------------------------------------
+
+PARTSUPP_CTES = """
+    scnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM supplier),
+    psk AS (
+      SELECT p_partkey AS ps_partkey,
+             CAST((p_partkey + gen.i * (CAST(FLOOR(s / 4.0) AS BIGINT)
+                   + CAST(FLOOR(p_partkey * 1.0 / s) AS BIGINT))) % s
+                  AS BIGINT) AS ps_suppkey
+      FROM part, scnt, (VALUES (0), (1), (2), (3)) AS gen(i)
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST((ps_partkey * 17 + ps_suppkey * 23) % 9999 + 1
+                  AS BIGINT) AS ps_availqty,
+             CAST((ps_partkey * 31 + ps_suppkey * 107) % 99900 AS DOUBLE)
+               / 100.0 + 1.0 AS ps_supplycost
+      FROM psk
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see module comment above): deterministic,
+    bit-identical to the oracle's PARTSUPP_CTES. Map-side: part × a
+    4-literal explode × one broadcast |supplier| scalar — no shuffle."""
+    t = tables(spark, sf_dir)
+    scnt = t["supplier"].agg(F.count(F.lit(1)).cast("long").alias("s"))
+    stride = F.floor(F.col("s") / 4.0).cast("long") + F.floor(
+        F.col("p_partkey") * 1.0 / F.col("s")
+    ).cast("long")
+    psk = (
+        t["part"]
+        .select("p_partkey")
+        .crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey",
+            "s",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("i") * stride) % F.col("s"))
+            .cast("long")
+            .alias("ps_suppkey"),
+        )
+    )
+    return psk.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 17 + F.col("ps_suppkey") * 23) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        (
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 107) % 99900).cast("double")
+            / 100.0
+            + 1.0
+        ).alias("ps_supplycost"),
+    )
+
+
+@register(
+    "q2_orig",
+    f"""
+    WITH {PARTSUPP_CTES}
+    SELECT s_acctbal, s_name, n_name, p_partkey
+    FROM part, supplier, partsupp, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size = 41 AND p_type LIKE '%ARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+                           FROM partsupp ps2, supplier s2, nation n2, region r2
+                           WHERE ps2.ps_partkey = p_partkey
+                             AND s2.s_suppkey = ps2.ps_suppkey
+                             AND s2.s_nationkey = n2.n_nationkey
+                             AND n2.n_regionkey = r2.r_regionkey
+                             AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "tpch", "join", "scalar_subquery", "limit_sort", "partsupp",
+)
+def q2_orig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum cost supplier — ORIGINAL partsupp form of TPC-H Q2
+    (resources/query/tpch/original/02.sql; TPCHTest.cpp case 2), over the
+    derived partsupp. Column deltas vs the reference text only where the
+    testdata lacks the column (p_mfgr, s_address, s_phone, s_comment
+    dropped from the SELECT; '%NICKEL' → '%ARGE' over the reduced p_type
+    domain; p_size = 41 kept verbatim). Correlated MIN subquery
+    decorrelated into min-per-part + equality join, Calcite
+    RelDecorrelator-style. The ORDER BY key is unique per row (cost ties
+    within a part are impossible: 107·Δsuppkey ≢ 0 mod 99900 for
+    0 < Δ < S), so LIMIT 100 is deterministic. At 100 TB: partsupp is
+    map-side derived, suppliers/nations/regions broadcast, min-cost is a
+    partial agg on ps_partkey."""
+    t = tables(spark, sf_dir)
+    r = t["region"].filter(F.col("r_name") == "EUROPE")
+    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    eu_supp = t["supplier"].join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eu_ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(eu_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = eu_ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = t["part"].filter((F.col("p_size") == 41) & F.col("p_type").like("%ARGE"))
+    return (
+        eu_ps.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_orig",
+    f"""
+    WITH {PARTSUPP_CTES}
+    SELECT ps_partkey,
+           {DSUM('ps_supplycost * ps_availqty')} AS part_value
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7'
+    GROUP BY ps_partkey
+    HAVING {DSUM('ps_supplycost * ps_availqty')} >
+           (SELECT {DSUM('ps_supplycost * ps_availqty')} * 0.0001
+            FROM partsupp, supplier, nation
+            WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_7')
+    ORDER BY part_value DESC
+    """,
+    "tpch", "group", "having", "scalar_subquery", "partsupp",
+)
+def q11_orig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification — ORIGINAL partsupp form of TPC-H
+    Q11 (original/11.sql; TPCHTest.cpp case 11): value is
+    SUM(ps_supplycost · ps_availqty), exactly the reference's expression
+    ('JAPAN' → 'NATION_7' in the synthetic nation domain). Exact decimal
+    sums on both sides; the grand-total threshold is broadcast, never
+    collected. At 100 TB: one shuffle on ps_partkey; the scalar reuses the
+    same nation-filtered relation."""
+    t = tables(spark, sf_dir)
+    n = t["nation"].filter(F.col("n_name") == "NATION_7")
+    s = t["supplier"].join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(s.select("s_suppkey")), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
+    per_part = ps.groupBy("ps_partkey").agg(dsum(value).alias("part_value"))
+    total = ps.agg((dsum(value) * F.lit(0.0001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc())
+    )
+
+
+@register(
+    "q16_orig",
+    f"""
+    WITH {PARTSUPP_CTES}
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#21'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (38, 2, 8, 31, 44, 5, 14, 24)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch", "group", "distinct_agg", "anti_join", "partsupp",
+)
+def q16_orig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship — ORIGINAL partsupp form of TPC-H Q16
+    (original/16.sql; TPCHTest.cpp case 16): COUNT(DISTINCT ps_suppkey)
+    per (brand, type, size) with a NOT-IN supplier exclusion. Adaptations:
+    'MEDIUM PLATED%' → 'MEDIUM%' over the one-word p_type domain, and the
+    s_comment complaints filter (column absent) → s_acctbal < 0, keeping
+    the NOT-IN-subquery shape. NOT IN on a non-nullable key compiles to a
+    left-anti join. At 100 TB: partsupp derives map-side, part broadcasts
+    into the join, the distinct-agg shuffles once on the group keys."""
+    t = tables(spark, sf_dir)
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#21")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(38, 2, 8, 31, 44, 5, 14, 24)
+    )
+    complaints = t["supplier"].filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(complaints), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(bigint(F.count_distinct(F.col("ps_suppkey"))).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_orig",
+    f"""
+    WITH {PARTSUPP_CTES}
+    SELECT s_name
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+          AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
+                             WHERE l_partkey = ps_partkey
+                               AND l_suppkey = ps_suppkey
+                               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                               AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+    "tpch", "semi_join", "correlated_subquery", "partsupp",
+)
+def q20_orig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion — ORIGINAL partsupp form of TPC-H Q20
+    (original/20.sql; TPCHTest.cpp case 20): nested IN subqueries over
+    partsupp with a correlated availqty-vs-shipped-quantity threshold
+    ('antique%' → 'small%' over the synthetic p_name domain; 'KENYA' →
+    'NATION_3'; s_address dropped — column absent). Strict SQL NULL
+    semantics preserved: a (part, supplier) with no 1996 shipments yields
+    a NULL sum, NULL comparison is false → the decorrelated form is an
+    INNER join on the per-(partkey, suppkey) aggregate, not a left join.
+    SUM(l_quantity) over integral-valued doubles is order-insensitive
+    (exact in binary), so no decimal cast is needed. At 100 TB: lineitem
+    pre-aggregates on its join keys (partial map-side), partsupp derives
+    map-side, both semi joins broadcast their small sides."""
+    t = tables(spark, sf_dir)
+    small_parts = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    qualifying = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(small_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    n = t["nation"].filter(F.col("n_name") == "NATION_3")
+    return (
+        t["supplier"]
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
