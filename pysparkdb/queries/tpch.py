@@ -1026,9 +1026,16 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The semi/anti joins run on (l_orderkey) equi keys with the
     supplier-inequality as a join residual, so both shuffle only once on
-    orderkey. At 100 TB the `late` relation is computed once and reused for
-    candidates and the anti side.
+    orderkey. The `late` relation feeds BOTH the candidate/semi probe and
+    (distinct'd) the anti build side — and those branches shuffle on
+    different keys, so Catalyst's ReusedExchange cannot kick in; without
+    pinning, Spark recomputes the lineitem⋈orders subtree per branch. It
+    is persisted MEMORY_AND_DISK (asserted in test_plan_quality): at
+    100 TB, caching the filtered late subset is strictly cheaper than a
+    second full lineitem⋈orders join.
     """
+    from pyspark import StorageLevel
+
     t = tables(spark, sf_dir)
     f_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
     late = (
@@ -1036,6 +1043,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     other = t["lineitem"].select(
         F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")

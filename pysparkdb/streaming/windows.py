@@ -67,16 +67,19 @@ def _events_stream_schema(path: str) -> tuple[T.StructType, str]:
     return schema, conv
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of events parquet dropped into ``path``.
 
     In production this is the object-store landing zone; maxFilesPerTrigger
-    bounds per-micro-batch work.
+    bounds per-micro-batch work (1 = one file per micro-batch, which the
+    late-data tests use to advance the watermark between files).
     """
     schema, conv = _events_stream_schema(path)
     raw = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
     if conv == "nanos":

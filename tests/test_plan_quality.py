@@ -126,3 +126,17 @@ class TestRound3Additions:
         p = plan("op_hash_sample", spark, sf_dir, mode="simple")
         assert p.index("Exchange") < p.index("Filter")
         assert "DataFilters: [substring(md5(" in p
+
+    def test_q21_late_relation_computed_once(self, spark, sf_dir):
+        """q21's `late` (lineitem⋈orders, the expensive subtree) feeds both
+        the semi probe and the anti build on DIFFERENT shuffle keys, so
+        exchange reuse cannot deduplicate it — the persist must: both
+        branches read the InMemoryRelation, and lineitem⋈orders appears in
+        the plan exactly once (inside the cached subtree)."""
+        p = plan("q21", spark, sf_dir, mode="simple")
+        assert p.count("InMemoryTableScan") >= 2, p
+        # explain re-prints the cached subtree at every InMemoryTableScan
+        # site, so the orders scan appears once PER cache block — and never
+        # outside one. An un-cached re-plan of lineitem⋈orders would add an
+        # orders.parquet occurrence beyond the InMemoryRelation count.
+        assert p.count("orders.parquet") == p.count("InMemoryRelation"), p

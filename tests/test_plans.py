@@ -170,6 +170,26 @@ class TestSegmentCache:
         mgr.clear()
 
 
+class TestHybridCacheE2E:
+    def test_q6_hybrid_second_run_hits_cache(self, spark, sf_dir):
+        """The reference's per-query hit-ratio contract
+        (fpdb-main/test-base/TestUtil.cpp:404-406, getCrtQueryHitRatio):
+        the first q6_hybrid run cold-misses and admits the projection, the
+        SECOND run must serve it from the segment cache (hit_ratio > 0) and
+        return an identical answer — the cache is semantically invisible."""
+        from pysparkdb.queries import load_all
+        from pysparkdb.queries.tpch import _HYBRID_CACHES
+
+        fn = load_all()["q6_hybrid"].fn
+        first = fn(spark, sf_dir).collect()
+        mgr = _HYBRID_CACHES[id(spark)]
+        hits_before = mgr.hit_count
+        second = fn(spark, sf_dir).collect()
+        assert mgr.hit_count > hits_before
+        assert mgr.hit_ratio() > 0.0
+        assert first == second
+
+
 class TestPushdown:
     def test_q6_filters_reach_scan(self, spark, sf_dir):
         l = tables(spark, sf_dir)["lineitem"]

@@ -95,3 +95,78 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream)
     got_pairs = {(r.a_eid, r.b_eid) for r in got.collect()}
     batch_pairs = {(r.a_eid, r.b_eid) for r in batch.collect()}
     assert got_pairs == batch_pairs
+
+
+@pytest.fixture(scope="module")
+def late_event_dir(tmp_path_factory):
+    """Three parquet files → three micro-batches (maxFilesPerTrigger=1):
+
+    batch 0 (a.parquet): an event in hour-window [00:00, 01:00) plus an
+    event at 05:00 whose commit advances the watermark to 04:00;
+    batch 1 (b.parquet): an on-time 05:30 event (Spark ≥ 3.4 filters late
+    events against the PREVIOUS batch's watermark — SPARK-40925 — so one
+    buffer batch is needed before the late arrival is judged at 04:00+);
+    batch 2 (c.parquet): a LATE event at 00:31, 3.5 h below the
+    late-events watermark — every stateful operator must drop it.
+    File-source ordering is by modification time, pinned with os.utime.
+    """
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    d = tmp_path_factory.mktemp("late_events")
+
+    def write(path, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(table, path)
+
+    write(d / "a.parquet", [
+        (1, datetime(2030, 1, 1, 0, 30), 10),
+        (2, datetime(2030, 1, 1, 5, 0), 11),
+    ])
+    write(d / "b.parquet", [
+        (4, datetime(2030, 1, 1, 5, 30), 11),
+    ])
+    write(d / "c.parquet", [
+        (3, datetime(2030, 1, 1, 0, 31), 10),  # 3.5h below the watermark
+    ])
+    for i, f in enumerate(("a", "b", "c")):
+        os.utime(d / f"{f}.parquet", (1000000000 + i * 100,) * 2)
+    return str(d)
+
+
+def test_tumbling_watermark_drops_late_event(spark, late_event_dir):
+    """Late-data contract of the tumbling aggregate: once the watermark
+    passes a window's end, the window is EMITTED (append mode) with only
+    its on-time rows and its state evicted; the late event-3 arrival for
+    that window is discarded. So [00:00, 01:00) must count 1 (event 1
+    only), and the still-open 05:00/05:30 windows must not appear in the
+    append output."""
+    stream = S.read_events_stream(spark, late_event_dir, max_files_per_trigger=1)
+    got = S.run_to_memory(S.tumbling_agg(stream), "t_late_tumbling",
+                          output_mode="append").collect()
+    from datetime import datetime
+
+    emitted = {(r.ws, r.n) for r in got}
+    assert emitted == {(datetime(2030, 1, 1, 0, 0), 1)}, got
+
+
+def test_stream_dedup_drops_below_watermark(spark, late_event_dir):
+    """dropDuplicatesWithinWatermark state contract: rows older than the
+    late-events watermark are dropped before touching state — event 3
+    (00:31, under the 04:00 watermark) never reaches the output even
+    though its event_id is unique."""
+    stream = S.read_events_stream(spark, late_event_dir, max_files_per_trigger=1)
+    got = S.run_to_memory(S.stream_dedup(stream), "t_late_dedup",
+                          output_mode="append").collect()
+    assert {r.event_id for r in got} == {1, 2, 4}, got
