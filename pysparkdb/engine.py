@@ -32,9 +32,44 @@ class Engine:
         self.catalog = Catalog(self.spark, data_dir).register_all(validate=validate)
         return self
 
-    def sql(self, query: str) -> DataFrame:
-        """SQL → DataFrame (Client::executeQuery analog; lazy, not collected)."""
-        return self.spark.sql(query)
+    def sql(self, query: str, predicate_transfer: bool = False) -> DataFrame:
+        """SQL → DataFrame (Client::executeQuery analog; lazy, not collected).
+
+        ``predicate_transfer=True`` is the engine-level auto mode of the
+        reference's CIDR-2024 pre-pass (PrePToPTransformerForPredTrans.cpp,
+        enabled by its exec.conf PRED_TRANS flag): the join graph is
+        extracted from the query's own analyzed plan (JoinOriginTracer
+        analog), every attached table is semi-join-reduced across it, and
+        the SAME query text is re-resolved against the reduced relations.
+        Purity invariant: semi joins only remove rows that cannot survive
+        the query's own joins, so results are identical (engine-level test
+        in tests/test_plans.py). Worth turning on for multi-hop-selective
+        join queries; the pass costs one broadcast semi join per edge —
+        see SCALE.md for the measured crossover."""
+        df = self.spark.sql(query)
+        if not predicate_transfer:
+            return df
+        assert self.catalog is not None, "call attach(data_dir) first"
+        from pysparkdb.plans.predicate_transfer import (
+            extract_join_edges,
+            predicate_transfer as _transfer,
+        )
+
+        edges = extract_join_edges(df, self.catalog.tables)
+        if not edges:
+            return df
+        reduced = _transfer(dict(self.catalog.tables), edges)
+        # Re-resolve the same text against the reduced relations: temp views
+        # are swapped only while spark.sql() analyzes the string (resolution
+        # happens at creation; the returned DataFrame keeps its plan), then
+        # restored.
+        try:
+            for name, rdf in reduced.items():
+                rdf.createOrReplaceTempView(name)
+            return self.spark.sql(query)
+        finally:
+            for name, odf in self.catalog.tables.items():
+                odf.createOrReplaceTempView(name)
 
     def table(self, name: str) -> DataFrame:
         assert self.catalog is not None, "call attach(data_dir) first"

@@ -226,6 +226,14 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
     join condition becomes part of a JoinEdge; multiple conjuncts between
     the same table pair merge into one multi-key edge. Non-column and
     non-equi conjuncts are ignored (they cannot carry a key-set transfer).
+
+    Filter nodes are harvested the same way as join conditions: SQL text
+    with comma-list joins (`FROM a, b WHERE a.k = b.k`) analyzes as
+    condition-less Join nodes under one WHERE Filter — at the analyzed
+    stage those filter equalities ARE the join conditions (Catalyst pushes
+    them into the joins only later, during optimization; extracting from
+    the optimized plan instead would break leaf matching, since column
+    pruning shrinks each relation's signature).
     """
     plan = df._jdf.queryExecution().analyzed()
 
@@ -249,6 +257,9 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
         elif cls == "Join" and node.condition().isDefined():
             join_seq[0] += 1
             collect_eq(node.condition().get(), join_seq[0])
+        elif cls == "Filter":
+            join_seq[0] += 1
+            collect_eq(node.condition(), join_seq[0])
         for i in range(node.children().size()):
             walk(node.children().apply(i))
 

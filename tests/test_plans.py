@@ -170,6 +170,37 @@ class TestSegmentCache:
         mgr.clear()
 
 
+class TestEnginePredicateTransfer:
+    def test_sql_auto_mode_same_results_and_semi_reduced_plan(self, spark, sf_dir):
+        """Engine.sql(..., predicate_transfer=True): the join graph comes
+        from the query's own analyzed plan, the pass swaps in
+        semi-reduced relations, and results are IDENTICAL to the plain
+        run (purity invariant at the engine surface). The transferred
+        plan must actually contain the semi joins, and the temp views
+        must be restored afterwards."""
+        from pysparkdb import Engine
+        from pysparkdb.plans.pushdown import explain_str
+
+        eng = Engine(spark)
+        eng.attach(sf_dir, validate=False)
+        q = """
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem, orders, customer, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+            GROUP BY n_name
+        """
+        plain = eng.sql(q)
+        transferred = eng.sql(q, predicate_transfer=True)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, transferred.collect())
+        )
+        assert "LeftSemi" in explain_str(transferred, "simple")
+        # views restored: a plain re-run sees the unreduced tables again
+        assert "LeftSemi" not in explain_str(eng.sql(q), "simple")
+
+
 class TestHybridCacheE2E:
     def test_q6_hybrid_second_run_hits_cache(self, spark, sf_dir):
         """The reference's per-query hit-ratio contract
