@@ -663,12 +663,21 @@ def op_approx_distinct(spark, sf_dir):
     side emits the EXACT distinct count plus a |approx − exact|/exact ≤ 5%
     boolean (rsd=0.02 → 2σ ≈ 4%, 5% is the honest cover); the oracle emits
     the exact count and TRUE. A hash match certifies both the exact twin
-    and the sketch's relative-error bound."""
+    and the sketch's relative-error bound.
+
+    Plan shape: pre-deduplicate (priority, custkey) first — HLL is
+    duplicate-insensitive, so the sketch over deduped pairs is IDENTICAL
+    to the sketch over raw rows, and the exact count collapses to a plain
+    COUNT(*). That replaces Catalyst's Expand-based distinct-aggregate
+    (which would re-shuffle raw rows per aggregate) with one map-side
+    partial dedup shuffle + a tiny second agg — the same two-shuffle shape
+    COUNT(DISTINCT) compiles to, carrying the sketch along for free."""
     o = tables(spark, sf_dir)["orders"]
+    pairs = o.groupBy("o_orderpriority", "o_custkey").agg(F.lit(1).alias("_one"))
     return (
-        o.groupBy("o_orderpriority")
+        pairs.groupBy("o_orderpriority")
         .agg(
-            bigint(F.count_distinct("o_custkey")).alias("exact_customers"),
+            bigint(F.count(F.lit(1))).alias("exact_customers"),
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         )
         .select(
