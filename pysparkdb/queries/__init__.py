@@ -58,8 +58,10 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 DRIVER_WINDOW: tuple[str, ...] = (
     # reshaped round 6: self-certifying approx sketches
     "op_approx_percentile", "op_approx_distinct",
-    # new round 6: original-form partsupp queries
+    # new round 6: original-form partsupp queries, join-order variants,
+    # synthetic co-located join
     "q2_orig", "q11_orig", "q16_orig", "q20_orig",
+    "q5_jo1", "q5_jo2", "q9_orig", "q_co_join",
     # modified round 6: broadcast removal / vectorized pair scoring / q21 reuse pin
     "dedup_ngram_jaccard", "dedup_embedding", "ann_topk", "q21",
     # reshaped round 5 (self-certifying certificates), never swept in that form
@@ -75,7 +77,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_join_multikey", "op_join_right", "op_join_full", "op_join_theta",
     "op_union_merge", "op_expr_substr_cast", "op_expr_datefuncs",
     "op_expr_isnull", "op_case_in_like", "op_join_semi", "op_join_anti",
-    "op_cross_join", "op_salted_agg", "op_percentile", "op_variance",
 )
 
 

@@ -1414,3 +1414,205 @@ def q20_orig(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-order variants + synthetic corpus (reference e2e parity, round 6).
+# The reference's test suite runs the same query DECLARED in different join
+# orders (resources/query/tpch/modified/{05-jo1,05-jo2,09-jo1,09-jo2}.sql —
+# exercising Calcite's LoptOptimizeJoinRule reordering) and a synthetic
+# co-located-join corpus (resources/query/tpch/synthetic/co-join-*.sql).
+# Here the DataFrame form BUILDS the joins in the variant's declared order
+# and Catalyst must reorder to the same efficient plan (asserted in
+# test_plan_quality); the oracles declare the same FROM order to DuckDB.
+# ---------------------------------------------------------------------------
+
+_Q5_VARIANT_SELECT = (
+    "SELECT n_name, "
+    + DSUM("l_extendedprice * (1 - l_discount)")
+    + """ AS revenue
+    FROM {frm}
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """
+)
+
+
+def _q5_variant_frames(spark: SparkSession, sf_dir: str) -> dict:
+    t = tables(spark, sf_dir)
+    return {
+        "orders": t["orders"].filter(
+            (F.col("o_orderdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        ),
+        "lineitem": t["lineitem"],
+        "supplier": t["supplier"],
+        "nation": t["nation"],
+        "region": t["region"].filter(F.col("r_name") == "EUROPE"),
+        "customer": t["customer"],
+    }
+
+
+def _q5_finish(joined: DataFrame) -> DataFrame:
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@register(
+    "q5_jo1",
+    _Q5_VARIANT_SELECT.format(frm="orders, lineitem, supplier, nation, region, customer"),
+    "tpch", "join", "join_order_variant",
+)
+def q5_jo1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5, join-order variant 1 (modified/05-jo1.sql; the reference
+    runs these to exercise Calcite join reordering, LoptOptimizeJoinRule —
+    fpdb-calcite Optimizer.java:156-175). The DataFrame is BUILT in the
+    file's declared order — orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈
+    region ⋈ customer — i.e. fact-first with every dimension appended
+    after; Catalyst must still broadcast the dims and keep the plan
+    cartesian-free (asserted in test_plan_quality), which is the Spark
+    analog of the reference's reordering contract."""
+    f = _q5_variant_frames(spark, sf_dir)
+    joined = (
+        f["orders"]
+        .join(f["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(f["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(f["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(f["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            f["customer"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return _q5_finish(joined)
+
+
+@register(
+    "q5_jo2",
+    _Q5_VARIANT_SELECT.format(frm="lineitem, orders, customer, supplier, nation, region"),
+    "tpch", "join", "join_order_variant",
+)
+def q5_jo2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5, join-order variant 2 (modified/05-jo2.sql): declared
+    lineitem-first with customer joined before supplier. Same contract as
+    q5_jo1 — identical results from a different declared order, efficient
+    plan regardless (and tested equal to q5_jo1 row-for-row)."""
+    f = _q5_variant_frames(spark, sf_dir)
+    joined = (
+        f["lineitem"]
+        .join(f["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(f["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            f["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(f["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(f["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return _q5_finish(joined)
+
+
+@register(
+    "q9_orig",
+    f"""
+    WITH {PARTSUPP_CTES}
+    SELECT nation, o_year, {DSUM('amount')} AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - ps_supplycost * l_quantity AS amount
+          FROM partsupp, lineitem, part, supplier, orders, nation
+          WHERE s_suppkey = l_suppkey
+            AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+            AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey
+            AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    """,
+    "tpch", "join", "like", "group", "partsupp", "join_order_variant",
+)
+def q9_orig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product type profit — ORIGINAL partsupp form of TPC-H Q9
+    (original/09.sql; declared order from modified/09-jo1.sql, partsupp
+    first): amount subtracts ps_supplycost·l_quantity, the reference's
+    exact expression, over the derived partsupp ('%yellow%' → '%red%' in
+    the synthetic p_name domain). The (ps_partkey, ps_suppkey) →
+    (l_partkey, l_suppkey) join is the one place partsupp joins the fact
+    on BOTH keys; partsupp derives map-side and, being |part|×4, stays
+    broadcastable next to lineitem at any scale where part is dimension-
+    sized."""
+    t = tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("%red%"))
+    ps = _partsupp(spark, sf_dir)
+    return (
+        ps.join(
+            t["lineitem"],
+            (F.col("ps_suppkey") == F.col("l_suppkey"))
+            & (F.col("ps_partkey") == F.col("l_partkey")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            bigint(F.year("o_orderdate")).alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_co_join",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM lineitem, orders
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "tpch", "join", "synthetic", "colocated",
+)
+def q_co_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic co-located fact-fact join (resources/query/tpch/synthetic/
+    co-join-2-table.sql; FPDBStoreSuperPOp's co-located-join test corpus):
+    lineitem ⋈ orders on the shared key with a residual date predicate
+    (l_commitdate/l_receiptdate absent in testdata → shipped >30 days
+    after order date). On plain parquet this is one orderkey shuffle; the
+    ZERO-Exchange layout the synthetic corpus exists for is what
+    sources/files.py:write_bucketed provides — both sides bucketed by
+    orderkey join with no Exchange at all (proven in
+    tests/test_sources.py) — which is the Spark form of the reference's
+    storage-side co-located join."""
+    t = tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(bigint(F.count(F.lit(1))).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -140,3 +140,19 @@ class TestRound3Additions:
         # outside one. An un-cached re-plan of lineitem⋈orders would add an
         # orders.parquet occurrence beyond the InMemoryRelation count.
         assert p.count("orders.parquet") == p.count("InMemoryRelation"), p
+
+    def test_join_order_variants_reordered_and_equal(self, spark, sf_dir):
+        """The reference's modified/05-jo{1,2}.sql contract, Spark-side:
+        however the join order is DECLARED, the optimized plan must stay
+        cartesian-free with broadcast dims, and both variants must return
+        identical rows."""
+        from pysparkdb.queries import load_all
+
+        specs = load_all()
+        for name in ("q5_jo1", "q5_jo2"):
+            p = plan(name, spark, sf_dir)
+            assert "CartesianProduct" not in p, name
+            assert "BroadcastHashJoin" in p, name
+        a = sorted(map(tuple, specs["q5_jo1"].fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, specs["q5_jo2"].fn(spark, sf_dir).collect()))
+        assert a == b
