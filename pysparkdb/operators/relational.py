@@ -151,9 +151,11 @@ def merge_union(a: DataFrame, b: DataFrame) -> DataFrame:
     """MERGE (row-wise): union of two same-schema streams — the reference
     merges local-filtered rows with pushdown-produced rows
     (merge/MergePOp.cpp second use, PrePToS3PTransformer.cpp:446-455).
-    unionByName keeps it schema-safe. (The reference's column-zip merge of
-    cached vs scanned columns has no DataFrame analog and no semantic
-    effect — Spark re-reads missing columns from the scan instead.)
+    unionByName keeps it schema-safe. The reference's OTHER merge — the
+    column-zip of cached hit columns with scanned miss columns
+    (MergeKernel.cpp:122) — is SegmentCacheManager.project_zip
+    (pysparkdb/plans/cache.py): cached projection ⋈ miss-column-pruned
+    scan on a declared unique key, asserted to re-read only the misses.
     """
     return a.unionByName(b)
 

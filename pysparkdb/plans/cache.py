@@ -126,6 +126,67 @@ class SegmentCacheManager:
             self.used += size
         return proj
 
+    def project_zip(
+        self, df: DataFrame, table: str, columns: list[str],
+        key: str | list[str],
+    ) -> DataFrame:
+        """Column-granule hybrid merge — the reference MergeKernel's
+        column-zip of cache hits with scanned misses
+        (fpdb-executor/src/physical/merge/MergeKernel.cpp:122, wired by
+        PrePToS3PTransformer.cpp:347-396), in its distributed-correct
+        Spark form.
+
+        When a cached projection covers SOME of the requested columns, the
+        hit columns are served from the InMemoryRelation and ONLY the miss
+        columns (plus ``key``) are scanned from storage — Catalyst prunes
+        the parquet scan to exactly that ReadSchema (asserted in
+        tests/test_plans.py) — then the two sides are zipped with an
+        equi-join on ``key``. The reference zips by tuple index inside one
+        storage partition; Spark has no tuple identity that is stable
+        across separate scans of a distributed source, so the zip key must
+        be a DECLARED unique key — a single column or a composite (e.g.
+        lineitem's (l_orderkey, l_linenumber)). The join is 1:1 by that
+        contract, and at scale it is one co-partitioned shuffle of
+        (key + miss columns) — strictly less I/O than re-reading every
+        column whenever the cached projection is one column short.
+
+        Full cover / no cover degrade to the plain ``project`` paths (one
+        hit or one miss); the scanned miss projection is admitted through
+        the normal policy so repeats of the same request become full hits.
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        want = [c for c in columns if c not in keys]
+        entry = self._best_partial(table, want, keys)
+        if entry is None:
+            return self.project(df, table, columns)
+        hit_cols = [c for c in want if c in entry.columns]
+        miss_cols = [c for c in want if c not in entry.columns]
+        if not miss_cols:
+            return self.project(df, table, columns)
+
+        entry.hits += 1
+        entry.last_access = time.monotonic()
+        self.hit_count += 1
+        hit_side = entry.df.select(*keys, *hit_cols)
+        miss_side = self.project(df, table, keys + miss_cols)
+        return hit_side.join(miss_side, on=keys).select(*columns)
+
+    def _best_partial(
+        self, table: str, want: list[str], keys: list[str]
+    ) -> _Entry | None:
+        """The cached entry covering the most requested columns — it must
+        also hold every ``keys`` column (no zip handle otherwise) and at
+        least one wanted column, but not all of them (that is a plain
+        hit)."""
+        best, best_cover = None, 0
+        for (t, cols), e in self.entries.items():
+            if t != table or not set(keys) <= set(cols):
+                continue
+            cover = len(set(want) & set(cols))
+            if cover > best_cover and not set(want) <= set(cols):
+                best, best_cover = e, cover
+        return best
+
     def _covering(self, table: str, columns: tuple[str, ...]) -> _Entry | None:
         want = set(columns)
         for (t, cols), e in self.entries.items():

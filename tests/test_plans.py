@@ -115,6 +115,54 @@ class TestSegmentCache:
         mgr.clear()
         assert mgr.used == 0
 
+    def test_project_zip_scans_only_miss_columns(self, spark, sf_dir):
+        """Column-granule hybrid merge (MergeKernel.cpp:122 analog): with
+        orders[o_orderkey, o_orderstatus, o_orderpriority] cached, a
+        request adding o_totalprice must serve the cached columns from the
+        InMemoryRelation and scan ONLY (key, o_totalprice) — the fresh
+        parquet ReadSchema is the miss set, never the hit columns — and
+        the zipped result must equal a direct select. (orders is the table
+        with a declared unique key; this testdata's lineitem has none —
+        its (l_orderkey, l_linenumber) pairs repeat.)"""
+        t = tables(spark, sf_dir)
+        mgr = SegmentCacheManager(spark, capacity_bytes=1 << 30, policy="lru")
+        mgr.project(
+            t["orders"], "orders",
+            ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        )
+
+        cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+        zipped = mgr.project_zip(t["orders"], "orders", cols, key="o_orderkey")
+        assert zipped.columns == cols
+        assert mgr.hit_count >= 1  # the cached projection was used
+
+        p = zipped._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in p
+        import re
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        fresh = [s for s in schemas if "o_totalprice" in s]
+        assert fresh, p
+        for s in fresh:
+            assert "o_orderstatus" not in s and "o_orderpriority" not in s, s
+
+        direct = t["orders"].select(*cols)
+        assert sorted(map(tuple, zipped.collect())) == sorted(map(tuple, direct.collect()))
+        mgr.clear()
+
+    def test_project_zip_degrades_to_plain_paths(self, spark, sf_dir):
+        """Full cover → plain hit; nothing cached → plain miss."""
+        t = tables(spark, sf_dir)
+        mgr = SegmentCacheManager(spark, capacity_bytes=1 << 30, policy="lru")
+        # nothing cached: behaves as a miss and admits
+        a = mgr.project_zip(t["region"], "region", ["r_regionkey", "r_name"], key="r_regionkey")
+        assert mgr.miss_count == 1 and a.count() > 0
+        # full cover: behaves as a hit, no new entry
+        before = len(mgr.entries)
+        b = mgr.project_zip(t["region"], "region", ["r_regionkey", "r_name"], key="r_regionkey")
+        assert mgr.hit_count == 1 and len(mgr.entries) == before
+        assert b.columns == ["r_regionkey", "r_name"]
+        mgr.clear()
+
     def test_eviction_under_pressure_lru(self, spark, sf_dir):
         t = tables(spark, sf_dir)
         mgr = SegmentCacheManager(spark, capacity_bytes=1, policy="lru")
