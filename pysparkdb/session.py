@@ -37,6 +37,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Scan pushdown (reference Mode::PUSHDOWN_ONLY analog).
     "spark.sql.parquet.filterPushdown": "true",
+    # NOTE: aggregatePushDown only applies on the DSv2 read path and is
+    # measured inert on this build even there (PushedAggregation stays
+    # empty); kept on as harmless forward-compat. Footer min/max stats ARE
+    # exploited — via filter pushdown's row-group skipping and explicitly
+    # through catalog.zone_map / prunable_row_groups.
     "spark.sql.parquet.aggregatePushDown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
     # Per-join runtime bloom filter (reference BloomFilterCreate/UsePOp).
