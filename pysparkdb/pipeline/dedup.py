@@ -314,3 +314,66 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Decontamination: exact n-gram Jaccard pairs ACROSS two corpora —
+    (train_id, bench_id, jaccard ≥ t). The train/test-overlap check every
+    LLM data pipeline runs before training: any train document too similar
+    to an evaluation document is contamination and must be dropped.
+
+    Same shingle-collision shape as ngram_jaccard_pairs (only pairs
+    sharing ≥1 shingle materialize; no doc_a < doc_b condition — the two
+    sides are different corpora). ``max_doc_freq`` is the stop-shingle
+    fan-out guard computed over the COMBINED shingle stream (a boilerplate
+    phrase is boilerplate regardless of which split it lands in); as in
+    the single-corpus op it only ever under-reports jaccard. At 100 TB the
+    bench side is typically tiny (eval suites) — its shingle set
+    broadcasts and the whole check is one map-side pass over train."""
+    sha = _shingled(train, id_col, text_col, n).select(
+        F.col("did").alias("train_id"), F.col("sh").alias("sh_a")
+    )
+    shb = _shingled(bench, id_col, text_col, n).select(
+        F.col("did").alias("bench_id"), F.col("sh").alias("sh_b")
+    )
+    if max_doc_freq is not None:
+        combined = sha.select(F.col("sh_a").alias("sh")).unionAll(
+            shb.select(F.col("sh_b").alias("sh"))
+        )
+        stop = (
+            combined.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sha = sha.join(
+            F.broadcast(stop), sha["sh_a"] == stop["sh"], "left_anti"
+        )
+        shb = shb.join(
+            F.broadcast(stop), shb["sh_b"] == stop["sh"], "left_anti"
+        )
+    na = sha.groupBy("train_id").agg(F.count(F.lit(1)).alias("na"))
+    nb = shb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("nb"))
+    common = (
+        sha.join(shb, F.col("sh_a") == F.col("sh_b"))
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(na, "train_id")
+        .join(nb, "bench_id")
+        .select(
+            "train_id",
+            "bench_id",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -119,3 +119,55 @@ def chunk_text(
             F.expr(f"substr({text_col}, CAST(chunk_id * {stride} + 1 AS INT), {size})").alias("chunk"),
         )
     )
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals, per document:
+    (doc_id, n_tokens, n_distinct, dup_token_ratio, top_token_ratio,
+    top_bigram_ratio). High duplicate-token / dominant-n-gram fractions
+    mark low-quality, repetitive text (the Rae et al. 2021 'repetition'
+    filters, adapted token-wise — this corpus has no line structure).
+
+    Shape: explode tokens (and 2-gram shingles) → count per (doc, gram) →
+    per-doc rollup. Both aggregations partial-combine map-side and shuffle
+    on keys that include doc_id, so shuffle volume is bounded by distinct
+    grams per document — scan-speed at corpus scale. All ratios are single
+    BIGINT/BIGINT double divisions (deterministic, oracle-exact)."""
+    tok = df.select(F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("g"))
+    tstats = (
+        tok.groupBy("did", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("did")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+    )
+    # word_shingles is DISTINCT by construction; bigram repetition needs raw
+    # counts, so derive non-distinct 2-grams from the token array directly
+    t = tokens(text_col)
+    raw_bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    big = df.select(F.col(id_col).alias("did"), F.explode(raw_bigrams).alias("g"))
+    bstats = (
+        big.groupBy("did", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("did")
+        .agg(F.sum("c").cast("long").alias("n_bigrams"),
+             F.max("c").cast("long").alias("top_bc"))
+    )
+    return (
+        tstats.join(bstats, "did")
+        .select(
+            F.col("did").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            (1.0 - F.col("n_distinct") / F.col("n_tokens")).alias("dup_token_ratio"),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_ratio"),
+            (F.col("top_bc") / F.col("n_bigrams")).alias("top_bigram_ratio"),
+        )
+    )

@@ -701,3 +701,83 @@ def mm_chunk_audio(spark, sf_dir):
     d = tables(spark, sf_dir)["documents"]
     audio = multimodal.to_binary_column(d)
     return multimodal.chunk_audio(audio, fake=True)
+
+
+@register(
+    "dedup_decontaminate",
+    f"""
+    WITH split AS (SELECT doc_id, text,
+                          substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('0', '1') AS is_bench
+                   FROM documents),
+    sh AS (SELECT doc_id, is_bench, unnest({_DUCK_SHINGLES}) AS s
+           FROM (SELECT doc_id, is_bench, string_split(text, ' ') AS t
+                 FROM split)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+                      COUNT(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE NOT a.is_bench AND b.is_bench
+               GROUP BY 1, 2)
+    SELECT train_id, bench_id, c / (sa.n + sb.n - c) AS jaccard
+    FROM common
+    JOIN sizes sa ON train_id = sa.doc_id
+    JOIN sizes sb ON bench_id = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= 0.5
+    """,
+    "pipeline", "dedup", "decontamination",
+)
+def dedup_decontaminate(spark, sf_dir):
+    """Train/eval decontamination — the cross-corpus overlap check every
+    LLM data pipeline runs before training: train documents sharing
+    n-gram Jaccard ≥ 0.5 with any benchmark document are contamination.
+    The corpus splits deterministically by md5(doc_id) (~1/8 'benchmark',
+    the op_hash_sample idiom, oracle-exact); pairs come from
+    dedup.cross_corpus_overlap — shingle-collision join across the two
+    sides, no all-pairs. At 100 TB the bench side (eval suites) is tiny:
+    its shingles broadcast and the check is one map-side pass over
+    train."""
+    d = tables(spark, sf_dir)["documents"]
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_bench = digit.isin("0", "1")
+    return dedup.cross_corpus_overlap(
+        d.filter(~is_bench), d.filter(is_bench), threshold=0.5
+    )
+
+
+@register(
+    "text_repetition",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+                 FROM documents),
+    tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tstats AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                      CAST(MAX(c) AS BIGINT) AS top_c
+               FROM tc GROUP BY doc_id),
+    big AS (SELECT doc_id,
+                   unnest([array_to_string(t[i:i+1], ' ')
+                           for i in range(1, len(t))]) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    bstats AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                      CAST(MAX(c) AS BIGINT) AS top_bc
+               FROM bc GROUP BY doc_id)
+    SELECT t.doc_id AS doc_id, n_tokens, n_distinct,
+           1.0 - n_distinct / n_tokens AS dup_token_ratio,
+           top_c / n_tokens AS top_token_ratio,
+           top_bc / n_bigrams AS top_bigram_ratio
+    FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+    """,
+    "pipeline", "text", "quality", "repetition",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (duplicate-
+    token fraction, dominant token/bigram fractions — Rae et al. 2021
+    §A1.1 adapted token-wise; this corpus has no line structure). Two
+    partial-aggregated shuffles keyed by (doc, gram); ratios are
+    BIGINT/BIGINT double divisions, oracle-exact."""
+    return text.repetition_metrics(tables(spark, sf_dir)["documents"])

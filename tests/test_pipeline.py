@@ -269,3 +269,44 @@ def test_chunk_audio_window_math(spark):
     assert [(r.start_byte, r.n_bytes, r.rms) for r in out[2]] == [(0, 0, 0.0)]
     assert [(r.start_byte, r.n_bytes) for r in out[3]] == [(0, 100)]
     assert abs(out[3][0].rms - 5.0) < 1e-12
+
+
+def test_cross_corpus_overlap_matches_restricted_self_join(spark, sf_dir):
+    """Decontamination pairs == the full single-corpus jaccard pair set
+    restricted to (train, bench) splits, in either orientation — the
+    cross-corpus op must find exactly the cross-split subset."""
+    from pysparkdb.pipeline import dedup
+    from pysparkdb.queries.base import tables
+    import pyspark.sql.functions as F
+
+    d = tables(spark, sf_dir)["documents"]
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_bench = digit.isin("0", "1")
+    got = {
+        (r.train_id, r.bench_id)
+        for r in dedup.cross_corpus_overlap(
+            d.filter(~is_bench), d.filter(is_bench), threshold=0.5
+        ).collect()
+    }
+    bench_ids = {r.doc_id for r in d.filter(is_bench).select("doc_id").collect()}
+    full = dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    expect = set()
+    for r in full:
+        a_bench, b_bench = r.doc_a in bench_ids, r.doc_b in bench_ids
+        if a_bench != b_bench:  # exactly one side in the benchmark split
+            expect.add((r.doc_b, r.doc_a) if a_bench else (r.doc_a, r.doc_b))
+    assert got == expect
+    assert expect, "vacuous: no cross-split near-dup pairs at this SF"
+
+
+def test_repetition_metrics_known_document(spark):
+    """Hand-computed ratios: 'a a a b' → 4 tokens, 2 distinct,
+    dup_token_ratio 0.5, top token 'a' 3/4, top bigram 'a a' 2/3."""
+    from pysparkdb.pipeline.text import repetition_metrics
+
+    df = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    r = repetition_metrics(df).collect()[0]
+    assert r.n_tokens == 4 and r.n_distinct == 2
+    assert r.dup_token_ratio == 0.5
+    assert r.top_token_ratio == 0.75
+    assert abs(r.top_bigram_ratio - 2 / 3) < 1e-12

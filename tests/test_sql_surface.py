@@ -45,6 +45,8 @@ NOT_ANSI_PORTABLE = {
     "op_collect_set",      # duck list()/list_sort vs Spark collect_set
     "op_min_max_by",       # duck {'k': v} struct literal for the total argmin key
     "dedup_minhash_lsh",   # duck list comprehension for minhash signature bands
+    "dedup_decontaminate", # duck list-comprehension shingles
+    "text_repetition",     # duck list-comprehension bigrams + unnest
     "mm_resize",           # ascii()/list ops in the byte-level value oracle
     "mm_audio_features",   # same ascii-bytes oracle idioms
     "mm_chunk_audio",      # unnest(range()) chunk-offset materialization
