@@ -166,6 +166,51 @@ def minhash_signatures(
     )
 
 
+def minhash_band_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → band buckets → pairs that
+    collide in ≥1 band (may contain band-level duplicates — consumers are
+    duplicate-insensitive by contract; dedup here would cost a full extra
+    shuffle of the widest frame in the pipeline)."""
+    num_bands = num_hashes // rows_per_band
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands = sigs.select(
+        "did",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ),
+                        b,
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("band_key"),
+    ).select("did", "band_key.band", "band_key.bh")
+    a = bands.select(F.col("did").alias("doc_a"), F.col("band").alias("band_a"), F.col("bh").alias("bh_a"))
+    b = bands.select(F.col("did").alias("doc_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b"))
+    return a.join(
+        b,
+        (F.col("band_a") == F.col("band_b"))
+        & (F.col("bh_a") == F.col("bh_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -192,41 +237,9 @@ def minhash_lsh_pairs(
     underestimate, so choose it well above the expected near-dup cluster
     size; the recall-vs-exact floor is asserted in tests/test_pipeline.py.
     """
-    num_bands = num_hashes // rows_per_band
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    bands = sigs.select(
-        "did",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ),
-                        b,
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("band_key"),
-    ).select("did", "band_key.band", "band_key.bh")
-    a = bands.select(F.col("did").alias("doc_a"), F.col("band").alias("band_a"), F.col("bh").alias("bh_a"))
-    b = bands.select(F.col("did").alias("doc_b"), F.col("band").alias("band_b"), F.col("bh").alias("bh_b"))
-    # NO .distinct() here: both consumers below are duplicate-insensitive
-    # (a left-semi probe and a distinct over doc ids), and deduping the
-    # pair stream would cost a full extra shuffle of the widest
-    # intermediate in the query.
-    candidates = a.join(
-        b,
-        (F.col("band_a") == F.col("band_b"))
-        & (F.col("bh_a") == F.col("bh_b"))
-        & (F.col("doc_a") < F.col("doc_b")),
-    ).select("doc_a", "doc_b")
+    candidates = minhash_band_candidates(
+        df, id_col, text_col, n, num_hashes, rows_per_band
+    )
     # Verify ONLY among documents that appear in some candidate pair: the
     # exact shingle-join is O(pairs sharing a shingle) — at corpus scale
     # running it over everything would defeat the LSH; over the candidate

@@ -263,12 +263,28 @@ def train_ivf_centroids(
 
 def _cell_distances(v: Column, centroids: np.ndarray) -> Column:
     """array of ||v-c||²-equivalent scores (−2·v·c + ||c||²; ||v||² is
-    constant per row and cannot change the argmin)."""
-    scores = []
-    for c in centroids:
-        plane = F.array(*[F.lit(float(x)) for x in c])
-        scores.append(-2.0 * dot(v, plane) + float(np.dot(c, c)))
-    return F.array(*scores)
+    constant per row and cannot change the argmin).
+
+    One Arrow-batched matmul against the (nlist × dim) centroid matrix —
+    the hyperplane_buckets pattern; the previous per-centroid HOF folds
+    ran interpreted, nlist× per row. Distances feed only argmin/probe
+    ordering (never an oracle hash), so matmul summation order is fine."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.astype(np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def _fn(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vs.to_numpy())
+        d2 = -2.0 * (x @ C.T) + c2
+        return pd.Series(list(d2))
+
+    _fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(_fn, T.ArrayType(T.DoubleType()))(v)
 
 
 def ivf_topk_neighbors(
