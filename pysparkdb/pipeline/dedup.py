@@ -287,12 +287,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 32, band_bits: int = 8, max_hamming: int = 3,
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the fingerprint into bits/band_bits
     chunks (pigeonhole: hamming ≤ k pairs share ≥1 of k+1 bands), join
-    within band, filter on exact Hamming distance via bit_count(xor)."""
+    within band, filter on exact Hamming distance via bit_count(xor).
+
+    ``sims``: optionally a precomputed (did, simhash) fingerprint frame
+    (persist it if shared with other consumers — fingerprints are one
+    16-byte row per doc, the cheapest thing in the pipeline to cache)."""
     num_bands = bits // band_bits
-    sims = simhash(df, id_col, text_col, bits)
+    if sims is None:
+        sims = simhash(df, id_col, text_col, bits)
     mask = (1 << band_bits) - 1
     band_structs = F.array(
         *[

@@ -164,10 +164,12 @@ def dedup_simhash(spark, sf_dir):
     is a codegen popcount over the n² id pairs — fine at test scale, and
     exactly the check you'd run on a sample before trusting the banded
     path on the full corpus. Raw pairs: dedup.simhash_pairs (library
-    output, exercised by tests/test_pipeline.py)."""
+    output, exercised by tests/test_pipeline.py). The fingerprint frame
+    (16 bytes/doc) is computed once and persisted — banded and both brute
+    branches share it instead of re-running the token explode 3×."""
     d = tables(spark, sf_dir)["documents"]
-    banded = dedup.simhash_pairs(d).select("doc_a", "doc_b")
-    sims = dedup.simhash(d)
+    sims = dedup.simhash(d).persist()
+    banded = dedup.simhash_pairs(d, sims=sims).select("doc_a", "doc_b")
     a = sims.select(F.col("did").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = sims.select(F.col("did").alias("doc_b"), F.col("simhash").alias("sim_b"))
     brute = (
