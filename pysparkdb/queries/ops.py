@@ -1043,3 +1043,52 @@ def op_grouping_sets(spark, sf_dir):
             "sum_qty", "n",
         )
     )
+
+
+@register(
+    "op_window_analytics",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_key,
+           CAST(last_value(o_orderkey) OVER
+                (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS priciest_key
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS STRING)), 1, 1) = '0'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    "ops", "window_function", "analytics",
+)
+def op_window_analytics(spark, sf_dir):
+    """Ranking/distribution analytics — ntile, percent_rank, cume_dist,
+    first_value/last_value per priority partition (beyond-reference; the
+    remaining OVER-clause surface next to op_window_rank/lead_lag). The
+    ORDER BY key (o_totalprice, o_orderkey) is a total order, so quartile
+    edges, percent ranks, and frame endpoints are deterministic across
+    engines; last_value needs the explicit unbounded frame (the default
+    frame ends at CURRENT ROW). Deterministic 1/16 md5 subset keeps the
+    driver payload small. One shuffle on the partition key serves all
+    five functions — Catalyst evaluates them in a single Window node."""
+    from pyspark.sql import Window
+
+    o = tables(spark, sf_dir)["orders"]
+    sub = o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return sub.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("o_orderkey").over(w).cast("long").alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).cast("long").alias("priciest_key"),
+    )
