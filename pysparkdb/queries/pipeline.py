@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pysparkdb.pipeline import dedup, multimodal, similarity, text
+from pysparkdb.pipeline import cluster, dedup, multimodal, similarity, text
 from pysparkdb.queries import register
 from pysparkdb.queries.base import bigint, tables
 
@@ -796,3 +796,148 @@ def text_repetition(spark, sf_dir):
     partial-aggregated shuffles keyed by (doc, gram); ratios are
     BIGINT/BIGINT double divisions, oracle-exact."""
     return text.repetition_metrics(tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dedup_cluster",
+    f"""
+    WITH RECURSIVE pairs AS ({_DUCK_JACCARD.format(t=0.5)}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+    walk(u, w) AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT walk.u, e.v FROM walk JOIN edges e ON walk.w = e.u)
+    SELECT u AS did, CAST(LEAST(u, MIN(w)) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY u
+    """,
+    "pipeline", "dedup", "clustering",
+)
+def dedup_cluster(spark, sf_dir):
+    """Duplicate clustering: connected components over the exact n-gram
+    Jaccard pair graph (t=0.5) — the step that turns pairwise near-dup
+    output into per-document keep/drop decisions (cluster_id = smallest
+    doc id in the component; the survivor is the doc whose id equals its
+    cluster_id).
+
+    Spark side is the alternating large-star/small-star MapReduce
+    algorithm (pysparkdb/pipeline/cluster.py — Kiveris et al. SoCC 2014):
+    O(log^2 n) rounds of two edge-frame shuffles, no collect beyond a
+    one-row convergence checksum per round, so the pair graph never has
+    to fit anywhere central — the 100 TB shape. The DuckDB oracle walks
+    the same edge set with a recursive transitive-closure CTE (fine at
+    test scale, where components are tiny) and labels each node with the
+    minimum reachable id — the same fixpoint the star algorithm
+    contracts to."""
+    d = tables(spark, sf_dir)["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    return cluster.connected_components(pairs)
+
+
+@register(
+    "text_inverted_index",
+    """
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY tok HAVING COUNT(*) >= 4
+    """,
+    "pipeline", "text", "index",
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted index over whitespace tokens: token -> document frequency
+    + sorted posting list (df >= 4 cut drops the hapax tail, the standard
+    index-size control). Postings serialize as a sorted comma-joined
+    string so the driver's value-hash is order-deterministic on both
+    engines.
+
+    Shape: explode + distinct on (doc_id, tok) (one shuffle,
+    partial-aggregated map-side), then groupBy tok. The token key is
+    Zipf-skewed — the stopword rows are the heavy hitters — but each
+    posting list is bounded by corpus doc count and AQE splits skewed
+    reducers; a production index would cap or tier the hottest terms
+    (the stop-shingle idiom in dedup.ngram_jaccard_pairs)."""
+    d = tables(spark, sf_dir)["documents"]
+    dt = (
+        d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    return (
+        dt.groupBy("tok")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 4)
+    )
+
+
+@register(
+    "text_tfidf",
+    """
+    WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, tok, tf, df,
+                      tf * ln((1.0 + n_docs) / (1.0 + df)) AS tfidf
+               FROM tf JOIN df USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, tf, df, ROUND(tfidf, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, tok) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    "pipeline", "text", "tfidf",
+)
+def text_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df))) — the classic document-keyword signal a
+    data pipeline uses for topic tagging and quality slicing.
+
+    Shape: explode -> (doc, tok) count [one shuffle] -> df from the tf
+    frame's tok key [second shuffle, partial-aggregated] -> join tf x df
+    on tok (tok-keyed shuffle; Zipf skew handled by AQE skew-join) x a
+    one-row N aggregate (auto-broadcast) -> per-doc row_number top-3.
+    Ordering (tfidf DESC, tok ASC) is total, so ranks are deterministic
+    within each engine, and rank flips across engines would need two
+    DISTINCT (tf, df) combinations within ~1 ulp of each other —
+    mathematically-equal scores are bit-equal per engine and tie-break on
+    tok. The emitted tfidf rounds to 6dp on both sides because JVM
+    Math.log and DuckDB's libm ln DO differ in the last ulp for some
+    arguments (measured: df=387 at sf0.01); the rounding absorbs it
+    (agreement at 6dp asserted over every df value in
+    tests/test_pipeline.py)."""
+    d = tables(spark, sf_dir)["documents"]
+    tf = (
+        d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(bigint(F.count(F.lit(1))).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(bigint(F.count(F.lit(1))).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
+    )

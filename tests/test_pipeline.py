@@ -310,3 +310,104 @@ def test_repetition_metrics_known_document(spark):
     assert r.dup_token_ratio == 0.5
     assert r.top_token_ratio == 0.75
     assert abs(r.top_bigram_ratio - 2 / 3) < 1e-12
+
+
+def _py_components(edges):
+    """Reference union-find for tiny graphs: node -> min id in component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3-4 plus island pair (10,11): two clusters labeled by
+    their minima; a node's label never depends on edge orientation."""
+    from pysparkdb.pipeline.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r.did: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Star-contraction fixpoint == classic union-find on a seeded random
+    graph (200 nodes, 150 edges → many non-trivial components)."""
+    import random
+
+    from pysparkdb.pipeline.cluster import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    expect = _py_components(edges)
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.did: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == expect
+
+
+def test_dedup_survivors_keep_flags(spark, sf_dir):
+    """Every document gets a cluster_id (its own id when un-paired); keep ⇔
+    id == cluster_id; exactly one keeper per cluster."""
+    from pysparkdb.pipeline import dedup
+    from pysparkdb.pipeline.cluster import dedup_survivors
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5)
+    rows = dedup_survivors(d, pairs).collect()
+    assert len(rows) == d.count()
+    clusters = {}
+    for r in rows:
+        assert r.keep == (r.doc_id == r.cluster_id)
+        clusters.setdefault(r.cluster_id, []).append(r.keep)
+    for cid, keeps in clusters.items():
+        assert sum(keeps) == 1, f"cluster {cid}: {sum(keeps)} keepers"
+
+
+def test_tfidf_ln_agreement_at_rounding_precision(spark, sf_dir):
+    """The text_tfidf oracle contract: JVM Math.log and DuckDB ln may
+    differ in the last ulp (they do — e.g. df=387 at sf0.01), but agree
+    at the 6dp rounding the query emits, for every (1+N)/(1+df) argument
+    this corpus produces, and never differ by more than 4 ulp."""
+    import duckdb
+    import pyspark.sql.functions as F
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"]
+    n_docs = d.count()
+    dfs = (
+        d.select(F.col("doc_id"), F.explode_outer(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .count()
+        .select(F.col("count").alias("df"))
+        .distinct()
+    )
+    spark_vals = {
+        r.df: r.lg
+        for r in dfs.withColumn(
+            "lg", F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df")))
+        ).collect()
+    }
+    import math
+
+    con = duckdb.connect()
+    for df_val, s in spark_vals.items():
+        (dck,) = con.sql(
+            f"SELECT ln((1.0 + {float(n_docs)}) / (1.0 + {df_val}))"
+        ).fetchone()
+        assert abs(s - dck) <= 4 * math.ulp(dck), (df_val, s, dck)
+        assert round(s, 6) == round(dck, 6), (df_val, s, dck)

@@ -50,6 +50,9 @@ NOT_ANSI_PORTABLE = {
     "mm_resize",           # ascii()/list ops in the byte-level value oracle
     "mm_audio_features",   # same ascii-bytes oracle idioms
     "mm_chunk_audio",      # unnest(range()) chunk-offset materialization
+    "dedup_cluster",       # duck list-comprehension shingles + recursive-CTE closure
+    "text_inverted_index", # duck list()/list_sort posting aggregation + string_split
+    "text_tfidf",          # string_split/unnest tokenization
 }
 
 SPECS = [
