@@ -171,3 +171,102 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
             (F.col("top_bc") / F.col("n_bigrams")).alias("top_bigram_ratio"),
         )
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Domain mixing: deterministically downsample every domain to the
+    token budget of the smallest one (uniform target mix) — the data-
+    mixture rebalancing step of a training pipeline. Returns the kept
+    rows of ``df``.
+
+    Acceptance is a pure function of the document key (first 4 md5 hex
+    digits as an integer in [0, 65536), kept iff below the domain's
+    threshold floor(min_tokens/domain_tokens * 65536)) — the same
+    reproducible-sampling idiom as op_hash_sample: identical sample
+    across engines, runs, and partitionings, composable under joins.
+
+    Shape: one groupBy on the domain key (token totals; domain
+    cardinality is small by nature, so the stats frame broadcasts), a
+    one-row global MIN, then a map-side filter over the corpus — the
+    scan-speed shape at any corpus size.
+    """
+    n_tok = token_count(text_col)
+    stats = (
+        df.select(F.col(domain_col), n_tok.alias("nt"))
+        .groupBy(domain_col)
+        .agg(F.sum("nt").cast("long").alias("domain_tokens"))
+    )
+    m = stats.agg(F.min("domain_tokens").alias("min_tokens"))
+    thresholds = (
+        stats.crossJoin(F.broadcast(m))
+        .select(
+            domain_col,
+            F.floor(
+                F.col("min_tokens") / F.col("domain_tokens") * 65536
+            ).cast("long").alias("thr"),
+        )
+    )
+    hexval = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .filter(hexval < F.col("thr"))
+        .drop("thr")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    seq_len: int = 2048,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Sequence packing (concat-and-chunk): lay documents end-to-end in
+    deterministic (domain, bucket, doc_id) order and assign each document
+    to the ``seq_len``-token training window its FIRST token lands in.
+    Returns one row per (domain, bucket, bin): doc/token counts and the
+    doc-id span — the packing manifest a dataloader shards by.
+
+    Packing is per-shard, not global: a single global concat order would
+    be one giant window sort, and even a per-domain window serializes a
+    whole domain (10 TB of web text) into one reducer. Training does not
+    need any particular concat order, so the window partitions by
+    (domain, bucket) with bucket = doc_id % n_buckets — a deterministic
+    sub-shard key that caps each sort at domain/n_buckets and scales out
+    by raising ``n_buckets`` (production: thousands). Within a shard the
+    running sum is the standard cumulative window — map-side token
+    counting, one shuffle on the shard key; the per-bin rollup reuses the
+    same hash distribution (no second exchange).
+    """
+    n_tok = token_count(text_col)
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("long")
+    w = (
+        Window.partitionBy(domain_col, "bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("nt").over(w), F.lit(0))
+    placed = (
+        df.select(F.col(domain_col), F.col(id_col), n_tok.alias("nt"))
+        .withColumn("bucket", bucket)
+        .withColumn("bin", F.floor(start / seq_len).cast("long"))
+    )
+    return (
+        placed.groupBy(domain_col, "bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )

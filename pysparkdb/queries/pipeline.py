@@ -941,3 +941,102 @@ def text_tfidf(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "df", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+@register(
+    "text_domain_mix",
+    """
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+               FROM documents),
+    stats AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS domain_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM d GROUP BY source),
+    m AS (SELECT MIN(domain_tokens) AS min_tokens FROM stats),
+    thr AS (SELECT source,
+                   CAST(FLOOR(min_tokens / domain_tokens * 65536) AS BIGINT) AS thr
+            FROM stats CROSS JOIN m),
+    kept AS (SELECT d.source, d.nt
+             FROM d JOIN thr USING (source)
+             WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) < thr)
+    SELECT s.source AS source,
+           s.n_docs AS n_docs_orig,
+           s.domain_tokens AS n_tokens_orig,
+           CAST(COUNT(k.nt) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(k.nt), 0) AS BIGINT) AS n_tokens_kept
+    FROM stats s LEFT JOIN kept k ON s.source = k.source
+    GROUP BY 1, 2, 3
+    """,
+    "pipeline", "text", "mixing",
+)
+def text_domain_mix(spark, sf_dir):
+    """Domain-mixture rebalancing summary: every source deterministically
+    downsampled to the token budget of the smallest source (uniform
+    target mix), reported as per-source before/after doc+token counts.
+    Membership is a pure function of md5(doc_id) vs a per-source
+    threshold (pipeline/text.py:domain_mix) — reproducible across
+    engines/runs/partitionings, so the oracle matches exactly (all-BIGINT
+    output). One small groupBy on source (domain cardinality is tiny, the
+    stats broadcast), then a map-side filter — scan-speed at corpus
+    scale."""
+    d = tables(spark, sf_dir)["documents"]
+    nt = text.token_count("text")
+    stats = (
+        d.select("source", nt.alias("nt"))
+        .groupBy("source")
+        .agg(
+            bigint(F.sum("nt")).alias("n_tokens_orig"),
+            bigint(F.count(F.lit(1))).alias("n_docs_orig"),
+        )
+    )
+    kept = (
+        text.domain_mix(d)
+        .select("source", nt.alias("nt"))
+        .groupBy("source")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_docs_kept"),
+            bigint(F.sum("nt")).alias("n_tokens_kept"),
+        )
+    )
+    return (
+        stats.join(kept, "source", "left")
+        .select(
+            "source", "n_docs_orig", "n_tokens_orig",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        )
+    )
+
+
+@register(
+    "text_pack",
+    """
+    WITH d AS (SELECT source, doc_id, doc_id % 8 AS bucket,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+               FROM documents),
+    placed AS (SELECT source, bucket, doc_id, nt,
+                      CAST(FLOOR(COALESCE(SUM(nt) OVER (
+                          PARTITION BY source, bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / 2048) AS BIGINT) AS bin
+               FROM d)
+    SELECT source, bucket, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM placed GROUP BY 1, 2, 3
+    """,
+    "pipeline", "text", "packing",
+)
+def text_pack(spark, sf_dir):
+    """Sequence-packing manifest: documents concatenated in deterministic
+    (source, bucket, doc_id) order and chunked into 2048-token training
+    windows; one row per (source, bucket, bin) with doc/token counts and
+    the id span (pipeline/text.py:pack_sequences). The bucket sub-shard
+    (doc_id % 8) caps every window sort at domain/8 — the knob that keeps
+    the cumulative sum parallel when one domain is 10 TB (production:
+    thousands of buckets). All-BIGINT output, oracle-exact; the per-bin
+    rollup's keys extend the window's partition keys, so Catalyst plans
+    it without a second exchange."""
+    return text.pack_sequences(tables(spark, sf_dir)["documents"])

@@ -411,3 +411,74 @@ def test_tfidf_ln_agreement_at_rounding_precision(spark, sf_dir):
         ).fetchone()
         assert abs(s - dck) <= 4 * math.ulp(dck), (df_val, s, dck)
         assert round(s, 6) == round(dck, 6), (df_val, s, dck)
+
+
+def test_domain_mix_smallest_source_fully_kept(spark, sf_dir):
+    """The smallest source's rate is 1.0 → threshold 65536 → every doc
+    kept; every other source keeps a strict subset, and kept sets are
+    identical across two invocations (determinism)."""
+    import pyspark.sql.functions as F
+    from pysparkdb.pipeline.text import domain_mix, token_count
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"]
+    totals = {
+        r.source: r.t
+        for r in d.groupBy("source")
+        .agg(F.sum(token_count("text")).alias("t"))
+        .collect()
+    }
+    smallest = min(totals, key=totals.get)
+    kept1 = {r.doc_id for r in domain_mix(d).select("doc_id").collect()}
+    kept2 = {r.doc_id for r in domain_mix(d).select("doc_id").collect()}
+    assert kept1 == kept2
+    all_ids = {
+        (r.doc_id, r.source) for r in d.select("doc_id", "source").collect()
+    }
+    small_ids = {i for i, s in all_ids if s == smallest}
+    assert small_ids <= kept1
+    for src in totals:
+        src_ids = {i for i, s in all_ids if s == src}
+        assert src_ids & kept1, f"source {src} sampled to zero"
+
+
+def test_pack_sequences_hand_example(spark):
+    """Known layout: one source, ids 0/8/16/24 (all bucket 0), token
+    counts 4,5,3,9, seq_len 10 → starts 0,4,9,12 → bins 0,0,0,1."""
+    from pysparkdb.pipeline.text import pack_sequences
+
+    rows = [
+        (0, "a b c d", "web"),
+        (8, "a b c d e", "web"),
+        (16, "a b c", "web"),
+        (24, "a b c d e f g h i", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.source, r.bucket, r.bin): (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(df, seq_len=10).collect()
+    }
+    assert got == {
+        ("web", 0, 0): (3, 12, 0, 16),
+        ("web", 0, 1): (1, 9, 24, 24),
+    }
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Every document lands in exactly one bin: per-bin token totals sum
+    to the corpus token total, and the manifest plans with a single
+    exchange (the rollup keys extend the window partition keys)."""
+    import pyspark.sql.functions as F
+    from pysparkdb.pipeline.text import pack_sequences, token_count
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"]
+    manifest = pack_sequences(d)
+    total = d.agg(F.sum(token_count("text"))).collect()[0][0]
+    packed = manifest.agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("n")
+    ).collect()[0]
+    assert packed.t == total
+    assert packed.n == d.count()
+    plan = manifest._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

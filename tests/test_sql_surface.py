@@ -53,6 +53,8 @@ NOT_ANSI_PORTABLE = {
     "dedup_cluster",       # duck list-comprehension shingles + recursive-CTE closure
     "text_inverted_index", # duck list()/list_sort posting aggregation + string_split
     "text_tfidf",          # string_split/unnest tokenization
+    "text_domain_mix",     # string_split + duck '0x'-string hex cast
+    "text_pack",           # string_split tokenization
 }
 
 SPECS = [
