@@ -772,14 +772,22 @@ def op_min_max_by(spark, sf_dir):
     map-side combines like MIN/MAX (no row sort, no window). The ordering
     key is the struct (o_totalprice, o_orderkey) — a TOTAL order, so ties
     on price resolve to the smallest/largest orderkey deterministically in
-    both engines (bare min_by/max_by tie-breaking is engine-defined)."""
+    both engines (bare min_by/max_by tie-breaking is engine-defined).
+    TWO aggregate buffers, not four: struct ordering is lexicographic
+    with price first, so the min/max structs already carry min/max price
+    — the scalar extremes project out afterwards."""
     o = tables(spark, sf_dir)["orders"]
     key = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
-    return o.groupBy("o_orderpriority").agg(
-        F.min(key).getField("k").alias("cheapest_order"),
-        F.max(key).getField("k").alias("priciest_order"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.min(key).alias("_mn"), F.max(key).alias("_mx"))
+        .select(
+            "o_orderpriority",
+            F.col("_mn").getField("k").alias("cheapest_order"),
+            F.col("_mx").getField("k").alias("priciest_order"),
+            F.col("_mn").getField("p").alias("min_price"),
+            F.col("_mx").getField("p").alias("max_price"),
+        )
     )
 
 

@@ -482,3 +482,15 @@ def test_pack_sequences_conserves_tokens(spark, sf_dir):
     assert packed.n == d.count()
     plan = manifest._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_connected_components_long_path(spark):
+    """A 64-node path is the adversarial case for star contraction (round
+    count grows with diameter); must converge inside the default bound
+    and label every node with the path minimum."""
+    from pysparkdb.pipeline.cluster import connected_components
+
+    edges = [(i, i + 1) for i in range(63)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.did: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(64)}
