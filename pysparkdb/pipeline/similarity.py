@@ -345,3 +345,48 @@ def ivf_topk_neighbors(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization, per vector: scale = max|v_i|/127,
+    q_i = floor(v_i/scale + 0.5) clamped to [-127, 127] — the 4× storage
+    reduction (float32 -> int8) every 100 TB vector corpus takes before
+    serving ANN. Returns (vec_id, scale, q) with q serialized as a
+    comma-joined int string (order-deterministic, oracle-exact).
+
+    One Arrow-batched pandas_udf does the whole row: abs-max, divide,
+    floor, clamp are all elementwise float64 ops — bit-identical to the
+    oracle's per-element SQL (IEEE 754; floor(x+0.5) is the explicit
+    half-up rule BOTH engines share, unlike round(), whose half-even/
+    half-up mode differs between them). Zero vectors quantize against
+    scale 1.0. Map-side only: no shuffle, output partitioning inherits
+    the scan."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def _fn(vs):
+        if len(vs) == 0:
+            return pd.DataFrame({"scale": [], "q": []})
+        x = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+        amax = np.abs(x).max(axis=1)
+        scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+        q = np.clip(np.floor(x / scale[:, None] + 0.5), -127, 127).astype(np.int64)
+        return pd.DataFrame(
+            {"scale": scale, "q": [",".join(map(str, row)) for row in q]}
+        )
+
+    _fn.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
+    quant = pandas_udf(
+        _fn, T.StructType([
+            T.StructField("scale", T.DoubleType()),
+            T.StructField("q", T.StringType()),
+        ])
+    )
+    v = _as_double(F.col(vec_col))
+    out = _spread(df).select("vec_id", quant(v).alias("_q"))
+    return out.select(
+        "vec_id",
+        F.round(F.col("_q.scale"), 6).alias("scale"),
+        F.col("_q.q").alias("q"),
+    )

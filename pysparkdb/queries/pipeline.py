@@ -1040,3 +1040,33 @@ def text_pack(spark, sf_dir):
     rollup's keys extend the window's partition keys, so Catalyst plans
     it without a second exchange."""
     return text.pack_sequences(tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "emb_quantize",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_max([abs(x) for x in v]) AS amax FROM e),
+    sc AS (SELECT vec_id, v,
+                  CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+           FROM s)
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           array_to_string(
+             [CAST(GREATEST(-127, LEAST(127, FLOOR(x / scale + 0.5))) AS BIGINT)
+              for x in v], ',') AS q
+    FROM sc
+    """,
+    "pipeline", "similarity", "quantization",
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (scale = max|v|/127,
+    half-up rounding, clamped) — the float32→int8 storage-reduction pass
+    of a vector corpus (pipeline/similarity.py:quantize_embeddings). The
+    quantized codes serialize as comma-joined ints, so the driver hash is
+    exact: every arithmetic step (abs-max, divide, floor(x+0.5)) is an
+    elementwise float64 op both engines execute identically — round()
+    itself is avoided inside the codes because its half-even/half-up mode
+    differs across engines; it only formats the emitted scale (6dp)."""
+    from pysparkdb.pipeline.similarity import quantize_embeddings
+
+    return quantize_embeddings(tables(spark, sf_dir)["embeddings"])

@@ -494,3 +494,24 @@ def test_connected_components_long_path(spark):
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.did: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(64)}
+
+
+def test_quantize_reconstruction_error_bound(spark, sf_dir):
+    """Dequantized values must sit within scale/2 of the original
+    (half-up rounding guarantee; clamp can only bite at |v| = amax where
+    the code is exactly ±127), and every code must lie in [-127, 127]."""
+    from pysparkdb.pipeline.similarity import quantize_embeddings
+    from pysparkdb.queries.base import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in e.collect()}
+    for r in quantize_embeddings(e).collect():
+        codes = [int(c) for c in r.q.split(",")]
+        assert all(-127 <= c <= 127 for c in codes)
+        v = orig[r.vec_id]
+        assert len(codes) == len(v)
+        # r.scale is rounded for display; recover the exact scale
+        amax = max(abs(x) for x in v)
+        scale = amax / 127.0 if amax else 1.0
+        for c, x in zip(codes, v):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12, (r.vec_id, c, x)

@@ -55,6 +55,7 @@ NOT_ANSI_PORTABLE = {
     "text_tfidf",          # string_split/unnest tokenization
     "text_domain_mix",     # string_split + duck '0x'-string hex cast
     "text_pack",           # string_split tokenization
+    "emb_quantize",        # duck list comprehension + DOUBLE[] cast
 }
 
 SPECS = [
