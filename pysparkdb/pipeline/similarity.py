@@ -1,14 +1,19 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine as the exact baseline; random-hyperplane LSH bucketing as
-the scale path. Pair scoring — the O(n·q) hot path — runs as an
-Arrow-batched pandas_udf (`pair_dot`): one numpy pass per batch, with the
-per-row accumulation kept in strict left-fold order so every dot product is
-bit-identical to the oracle's sequential loop (all arithmetic in double →
-oracle-exact). The Column-expression fold (`dot`) remains for the O(n)
-per-vector norms; note Catalyst evaluates higher-order-function lambdas
-INTERPRETED per row — fine for n rows, too slow for n·q pairs, which is why
-the pair path is the UDF.
+the scale path. Pair scoring — the O(n·q) hot path — is the interpreted
+Column fold (`dot`): Catalyst evaluates higher-order-function lambdas
+interpreted per row, but the pair row's two vectors already live JVM-side,
+so the fold beats the Arrow alternative. An Arrow-batched pandas_udf
+scoring the same join output must SERIALIZE both 64-dim vectors for every
+pair across the JVM/Python boundary — O(pairs · dim · 8 B) transfer that
+dominates the arithmetic (measured at sf0.1, 2000 vectors / 4M pairs:
+fold 1.7 s vs Arrow scorer 3.5 s median). Vectorized UDFs win where the
+matrix rides in the UDF CLOSURE and only n rows cross the boundary —
+hyperplane bucket bits and IVF cell assignment below (measured ~10× wins)
+— not where per-pair data must cross. A closure-side matmul over the
+whole candidate set would avoid the transfer but sums in numpy's pairwise
+order, breaking bit-equality with the oracle's sequential fold.
 
 At 100 TB: brute force is O(n·q) pair evaluations — usable when one side is
 small (a query batch). The LSH variant buckets both sides so each query only
@@ -30,48 +35,15 @@ def _as_double(vec: Column) -> Column:
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ — sequential fold, bit-identical to the oracle's loop.
 
-    Interpreted (Catalyst does not codegen HOF lambdas) — use only on
-    O(n) paths (norms); pair scoring goes through `pair_dot`."""
+    Interpreted (Catalyst does not codegen HOF lambdas), and still the
+    right pair-scoring primitive: the join row's vectors are already
+    JVM-side, so no serialization — see the module docstring for the
+    measured comparison against an Arrow-batched scorer."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
-
-
-def _make_pair_dot():
-    """Arrow-batched pairwise dot product, bit-identical to `dot`.
-
-    Vectorizes ACROSS rows but accumulates ACROSS dims in a Python loop:
-    ``acc += x[:,j] * y[:,j]`` performs the same left-fold addition order
-    per row as the sequential fold (IEEE 754 double ops are deterministic
-    and identical between numpy and the JVM), so swapping this in for the
-    interpreted HOF changes nothing in any oracle hash — unlike
-    ``(x*y).sum(axis=1)``, whose pairwise summation differs in the last
-    ulp. ~64 vectorized ops per Arrow batch vs 64 interpreted lambda
-    invocations per ROW for the HOF fold."""
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    def _fn(a, b):
-        if len(a) == 0:
-            return pd.Series([], dtype=np.float64)
-        x = np.stack(a.to_numpy())
-        y = np.stack(b.to_numpy())
-        acc = np.zeros(len(x), dtype=np.float64)
-        for j in range(x.shape[1]):
-            acc += x[:, j] * y[:, j]
-        return pd.Series(acc)
-
-    # real (non-stringified) annotations: `from __future__ import
-    # annotations` would otherwise defeat pandas_udf type-hint inference
-    _fn.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    return pandas_udf(_fn, T.DoubleType())
-
-
-def pair_dot(a: Column, b: Column) -> Column:
-    return _make_pair_dot()(a, b)
 
 
 def norm(a: Column) -> Column:
@@ -108,7 +80,7 @@ def cosine_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            (pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") > threshold)
     )
@@ -134,7 +106,7 @@ def topk_neighbors(
     c = e.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn"})
     scored = q.join(c, F.col("qid") != F.col("cid")).select(
         "qid", "cid",
-        (pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
@@ -220,7 +192,7 @@ def lsh_topk_neighbors(
     )
     scored = pairs.select(
         "qid", "cid",
-        (pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
@@ -337,7 +309,7 @@ def ivf_topk_neighbors(
 
     scored = q.join(c, on="cell").filter(F.col("qid") != F.col("cid")).select(
         "qid", "cid",
-        (pair_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
