@@ -1,16 +1,19 @@
 from pysparkdb.streaming.windows import (
+    read_documents_stream,
     read_events_stream,
     run_to_memory,
     session_agg,
     sliding_counts,
     stateful_user_counter,
+    stream_clean_documents,
     stream_dedup,
     stream_interval_self_join,
     tumbling_agg,
 )
 
 __all__ = [
-    "read_events_stream", "run_to_memory", "session_agg", "sliding_counts",
-    "stateful_user_counter", "stream_dedup", "stream_interval_self_join",
+    "read_documents_stream", "read_events_stream", "run_to_memory",
+    "session_agg", "sliding_counts", "stateful_user_counter",
+    "stream_clean_documents", "stream_dedup", "stream_interval_self_join",
     "tumbling_agg",
 ]

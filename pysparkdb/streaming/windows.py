@@ -225,3 +225,42 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream of documents parquet dropped into ``path`` — the
+    object-store landing zone of a continuously-ingesting corpus. The
+    documents schema has no timestamp column, so no representation peek is
+    needed (cf. _events_stream_schema)."""
+    return (
+        spark.readStream.schema(DECLARED_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_clean_documents(docs: DataFrame) -> DataFrame:
+    """Streaming ingest twin of the batch `pipeline_clean` composition:
+    quality gate (token-count band) -> exact dedup on the normalized-text
+    digest, first arrival wins. Emits the cleaned stream (append mode),
+    ready for a checkpointed parquet sink.
+
+    State: dropDuplicates on the 32-byte digest keeps one state row per
+    DISTINCT document ever seen — the honest cost of exact corpus dedup;
+    the fingerprint (not the text) is the state key, so state size is
+    32 B x distinct docs regardless of document length. A production
+    deployment bounds it with dropDuplicatesWithinWatermark (dedup only
+    within the late-data horizon) or an external fingerprint store; both
+    trade global exactness for bounded state — the same trade the batch
+    engine documents for its streaming sketches."""
+    from pysparkdb.pipeline.text import token_count
+
+    n_tok = token_count("text")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.filter(n_tok.between(20, 1000))
+        .withColumn("fp", fp)
+        .dropDuplicates(["fp"])
+    )

@@ -220,3 +220,33 @@ def test_parquet_sink_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 2 * n                      # no loss, no dupes
     assert out.select("event_id").distinct().count() == 2 * n
+
+
+def test_stream_clean_matches_batch_pipeline(spark, sf_dir, tmp_path):
+    """The streaming ingest pipeline (quality gate → exact dedup) must
+    agree with the batch pipeline_clean composition on per-language
+    survivor counts — stream picks first-arrival per digest, batch picks
+    min doc_id, and on this corpus every duplicate group is
+    single-language, so the counts are identical. Duplicated input
+    (the same file landing twice) must change nothing."""
+    import pathlib
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    (src / "a.parquet").symlink_to(f"{sf_dir}/documents.parquet")
+    (src / "b.parquet").symlink_to(f"{sf_dir}/documents.parquet")  # dup landing
+
+    stream = S.read_documents_stream(spark, str(src))
+    got = S.run_to_memory(
+        S.stream_clean_documents(stream), "t_clean", output_mode="append"
+    )
+    stream_counts = {
+        r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+
+    from pysparkdb.queries import load_all
+
+    batch = load_all()["pipeline_clean"].fn(spark, sf_dir)
+    batch_counts = {r.lang: r.n_docs for r in batch.collect()}
+    assert stream_counts == batch_counts
+    assert sum(stream_counts.values()) > 0
