@@ -852,27 +852,26 @@ def text_inverted_index(spark, sf_dir):
     string so the driver's value-hash is order-deterministic on both
     engines.
 
-    Shape: explode + distinct on (doc_id, tok) (one shuffle,
-    partial-aggregated map-side), then groupBy tok. The token key is
-    Zipf-skewed — the stopword rows are the heavy hitters — but each
-    posting list is bounded by corpus doc count and AQE splits skewed
-    reducers; a production index would cap or tier the hottest terms
-    (the stop-shingle idiom in dedup.ngram_jaccard_pairs)."""
+    Shape: ONE shuffle — explode, then groupBy tok with collect_set
+    (set semantics dedup intra-doc repeats; partial aggregation dedups
+    map-side, where each doc's tokens sit in one partition, so shuffle
+    volume equals the deduped postings). An explode → distinct →
+    groupBy formulation pays a second exchange for the same result
+    (plan-asserted). The token key is Zipf-skewed — the stopword rows
+    are the heavy hitters — but each posting list is bounded by corpus
+    doc count and AQE splits skewed reducers; a production index would
+    cap or tier the hottest terms (the stop-shingle idiom in
+    dedup.ngram_jaccard_pairs)."""
     d = tables(spark, sf_dir)["documents"]
-    dt = (
-        d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("tok"))
-        .distinct()
-    )
+    dt = d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("tok"))
     return (
         dt.groupBy("tok")
-        .agg(
-            bigint(F.count(F.lit(1))).alias("df"),
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("_p"))
+        .select(
+            "tok",
+            bigint(F.size("_p")).alias("df"),
             F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
+                ",", F.transform(F.col("_p"), lambda x: x.cast("string"))
             ).alias("postings"),
         )
         .filter(F.col("df") >= 4)

@@ -515,3 +515,18 @@ def test_quantize_reconstruction_error_bound(spark, sf_dir):
         scale = amax / 127.0 if amax else 1.0
         for c, x in zip(codes, v):
             assert abs(c * scale - x) <= scale / 2 + 1e-12, (r.vec_id, c, x)
+
+
+def test_domain_mix_invariant_under_repartition(spark, sf_dir):
+    """Sample membership is a pure function of the doc key: the kept set
+    must be identical whatever the input partitioning (1 partition,
+    many, or key-clustered)."""
+    import pyspark.sql.functions as F
+    from pysparkdb.pipeline.text import domain_mix
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"]
+    base = {r.doc_id for r in domain_mix(d).select("doc_id").collect()}
+    for variant in (d.coalesce(1), d.repartition(13), d.repartition("source")):
+        got = {r.doc_id for r in domain_mix(variant).select("doc_id").collect()}
+        assert got == base

@@ -156,3 +156,42 @@ class TestRound3Additions:
         a = sorted(map(tuple, specs["q5_jo1"].fn(spark, sf_dir).collect()))
         b = sorted(map(tuple, specs["q5_jo2"].fn(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestPipelinePlans:
+    def test_inverted_index_single_exchange(self, spark, sf_dir):
+        """token → posting-list must be ONE shuffle: explode is map-side
+        and collect_set partial-aggregates (dedups) before the exchange —
+        a distinct-then-group formulation would pay a second one."""
+        p = plan("text_inverted_index", spark, sf_dir, mode="simple")
+        assert p.count("Exchange") == 1, p
+
+    def test_domain_mix_broadcasts_domain_stats_not_corpus(self, spark, sf_dir):
+        """The per-DOMAIN threshold table (cardinality = #sources) joins
+        broadcast; the corpus side must never broadcast. The only
+        exchanges are the two domain-stats aggregations feeding the
+        broadcast, not a corpus shuffle."""
+        p = plan("text_domain_mix", spark, sf_dir, mode="simple")
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+    def test_tfidf_no_cartesian_beyond_one_row_n(self, spark, sf_dir):
+        """tf ⋈ df joins hash on tok; the only nested-loop join allowed is
+        the 1-row corpus-count N broadcast."""
+        p = plan("text_tfidf", spark, sf_dir, mode="simple")
+        assert p.count("BroadcastNestedLoopJoin") <= 1, p
+        assert "CartesianProduct" not in p, p
+
+    def test_pack_sequences_single_exchange(self, spark, sf_dir):
+        """Packing manifest: the per-bin rollup's keys extend the window
+        partition keys, so one exchange serves both."""
+        p = plan("text_pack", spark, sf_dir, mode="simple")
+        assert p.count("Exchange") == 1, p
+
+    def test_quantize_is_map_side_only(self, spark, sf_dir):
+        """int8 quantization must not shuffle beyond the input rebalance:
+        the pandas_udf runs per scan partition (ArrowEvalPython in-line,
+        no aggregation exchange)."""
+        p = plan("emb_quantize", spark, sf_dir, mode="simple")
+        assert "ArrowEvalPython" in p, p
+        # the only exchange is _spread's round-robin rebalance
+        assert p.count("Exchange") <= 1, p
