@@ -65,7 +65,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_decontaminate", "text_repetition", "op_window_analytics",
     # new round 6 (late): duplicate clustering + text indexing + mixing/packing
     "dedup_cluster", "text_inverted_index", "text_tfidf",
-    "text_domain_mix", "text_pack", "emb_quantize",
+    "text_domain_mix", "text_pack", "emb_quantize", "pipeline_clean_near",
     # modified round 6: broadcast removal / vectorized pair scoring / q21 reuse pin
     "dedup_ngram_jaccard", "dedup_embedding", "ann_topk", "q21",
     # reshaped round 5 (self-certifying certificates), never swept in that form
@@ -78,7 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_chunk", "text_stratified_sample", "emb_norm_stats", "mm_chunk_audio",
     # oldest banked evidence (rounds 1-2 only), unchanged since
     "op_distinct", "op_count_distinct", "op_agg_scalar", "op_group_multi",
-    "op_join_multikey", "op_join_right",
+    "op_join_multikey",
 )
 
 

@@ -1069,3 +1069,71 @@ def emb_quantize(spark, sf_dir):
     from pysparkdb.pipeline.similarity import quantize_embeddings
 
     return quantize_embeddings(tables(spark, sf_dir)["embeddings"])
+
+
+@register(
+    "pipeline_clean_near",
+    f"""
+    WITH RECURSIVE quality AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+    ),
+    fps AS (SELECT doc_id, lang, text,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+            FROM quality),
+    keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+    surv AS (SELECT f.doc_id, f.lang, f.text
+             FROM fps f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM surv)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM common
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE c / (sa.n + sb.n - c) >= 0.5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+    walk(u, w) AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT walk.u, e.v FROM walk JOIN edges e ON walk.w = e.u),
+    labels AS (SELECT u AS doc_id, LEAST(u, MIN(w)) AS cluster_id
+               FROM walk GROUP BY u)
+    SELECT s.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM surv s LEFT JOIN labels l ON s.doc_id = l.doc_id
+    WHERE l.cluster_id IS NULL OR l.cluster_id = s.doc_id
+    GROUP BY s.lang
+    """,
+    "pipeline", "dedup", "text", "composite", "clustering",
+)
+def pipeline_clean_near(spark, sf_dir):
+    """The full cleaning pipeline, one query: quality gate (token band) →
+    exact dedup (survivor = min doc_id per normalized digest) → NEAR-dup
+    clustering over the exact survivors (word-3-gram Jaccard ≥ 0.5 →
+    connected components) → keep one document per near-dup cluster →
+    per-language counts. This is the composition a production corpus run
+    executes end-to-end; every stage is the already-oracle-checked
+    operator (pipeline_clean, dedup_ngram_jaccard, dedup_cluster) fused
+    here to prove they compose.
+
+    Scale shape: the expensive stage is the shingle-collision join, which
+    runs over the exact-deduped survivor set (smaller than the corpus);
+    clustering adds O(log² n) cheap edge-frame rounds; the final drop is
+    one broadcast-sized left join of labels (|labels| = docs appearing in
+    any near-dup pair) against the survivor frame."""
+    d = tables(spark, sf_dir)["documents"]
+    quality = d.filter(text.token_count("text").between(20, 1000))
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fps = quality.select("doc_id", "lang", "text", fp.alias("fp"))
+    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = fps.join(keep, ["fp", "doc_id"], "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(surv, threshold=0.5)
+    labels = cluster.connected_components(pairs).withColumnRenamed("did", "doc_id")
+    return (
+        surv.join(labels, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .groupBy("lang")
+        .agg(bigint(F.count(F.lit(1))).alias("n_docs"))
+    )

@@ -56,6 +56,7 @@ NOT_ANSI_PORTABLE = {
     "text_domain_mix",     # string_split + duck '0x'-string hex cast
     "text_pack",           # string_split tokenization
     "emb_quantize",        # duck list comprehension + DOUBLE[] cast
+    "pipeline_clean_near", # duck list-comprehension shingles + recursive-CTE closure
 }
 
 SPECS = [
