@@ -61,7 +61,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new round 6: original-form partsupp queries, join-order variants,
     # synthetic co-located join
     "q2_orig", "q11_orig", "q16_orig", "q20_orig",
-    "q5_jo1", "q5_jo2", "q9_orig", "q_co_join",
+    "q5_jo1", "q5_jo2", "q9_orig", "q9_jo2", "q_co_join", "q_co_join3",
     "dedup_decontaminate", "text_repetition", "op_window_analytics",
     # new round 6 (late): duplicate clustering + text indexing + mixing/packing
     "dedup_cluster", "text_inverted_index", "text_tfidf",
@@ -77,8 +77,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_window_lead_lag", "op_string_funcs", "op_date_trunc",
     "text_chunk", "text_stratified_sample", "emb_norm_stats", "mm_chunk_audio",
     # oldest banked evidence (rounds 1-2 only), unchanged since
-    "op_distinct", "op_count_distinct", "op_agg_scalar", "op_group_multi",
-    "op_join_multikey",
+    "op_distinct", "op_count_distinct", "op_agg_scalar",
 )
 
 

@@ -1616,3 +1616,96 @@ def q_co_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bigint(F.count(F.lit(1))).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q9_jo2",
+    f"""
+    WITH {PARTSUPP_CTES}
+    SELECT nation, o_year, {DSUM('amount')} AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - ps_supplycost * l_quantity AS amount
+          FROM part, lineitem, supplier, nation, partsupp, orders
+          WHERE s_suppkey = l_suppkey
+            AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+            AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey
+            AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    """,
+    "tpch", "join", "like", "group", "partsupp", "join_order_variant",
+)
+def q9_jo2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9, join-order variant 2 (modified/09-jo2.sql): the same
+    profit query DECLARED part-first — part ⋈ lineitem ⋈ supplier ⋈
+    nation ⋈ partsupp ⋈ orders (q9_orig declares 09-jo1's partsupp-first
+    order). Same reordering contract as q5_jo1/q5_jo2: Catalyst must
+    produce an efficient cartesian-free plan from either declared order,
+    and the two variants must agree row-for-row (both asserted in
+    test_plan_quality)."""
+    t = tables(spark, sf_dir)
+    p = t["part"].filter(F.col("p_name").like("%red%"))
+    ps = _partsupp(spark, sf_dir)
+    return (
+        p.join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            ps,
+            (F.col("ps_suppkey") == F.col("l_suppkey"))
+            & (F.col("ps_partkey") == F.col("l_partkey")),
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            bigint(F.year("o_orderdate")).alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+    )
+
+
+@register(
+    "q_co_join3",
+    f"""
+    WITH {PARTSUPP_CTES}
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM lineitem, orders, partsupp
+    WHERE l_orderkey = o_orderkey
+      AND l_partkey = ps_partkey
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND ps_availqty < 500
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "tpch", "join", "synthetic", "colocated", "partsupp",
+)
+def q_co_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 3-table co-located join (resources/query/tpch/synthetic/
+    co-join-3-table.sql): the co-located lineitem ⋈ orders fact-fact join
+    plus a partsupp attach on l_partkey ONLY (the file's deliberate
+    fan-out: 4 partsupp rows per part survive the availqty filter ~5% of
+    the time). The reference's o_comment NOT LIKE predicate has no column
+    in this testdata; the date predicate stands in (same substitution as
+    q_co_join). Plan shape: one orderkey shuffle for the fact-fact join
+    (zero with the bucketed layout, tests/test_sources.py), partsupp
+    derives map-side and broadcasts — the 3-table form never adds a
+    second fact shuffle."""
+    t = tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderdate") >= ts("1994-01-01 00:00:00"))
+    ps = _partsupp(spark, sf_dir).filter(F.col("ps_availqty") < 500)
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(ps), F.col("l_partkey") == F.col("ps_partkey"))
+        .groupBy("o_orderpriority")
+        .agg(bigint(F.count(F.lit(1))).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -157,6 +157,20 @@ class TestRound3Additions:
         b = sorted(map(tuple, specs["q5_jo2"].fn(spark, sf_dir).collect()))
         assert a == b
 
+    def test_q9_order_variants_reordered_and_equal(self, spark, sf_dir):
+        """Same contract for modified/09-jo{1,2}.sql: q9_orig declares
+        partsupp-first, q9_jo2 part-first; both plans cartesian-free and
+        row-identical."""
+        from pysparkdb.queries import load_all
+
+        specs = load_all()
+        for name in ("q9_orig", "q9_jo2"):
+            p = plan(name, spark, sf_dir)
+            assert "CartesianProduct" not in p, name
+        a = sorted(map(tuple, specs["q9_orig"].fn(spark, sf_dir).collect()))
+        b = sorted(map(tuple, specs["q9_jo2"].fn(spark, sf_dir).collect()))
+        assert a == b
+
 
 class TestPipelinePlans:
     def test_inverted_index_single_exchange(self, spark, sf_dir):
