@@ -62,12 +62,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # synthetic co-located join
     "q2_orig", "q11_orig", "q16_orig", "q20_orig",
     "q5_jo1", "q5_jo2", "q9_orig", "q9_jo2", "q_co_join", "q_co_join3",
+    "ssb_gen1", "ssb_gen2", "ssb_gen3", "ssb_gen4", "ssb_gen5",
     "dedup_decontaminate", "text_repetition", "op_window_analytics",
     # new round 6 (late): duplicate clustering + text indexing + mixing/packing
     "dedup_cluster", "text_inverted_index", "text_tfidf",
     "text_domain_mix", "text_pack", "emb_quantize", "pipeline_clean_near",
-    # modified round 6: broadcast removal / vectorized pair scoring / q21 reuse pin
-    "dedup_ngram_jaccard", "dedup_embedding", "ann_topk", "q21",
+    # modified round 6: broadcast removal / q21 reuse pin (dedup_embedding
+    # and ann_topk vacated — the pair-scoring revert restored their banked
+    # r1/r2 form exactly)
+    "dedup_ngram_jaccard", "q21",
     # reshaped round 5 (self-certifying certificates), never swept in that form
     "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
     "mm_resize", "mm_audio_features",
@@ -76,8 +79,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_collect_set", "op_hash_sample", "op_histogram", "op_min_max_by",
     "op_window_lead_lag", "op_string_funcs", "op_date_trunc",
     "text_chunk", "text_stratified_sample", "emb_norm_stats", "mm_chunk_audio",
-    # oldest banked evidence (rounds 1-2 only), unchanged since
-    "op_distinct", "op_count_distinct", "op_agg_scalar",
 )
 
 

@@ -473,3 +473,208 @@ def ssb4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").isin(1995, 1996),
         ["s_city", "p_brand"],
     )
+
+
+# --------------------------------------------------------------------------
+# Generated corpus (resources/query/ssb/generated/1.sql … 5.sql): machine-
+# generated flight variants the reference ships alongside the originals —
+# the distinguishing feature is month-granular grouping (d_yearmonthnum =
+# year·100 + month) combined with flight-1-style fact predicates. Same
+# schema mapping as above; reference years (1992/1993/1997) map into the
+# driver date range (1995–2001) the way the original flights do.
+# --------------------------------------------------------------------------
+
+_D_YM = ("CAST(EXTRACT(YEAR FROM o_orderdate) * 100 "
+         "+ EXTRACT(MONTH FROM o_orderdate) AS BIGINT)")
+
+
+def _d_ym() -> F.Column:
+    return bigint(F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+
+
+@register(
+    "ssb_gen1",
+    f"""
+    SELECT {DSUM(REVENUE)} AS revenue, {_D_YM} AS d_yearmonthnum, p_brand
+    FROM {_FACT}
+    JOIN {_SUP_GEO} ON l_suppkey = sup.s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand BETWEEN 'Brand#21' AND 'Brand#27'
+      AND sup.s_region = 'EUROPE'
+      AND l_discount BETWEEN 0.01 AND 0.03
+      AND EXTRACT(YEAR FROM o_orderdate) = 1996
+    GROUP BY d_yearmonthnum, p_brand
+    ORDER BY d_yearmonthnum, p_brand
+    """,
+    "ssb", "generated", "group", "join", "sort",
+)
+def ssb_gen1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generated/1.sql: brand-range × EUROPE revenue by (yearmonth, brand)
+    — flight 2 grouped at month grain with flight-1 discount/date fact
+    predicates (brand range MFGR#2110–2117 → Brand#21–27, 1993 → 1996)."""
+    t = tables(spark, sf_dir)
+    s = _sup_geo(t).filter(F.col("s_region") == "EUROPE").select("s_suppkey")
+    p = t["part"].filter(F.col("p_brand").between("Brand#21", "Brand#27")).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        _fact(t)
+        .filter(
+            F.col("l_discount").between(0.01, 0.03)
+            & (F.year("o_orderdate") == 1996)
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(_d_ym().alias("d_yearmonthnum"), F.col("p_brand"))
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy("d_yearmonthnum", "p_brand")
+    )
+
+
+@register(
+    "ssb_gen2",
+    f"""
+    SELECT c_city, s_city, {_D_YM} AS d_yearmonthnum, {DSUM(REVENUE)} AS revenue
+    FROM {_FACT}
+    JOIN {_CUST_GEO} ON o_custkey = cus.c_custkey
+    JOIN {_SUP_GEO} ON l_suppkey = sup.s_suppkey
+    WHERE cus.c_nation = 'NATION_5' AND sup.s_nation = 'NATION_5'
+      AND l_quantity BETWEEN 16 AND 26
+      AND EXTRACT(YEAR FROM o_orderdate) = 1995
+    GROUP BY c_city, s_city, d_yearmonthnum
+    ORDER BY d_yearmonthnum ASC, revenue DESC
+    """,
+    "ssb", "generated", "group", "join", "sort",
+)
+def ssb_gen2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generated/2.sql: same-nation (RUSSIA → NATION_5) city×city revenue
+    at month grain with a quantity band (1992 → 1995)."""
+    t = tables(spark, sf_dir)
+    c = _cust_geo(t).filter(F.col("c_nation") == "NATION_5").select("c_custkey", "c_city")
+    s = _sup_geo(t).filter(F.col("s_nation") == "NATION_5").select("s_suppkey", "s_city")
+    return (
+        _fact(t)
+        .filter(F.col("l_quantity").between(16, 26) & (F.year("o_orderdate") == 1995))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("c_city", "s_city", _d_ym().alias("d_yearmonthnum"))
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy(F.col("d_yearmonthnum").asc(), F.col("revenue").desc())
+    )
+
+
+@register(
+    "ssb_gen3",
+    f"""
+    SELECT {_D_YM} AS d_yearmonthnum, s_nation, p_type,
+           {DSUM(f'{REVENUE} - {SUPPLYCOST}')} AS profit
+    FROM {_FACT}
+    JOIN {_CUST_GEO} ON o_custkey = cus.c_custkey
+    JOIN {_SUP_GEO} ON l_suppkey = sup.s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE cus.c_region = 'MIDDLE EAST' AND sup.s_region = 'MIDDLE EAST'
+      AND (p_type = 'ECONOMY' OR p_type = 'LARGE')
+      AND l_discount BETWEEN 0.00 AND 0.02
+      AND EXTRACT(YEAR FROM o_orderdate) = 1995
+    GROUP BY d_yearmonthnum, s_nation, p_type
+    ORDER BY d_yearmonthnum, s_nation, p_type
+    """,
+    "ssb", "generated", "group", "join", "sort",
+)
+def ssb_gen3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generated/3.sql: MIDDLE EAST × MIDDLE EAST profit by (yearmonth,
+    nation, category) — flight 4's profit expression at month grain
+    (p_mfgr IN (MFGR#2, MFGR#3) → p_type IN (ECONOMY, LARGE))."""
+    t = tables(spark, sf_dir)
+    c = _cust_geo(t).filter(F.col("c_region") == "MIDDLE EAST").select("c_custkey")
+    s = _sup_geo(t).filter(F.col("s_region") == "MIDDLE EAST").select(
+        "s_suppkey", "s_nation"
+    )
+    p = t["part"].filter(F.col("p_type").isin("ECONOMY", "LARGE")).select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    profit = _rev() - F.col("l_quantity") * F.col("p_retailprice") * 0.5
+    return (
+        _fact(t)
+        .filter(
+            F.col("l_discount").between(0.00, 0.02) & (F.year("o_orderdate") == 1995)
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(_d_ym().alias("d_yearmonthnum"), F.col("s_nation"), F.col("p_type"))
+        .agg(dsum(profit).alias("profit"))
+        .orderBy("d_yearmonthnum", "s_nation", "p_type")
+    )
+
+
+@register(
+    "ssb_gen4",
+    f"""
+    SELECT {DSUM(REVENUE)} AS revenue, {_D_YM} AS d_yearmonthnum, p_brand
+    FROM {_FACT}
+    JOIN {_SUP_GEO} ON l_suppkey = sup.s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#2'
+      AND sup.s_region = 'ASIA'
+      AND l_quantity BETWEEN 17 AND 27
+      AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY d_yearmonthnum, p_brand
+    ORDER BY d_yearmonthnum, p_brand
+    """,
+    "ssb", "generated", "group", "join", "sort",
+)
+def ssb_gen4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generated/4.sql: single brand (MFGR#5120 → Brand#2) × ASIA at
+    month grain with a quantity band (1997 stays 1997 — in range)."""
+    t = tables(spark, sf_dir)
+    s = _sup_geo(t).filter(F.col("s_region") == "ASIA").select("s_suppkey")
+    p = t["part"].filter(F.col("p_brand") == "Brand#2").select("p_partkey", "p_brand")
+    return (
+        _fact(t)
+        .filter(F.col("l_quantity").between(17, 27) & (F.year("o_orderdate") == 1997))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(_d_ym().alias("d_yearmonthnum"), F.col("p_brand"))
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy("d_yearmonthnum", "p_brand")
+    )
+
+
+@register(
+    "ssb_gen5",
+    f"""
+    SELECT c_city, s_city, {_D_YM} AS d_yearmonthnum, {DSUM(REVENUE)} AS revenue
+    FROM {_FACT}
+    JOIN {_CUST_GEO} ON o_custkey = cus.c_custkey
+    JOIN {_SUP_GEO} ON l_suppkey = sup.s_suppkey
+    WHERE cus.c_city IN ('NATION_23_2', 'NATION_18_6')
+      AND sup.s_city IN ('NATION_6_9', 'NATION_19_5')
+      AND l_quantity BETWEEN 12 AND 22
+      AND EXTRACT(YEAR FROM o_orderdate) = 1996
+    GROUP BY c_city, s_city, d_yearmonthnum
+    ORDER BY d_yearmonthnum ASC, revenue DESC
+    """,
+    "ssb", "generated", "group", "join", "sort",
+)
+def ssb_gen5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generated/5.sql: two cities × two cities (UNITED ST3/ST6 → two
+    2-city IN-sets chosen non-empty in the driver data, per side like
+    ssb3_3) at month grain with a quantity band
+    (1993 → 1996)."""
+    t = tables(spark, sf_dir)
+    c = _cust_geo(t).filter(F.col("c_city").isin("NATION_23_2", "NATION_18_6")).select(
+        "c_custkey", "c_city"
+    )
+    s = _sup_geo(t).filter(F.col("s_city").isin("NATION_6_9", "NATION_19_5")).select(
+        "s_suppkey", "s_city"
+    )
+    return (
+        _fact(t)
+        .filter(F.col("l_quantity").between(12, 22) & (F.year("o_orderdate") == 1996))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("c_city", "s_city", _d_ym().alias("d_yearmonthnum"))
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy(F.col("d_yearmonthnum").asc(), F.col("revenue").desc())
+    )
