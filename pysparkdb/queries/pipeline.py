@@ -1137,3 +1137,139 @@ def pipeline_clean_near(spark, sf_dir):
         .groupBy("lang")
         .agg(bigint(F.count(F.lit(1))).alias("n_docs"))
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+    scored AS (SELECT t.doc_id, ln(v.c / total.n) AS lp
+               FROM tok t JOIN vocab v USING (tok) CROSS JOIN total)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM(CAST(ROUND(lp, 6) AS DECIMAL(25,6))) / COUNT(*), 4)
+                AS DOUBLE) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    "pipeline", "text", "quality", "lm",
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the CCNet-style language-model quality filter
+    at its simplest: documents full of rare tokens score low (gibberish,
+    boilerplate codes), documents of common words score high. At 100 TB
+    the vocab is built once (one token-keyed shuffle, Zipf skew handled
+    by AQE), broadcast if it fits or joined otherwise, then scoring is a
+    second pass over the token stream.
+
+    Determinism: each token's ln(c/N) is one libm call whose double
+    result agrees with DuckDB at 6dp on every corpus frequency (the
+    text_tfidf argument); the per-doc SUM runs over DECIMAL(25,6)-rounded
+    addends so the summation ORDER cannot flip the hash (the dsum idiom),
+    and the mean rounds to 4dp."""
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(bigint(F.count(F.lit(1))).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        bigint(F.count(F.lit(1))).alias("n_tokens"),
+        F.round(
+            F.sum(F.round(F.col("lp"), 6).cast("decimal(25,6)"))
+            / F.count(F.lit(1)),
+            4,
+        ).cast("double").alias("avg_logprob"),
+    )
+
+
+# Fixed retrieval query for text_bm25: one rare term ('dup', df≈25) and two
+# common ones — the mix that makes idf weighting visible in the ranking.
+_BM25_TERMS = ("dup", "spark", "data")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(nd) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           WHERE tok IN {_BM25_TERMS} GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(CAST(ROUND(
+               ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * nd / avgdl)),
+             6) AS DECIMAL(25,6))) AS score
+      FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, CAST(score AS DOUBLE) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    "pipeline", "text", "retrieval", "bm25",
+)
+def text_bm25(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query — the
+    classic sparse-retrieval scorer a corpus pipeline uses for search and
+    hard-negative mining. idf = ln((N−df+0.5)/(df+0.5)+1) (the
+    Robertson–Spärck Jones form, always positive).
+
+    Scale shape: doc lengths and corpus stats are one aggregation pass;
+    tf touches only documents containing a query term (the WHERE pushes
+    to the scan), so scoring work is O(postings of the query terms), not
+    O(corpus) — with a prebuilt text_inverted_index the tf frame IS the
+    relevant posting lists. The final global top-10 is
+    TakeOrderedAndProject, never a full sort.
+
+    Determinism: per-(doc,term) scores round to 6dp (ln agreement — the
+    text_tfidf argument), the per-doc SUM runs over DECIMAL(25,6) addends
+    so summation order cannot flip the hash, and the rank ordering uses
+    the exact decimal sum with doc_id tiebreak."""
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    dl = tok.groupBy("doc_id").agg(bigint(F.count(F.lit(1))).alias("nd"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("nd").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(bigint(F.count(F.lit(1))).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(bigint(F.count(F.lit(1))).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("nd") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(term, 6).cast("decimal(25,6)").alias("term"))
+        .groupBy("doc_id")
+        .agg(F.sum("term").alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+        .select("doc_id", F.col("score").cast("double").alias("score"))
+    )

@@ -527,6 +527,7 @@ def ssb_gen1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(_d_ym().alias("d_yearmonthnum"), F.col("p_brand"))
         .agg(dsum(_rev()).alias("revenue"))
+        .select("revenue", "d_yearmonthnum", "p_brand")
         .orderBy("d_yearmonthnum", "p_brand")
     )
 
@@ -637,6 +638,7 @@ def ssb_gen4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(_d_ym().alias("d_yearmonthnum"), F.col("p_brand"))
         .agg(dsum(_rev()).alias("revenue"))
+        .select("revenue", "d_yearmonthnum", "p_brand")
         .orderBy("d_yearmonthnum", "p_brand")
     )
 

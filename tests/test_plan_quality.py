@@ -209,3 +209,11 @@ class TestPipelinePlans:
         assert "ArrowEvalPython" in p, p
         # the only exchange is _spread's round-robin rebalance
         assert p.count("Exchange") <= 1, p
+
+    def test_bm25_topk_is_take_ordered(self, spark, sf_dir):
+        """The BM25 top-10 must plan as TakeOrderedAndProject (per-partition
+        heaps + merge), never a global sort or single-partition window —
+        with common query terms the scored frame is corpus-sized."""
+        p = plan("text_bm25", spark, sf_dir, mode="simple")
+        assert "TakeOrderedAndProject" in p, p
+        assert "Window" not in p, p

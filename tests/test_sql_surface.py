@@ -57,6 +57,8 @@ NOT_ANSI_PORTABLE = {
     "text_pack",           # string_split tokenization
     "emb_quantize",        # duck list comprehension + DOUBLE[] cast
     "pipeline_clean_near", # duck list-comprehension shingles + recursive-CTE closure
+    "text_unigram_logprob", # string_split tokenization
+    "text_bm25",           # string_split tokenization
 }
 
 SPECS = [

@@ -21,7 +21,9 @@ def con(sf_dir):
 
 
 def test_all_13_flights_present():
-    assert len(SPECS) == 13  # 1.1-1.3, 2.1-2.3, 3.1-3.4, 4.1-4.3
+    originals = [s for s in SPECS if "generated" not in s.tags]
+    assert len(originals) == 13  # 1.1-1.3, 2.1-2.3, 3.1-3.4, 4.1-4.3
+    assert len(SPECS) == 18      # + the 5 generated/ corpus variants
 
 
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
