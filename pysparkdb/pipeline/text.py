@@ -270,3 +270,79 @@ def pack_sequences(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+#: Default PII patterns, applied in order. Each entry is (name, regex,
+#: replacement); counts are taken on the text as already scrubbed by the
+#: PREVIOUS patterns, so overlapping patterns never double-count. Both
+#: regexes are plain-ASCII and valid under Java regex (Spark) and RE2
+#: (DuckDB) alike.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\d{2}-\d{3}-\d{3}-\d{4}", "[PHONE]"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """PII redaction — the compliance pass every LLM training corpus runs
+    before tokenization (emails, phone numbers → typed placeholders).
+
+    Pure column expressions: per pattern, one regexp count + one
+    regexp_replace, chained in declaration order (pattern k sees the text
+    already scrubbed by patterns 1..k-1). No UDF, no shuffle — runs at
+    scan speed and the whole select stays in one codegen stage, so at
+    100 TB this is exactly one pass over the text column. Returns
+    (id_col, scrubbed, n_<name> per pattern).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in patterns:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), cur.alias("scrubbed"), *counts)
+
+
+def dup_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 100,
+) -> DataFrame:
+    """Per-document duplicate-chunk fraction — the cross-document twin of
+    the Gopher repetition filters (Rae et al. 2021): split every document
+    into non-overlapping ``size``-char chunks, hash each, and report what
+    fraction of a document's chunks occur anywhere else in the corpus
+    (boilerplate headers, licence blocks, mirrored passages).
+
+    Shape at scale: the chunk explode is map-side (chunk_text), hashing is
+    a column expr, and the global chunk frequency is a COUNT() window over
+    the 16-byte digest — ONE shuffle on the hash (no self-join, and the
+    chunk subtree is computed once, not once per consumer), then the
+    per-document rollup shuffles on ``id_col``. State per hash partition
+    is bounded by chunk count, not text size — only digests shuffle, never
+    the chunk text. Returns (id_col, n_chunks, n_dup_chunks, dup_frac).
+    """
+    from pyspark.sql import Window
+
+    ch = chunk_text(df, id_col=id_col, text_col=text_col, size=size, stride=size)
+    w = Window.partitionBy("h")
+    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    return (
+        ch.select(F.col(id_col), F.md5(F.col("chunk")).alias("h"))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )

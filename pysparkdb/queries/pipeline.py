@@ -1273,3 +1273,101 @@ def text_bm25(spark, sf_dir):
         .limit(10)
         .select("doc_id", F.col("score").cast("double").alias("score"))
     )
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH notes AS (
+      SELECT c_custkey AS id,
+             'reach ' || c_name || ' at '
+               || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+               || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR) || '-'
+               || CAST((c_custkey * 13) % 900 + 100 AS VARCHAR) || '-'
+               || CAST((c_custkey * 31) % 9000 + 1000 AS VARCHAR)
+               || ' or user' || CAST(c_custkey AS VARCHAR) || '@example.com' AS text
+      FROM customer),
+    e AS (
+      SELECT id,
+             CAST(len(regexp_extract_all(
+               text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g') AS t1
+      FROM notes)
+    SELECT id,
+           regexp_replace(t1, '\d{2}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed,
+           n_email,
+           CAST(len(regexp_extract_all(t1, '\d{2}-\d{3}-\d{3}-\d{4}')) AS BIGINT)
+             AS n_phone
+    FROM e
+    """,
+    "pipeline", "text", "pii",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction over synthesized contact notes — the compliance scrub
+    every training corpus runs before tokenization. The documents corpus is
+    synthetic word soup with no organic PII (and this testdata's customer
+    has no c_phone column), so the query derives a deterministic
+    NN-NNN-NNN-NNNN phone and a key-based email from c_custkey arithmetic
+    — byte-identical in both engines — then scrubs with the engine
+    operator: email pattern counted+replaced first, phone counted on the
+    already-email-scrubbed text — order-chained so patterns never
+    double-count (pysparkdb.pipeline.text.pii_scrub).
+
+    Scale shape: pure column expressions (regexp count + replace per
+    pattern) in ONE codegen stage, no shuffle, no UDF — scan speed over
+    100 TB. Full row-level output (id, scrubbed, n_email, n_phone) so the
+    oracle hash checks every redacted byte, not just totals."""
+    c = tables(spark, sf_dir)["customer"]
+    k = F.col("c_custkey")
+    seg = lambda mul, mod, lo: ((k * mul) % mod + lo).cast("string")  # noqa: E731
+    phone = F.concat_ws(
+        "-", seg(1, 90, 10), seg(7, 900, 100), seg(13, 900, 100), seg(31, 9000, 1000)
+    )
+    notes = c.select(
+        k.alias("id"),
+        F.concat(
+            F.lit("reach "), F.col("c_name"), F.lit(" at "), phone,
+            F.lit(" or user"), k.cast("string"), F.lit("@example.com"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(notes, id_col="id", text_col="text")
+
+
+@register(
+    "text_dup_chunks",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(greatest(length(text) - 100, 0) / 100.0)
+                             AS BIGINT) + 1)) AS i
+      FROM documents),
+    ch AS (SELECT doc_id,
+                  md5(substr(text, CAST(i * 100 + 1 AS INTEGER), 100)) AS h
+           FROM idx),
+    freq AS (SELECT h, COUNT(*) AS cnt FROM ch GROUP BY h)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_frac
+    FROM ch c JOIN freq f USING (h)
+    GROUP BY c.doc_id
+    """,
+    "pipeline", "text", "dedup", "quality",
+)
+def text_dup_chunks(spark, sf_dir):
+    """Cross-document duplicate-chunk fraction (Gopher-style corpus
+    quality signal): non-overlapping 100-char chunks, md5 each, report per
+    document what fraction of its chunks occur anywhere else in the corpus
+    — the boilerplate/mirror detector that complements intra-document
+    text_repetition and whole-document dedup_exact.
+
+    Scale shape (pysparkdb.pipeline.text.dup_chunk_stats): map-side chunk
+    explode, global chunk frequency as a COUNT() window over the digest —
+    ONE shuffle on the hash, chunk subtree computed once (the oracle's
+    self-join formulation would scan it twice) — then a per-doc rollup on
+    doc_id. Only 16-byte digests shuffle, never chunk text."""
+    return text.dup_chunk_stats(tables(spark, sf_dir)["documents"])
