@@ -217,3 +217,22 @@ class TestPipelinePlans:
         p = plan("text_bm25", spark, sf_dir, mode="simple")
         assert "TakeOrderedAndProject" in p, p
         assert "Window" not in p, p
+
+    def test_pii_scrub_is_scan_speed(self, spark, sf_dir):
+        """PII redaction is a pure projection: zero exchanges, zero
+        Python — one codegen pass over the text column (the only
+        acceptable shape for a whole-corpus compliance scrub)."""
+        p = plan("text_pii_scrub", spark, sf_dir, mode="simple")
+        assert p.count("Exchange") == 0, p
+        assert "Python" not in p, p
+        # '* Project' = the projection runs inside whole-stage codegen
+        assert "* Project" in plan("text_pii_scrub", spark, sf_dir)
+
+    def test_dup_chunks_two_exchanges_no_self_join(self, spark, sf_dir):
+        """Duplicate-chunk fraction: the global chunk frequency is a
+        window over the digest (one exchange) and the per-doc rollup a
+        second — NEVER a chunk self-join, which would double-scan the
+        explode subtree and shuffle chunk text instead of digests."""
+        p = plan("text_dup_chunks", spark, sf_dir, mode="simple")
+        assert p.count("Exchange") == 2, p
+        assert "Join" not in p, p
