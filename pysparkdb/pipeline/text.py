@@ -316,6 +316,7 @@ def dup_chunk_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     size: int = 100,
+    method: str = "window",
 ) -> DataFrame:
     """Per-document duplicate-chunk fraction — the cross-document twin of
     the Gopher repetition filters (Rae et al. 2021): split every document
@@ -323,23 +324,39 @@ def dup_chunk_stats(
     fraction of a document's chunks occur anywhere else in the corpus
     (boilerplate headers, licence blocks, mirrored passages).
 
-    Shape at scale: the chunk explode is map-side (chunk_text), hashing is
-    a column expr, and the global chunk frequency is a COUNT() window over
-    the 16-byte digest — ONE shuffle on the hash (no self-join, and the
-    chunk subtree is computed once, not once per consumer), then the
-    per-document rollup shuffles on ``id_col``. State per hash partition
-    is bounded by chunk count, not text size — only digests shuffle, never
-    the chunk text. Returns (id_col, n_chunks, n_dup_chunks, dup_frac).
-    """
-    from pyspark.sql import Window
+    Both methods explode map-side (chunk_text), hash each chunk to a
+    digest, and shuffle ONLY digests + ids, never chunk text. They differ
+    in how the global chunk frequency meets the chunk rows:
 
+    - ``"window"``: COUNT() over a digest-partitioned window — one digest
+      shuffle, the explode subtree computed once. Every copy of a given
+      chunk lands on ONE reducer, so a pathologically hot chunk (empty
+      padding, a licence block repeated 10⁸ times) concentrates there.
+    - ``"join"``: groupBy(h).count() then join back on h — map-side
+      partial aggregation collapses per-mapper duplicates before the
+      frequency shuffle, and the chunk⋈freq probe side is a shuffled
+      equi-join AQE's skew-join splits (windows have no such rescue).
+      Costs a second pass over the explode subtree (scan+substr+md5, no
+      shuffle) and a third exchange — the shape to use when chunk
+      duplication is unbounded.
+
+    Same result either way (oracle-verified); per-doc rollup shuffles on
+    ``id_col``. Returns (id_col, n_chunks, n_dup_chunks, dup_frac).
+    """
     ch = chunk_text(df, id_col=id_col, text_col=text_col, size=size, stride=size)
-    w = Window.partitionBy("h")
+    ch = ch.select(F.col(id_col), F.md5(F.col("chunk")).alias("h"))
+    if method == "window":
+        from pyspark.sql import Window
+
+        counted = ch.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    elif method == "join":
+        freq = ch.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        counted = ch.join(freq, "h")
+    else:
+        raise ValueError(f"method {method!r} not in ('window', 'join')")
     dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
     return (
-        ch.select(F.col(id_col), F.md5(F.col("chunk")).alias("h"))
-        .withColumn("cnt", F.count(F.lit(1)).over(w))
-        .groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
             F.sum(dup).cast("long").alias("n_dup_chunks"),

@@ -530,3 +530,19 @@ def test_domain_mix_invariant_under_repartition(spark, sf_dir):
     for variant in (d.coalesce(1), d.repartition(13), d.repartition("source")):
         got = {r.doc_id for r in domain_mix(variant).select("doc_id").collect()}
         assert got == base
+
+
+def test_dup_chunk_methods_agree(spark, sf_dir):
+    """The skew-robust join formulation (map-side-combined frequency +
+    AQE-splittable join-back) must produce exactly the default window
+    formulation's result — same fractions, same docs."""
+    import pytest
+    from pysparkdb.pipeline.text import dup_chunk_stats
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"]
+    win = sorted(map(tuple, dup_chunk_stats(d, method="window").collect()))
+    jn = sorted(map(tuple, dup_chunk_stats(d, method="join").collect()))
+    assert win == jn
+    with pytest.raises(ValueError, match="method"):
+        dup_chunk_stats(d, method="sketch")
