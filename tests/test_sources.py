@@ -152,3 +152,56 @@ def test_engine_scan_audit(spark, sf_dir):
     assert any("l_quantity" in f for f in audit["pushed_filters"])
     assert set(audit["read_columns"]) == {"l_orderkey", "l_quantity"}
     assert "Scan parquet" in eng.explain("SELECT * FROM region")
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering on (o_custkey, o_totalprice) must let footer
+    zone maps skip most row groups for a narrow range predicate on
+    EITHER column — single-column sorting can only buy one of the two.
+    Also: the relaid frame is a permutation of the input (no row
+    gained/lost/changed)."""
+    import glob
+
+    from pysparkdb.catalog import prunable_row_groups
+    from pysparkdb.sources.layout import write_zordered
+
+    o = tables(spark, sf_dir)["orders"]
+    # small row groups so one file yields many zone-map granules
+    zpath = str(tmp_path / "orders_z")
+    write_zordered(
+        o.coalesce(1), zpath, ["o_custkey", "o_totalprice"], row_group_bytes=64 << 10
+    )
+
+    def kept_frac(root, col, lo, hi):
+        kept = total = 0
+        for f in glob.glob(root + "/*.parquet"):
+            k, t = prunable_row_groups(f, col, lo, hi)
+            kept += k
+            total += t
+        assert total >= 8, f"need many row groups to measure pruning, got {total}"
+        return kept / total
+
+    stats = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    ck_span = stats[1] - stats[0]
+    tp_span = stats[3] - stats[2]
+    # ~5%-wide range on each dimension
+    ck = (stats[0] + 0.40 * ck_span, stats[0] + 0.45 * ck_span)
+    tp = (stats[2] + 0.40 * tp_span, stats[2] + 0.45 * tp_span)
+    assert kept_frac(zpath, "o_custkey", *ck) <= 0.5
+    assert kept_frac(zpath, "o_totalprice", *tp) <= 0.5
+
+    relaid = spark.read.parquet(zpath)
+    assert sorted(map(tuple, relaid.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_zorder_validates_bit_budget(spark, sf_dir):
+    from pysparkdb.sources.layout import zorder_df
+
+    o = tables(spark, sf_dir)["orders"]
+    with pytest.raises(ValueError, match="bits"):
+        zorder_df(o, ["o_custkey", "o_totalprice"], bits=32)
+    with pytest.raises(ValueError, match="bits"):
+        zorder_df(o, [], bits=12)
