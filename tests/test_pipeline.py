@@ -546,3 +546,25 @@ def test_dup_chunk_methods_agree(spark, sf_dir):
     assert win == jn
     with pytest.raises(ValueError, match="method"):
         dup_chunk_stats(d, method="sketch")
+
+
+def test_pii_scrub_idempotent_and_clean(spark, sf_dir):
+    """After one scrub pass no PII pattern may remain (the compliance
+    property), so a second pass is the identity."""
+    from pysparkdb.pipeline.text import PII_PATTERNS, pii_scrub
+    from pysparkdb.queries import load_all
+
+    once = load_all()["text_pii_scrub"].fn(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    leftover = once
+    for name, pat, _ in PII_PATTERNS:
+        leftover = leftover.filter(F.col("scrubbed").rlike(pat))
+    assert leftover.count() == 0
+    twice = pii_scrub(
+        once.select(F.col("id"), F.col("scrubbed").alias("text")),
+        id_col="id", text_col="text",
+    )
+    assert twice.filter(
+        (F.col("n_email") != 0) | (F.col("n_phone") != 0)
+    ).count() == 0
