@@ -10,6 +10,7 @@ from pysparkdb.operators.relational import (
     nested_loop_join,
     project,
     salted_group,
+    salted_join,
     shuffle,
     sort,
     split,
@@ -18,6 +19,6 @@ from pysparkdb.operators.relational import (
 __all__ = [
     "aggregate", "as_of_join", "collate", "filter_", "group", "hash_join",
     "limit_sort", "merge_union", "nested_loop_join", "project",
-    "salted_group", "shuffle",
+    "salted_group", "salted_join", "shuffle",
     "sort", "split",
 ]

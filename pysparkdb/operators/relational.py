@@ -160,6 +160,36 @@ def merge_union(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b)
 
 
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Replicated-salt equi-join — the skew escape hatch for joins where
+    the small side is too big to broadcast and one join key is hot enough
+    that even AQE's skew split leaves a straggler (AQE splits an oversized
+    shuffle partition, but every split of a single hot KEY still reads the
+    same build rows; replication moves that fan-out to the build side up
+    front). The large side gets a uniform salt in [0, B); the small side
+    is replicated B ways with every salt value; the join keys become
+    (keys..., salt), so the hot key's probe rows spread over B reducers.
+
+    Cost: small side shuffles B× its size — worth it only when a hot key
+    dominates. Inner/left only: under replication an unmatched SMALL row
+    would surface B times in right/full results.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted join type must be inner/left, got {how!r}")
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    lg = large.withColumn("_salt", salt)
+    sm = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return lg.join(sm, [*keys, "_salt"], how).drop("_salt")
+
+
 def shuffle(df: DataFrame, num_partitions: int, keys: Sequence[str]) -> DataFrame:
     """SHUFFLE: hash-partition on key columns (shuffle/ShufflePOp.cpp).
     Explicit repartition is almost never needed — joins/groups insert their

@@ -182,3 +182,25 @@ def test_registry_prefix_is_rotation_window():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting is a pure distribution change: inner and left results must
+    equal the unsalted join's exactly; right/full are rejected (small-side
+    replication would duplicate unmatched build rows)."""
+    from pysparkdb import operators as O
+    from pysparkdb.queries.base import tables
+
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    o = t["orders"].select("o_orderkey", "o_orderstatus").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, li.join(o, ["l_orderkey"], how).collect()))
+        salted = sorted(
+            map(tuple, O.salted_join(li, o, ["l_orderkey"], how, 8).collect())
+        )
+        assert salted == plain, how
+    with pytest.raises(ValueError, match="salted join"):
+        O.salted_join(li, o, ["l_orderkey"], "full")
