@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Interactive SQL console — the reference client's front door, Spark-side.
+
+Mirrors fpdb-main/src/Client.cpp:94-158 (Client::executeQuery): attach a
+catalog, take SQL strings, print a row-oriented result table with elapsed
+time (Client.cpp:104-110 prints `(TupleSet, elapsed_ns)` the same way).
+Where the reference crosses four IRs (SQL → Calcite RelNode JSON →
+PrePhysicalPlan → PhysicalPlan actors), here Catalyst owns the whole
+pipeline behind `Engine.sql`.
+
+Usage:
+    python scripts/console.py [--data-dir DIR] [-c SQL ...]
+
+Without -c, reads statements from stdin (terminated by ';' or EOF — usable
+both interactively and piped). Backslash commands:
+    \\timing        toggle per-query wall time (default on)
+    \\transfer      toggle the CIDR-2024 predicate-transfer pre-pass
+    \\explain SQL   show the formatted physical plan instead of rows
+    \\tables        list attached tables
+    \\q             quit
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+# runnable as `python scripts/console.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_statement(eng, stmt: str, *, timing: bool, transfer: bool, out=sys.stdout) -> None:
+    stmt = stmt.strip().rstrip(";").strip()
+    if not stmt:
+        return
+    if stmt.startswith("\\"):
+        raise ValueError(f"unknown backslash command {stmt!r}")
+    t0 = time.monotonic()
+    df = eng.sql(stmt, predicate_transfer=transfer)
+    rows = df.collect()  # the Collate point — results are for the human
+    dt = time.monotonic() - t0
+    cols = df.columns
+    widths = [
+        max(len(c), *(len(str(r[i])) for r in rows)) if rows else len(c)
+        for i, c in enumerate(cols)
+    ]
+    line = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    print(line, file=out)
+    print("| " + " | ".join(c.ljust(w) for c, w in zip(cols, widths)) + " |", file=out)
+    print(line, file=out)
+    for r in rows:
+        print(
+            "| " + " | ".join(str(v).ljust(w) for v, w in zip(r, widths)) + " |",
+            file=out,
+        )
+    print(line, file=out)
+    n = len(rows)
+    suffix = f"  ({dt:.3f} s)" if timing else ""
+    print(f"{n} row{'s' if n != 1 else ''}{suffix}", file=out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--data-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--master", default="local[4]")
+    ap.add_argument(
+        "-c", dest="commands", action="append", default=[],
+        help="execute this SQL and exit (repeatable)",
+    )
+    args = ap.parse_args(argv)
+
+    from pysparkdb import Engine, get_spark
+
+    eng = Engine(
+        get_spark("console", master=args.master,
+                  extra_confs={"spark.ui.enabled": "false"}),
+        data_dir=args.data_dir,
+    )
+    timing, transfer = True, False
+
+    def dispatch(stmt: str) -> bool:
+        nonlocal timing, transfer
+        s = stmt.strip().rstrip(";").strip()
+        if not s:
+            return True
+        if s == "\\q":
+            return False
+        if s == "\\timing":
+            timing = not timing
+            print(f"timing {'on' if timing else 'off'}")
+        elif s == "\\transfer":
+            transfer = not transfer
+            print(f"predicate transfer {'on' if transfer else 'off'}")
+        elif s == "\\tables":
+            assert eng.catalog is not None
+            print(" ".join(sorted(eng.catalog.tables)))
+        elif s.startswith("\\explain"):
+            from pysparkdb.plans.pushdown import explain_str
+
+            print(explain_str(eng.sql(s[len("\\explain"):].strip()), "formatted"))
+        else:
+            run_statement(eng, s, timing=timing, transfer=transfer)
+        return True
+
+    for c in args.commands:
+        dispatch(c)
+    if args.commands:
+        return 0
+
+    buf: list[str] = []
+    interactive = sys.stdin.isatty()
+    while True:
+        if interactive:
+            sys.stdout.write("sql> " if not buf else "...> ")
+            sys.stdout.flush()
+        line = sys.stdin.readline()
+        if not line:  # EOF
+            if buf:
+                dispatch(" ".join(buf))
+            return 0
+        buf.append(line.strip())
+        if line.rstrip().endswith(";") or line.strip().startswith("\\"):
+            stmt = " ".join(buf)
+            buf = []
+            if not dispatch(stmt):
+                return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

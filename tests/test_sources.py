@@ -205,3 +205,27 @@ def test_zorder_validates_bit_budget(spark, sf_dir):
         zorder_df(o, ["o_custkey", "o_totalprice"], bits=32)
     with pytest.raises(ValueError, match="bits"):
         zorder_df(o, [], bits=12)
+
+
+def test_console_renders_result_table(spark, sf_dir):
+    """The interactive client front door (scripts/console.py, the
+    Client::executeQuery analog) renders a row-oriented table with a row
+    count, honoring the predicate-transfer toggle."""
+    import io
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from console import run_statement
+
+    from pysparkdb import Engine
+
+    eng = Engine(spark, data_dir=sf_dir)
+    for transfer in (False, True):
+        out = io.StringIO()
+        run_statement(
+            eng,
+            "SELECT r_name FROM region WHERE r_regionkey < 2 ORDER BY r_name;",
+            timing=False, transfer=transfer, out=out,
+        )
+        text = out.getvalue()
+        assert "| r_name" in text and "2 rows" in text, text
