@@ -182,6 +182,8 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted join type must be inner/left, got {how!r}")
+    if "_salt" in large.columns or "_salt" in small.columns:
+        raise ValueError("inputs already carry a _salt column (reserved)")
     salt = (F.rand(seed=42) * salt_buckets).cast("int")
     lg = large.withColumn("_salt", salt)
     sm = small.withColumn(
@@ -232,6 +234,8 @@ def salted_group(
     handles skewed *joins*, but a skewed *aggregation* key still needs the
     salt (or a two-level agg, which this is).
     """
+    if "_salt" in df.columns:
+        raise ValueError("input already carries a _salt column (reserved)")
     salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("_salt")
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[c.alias(n) for n, c in partial_aggs.items()]

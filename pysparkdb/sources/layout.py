@@ -37,7 +37,8 @@ def _scaled(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     top = (1 << bits) - 1
     span = hi - lo
     frac = F.when(span > 0, (col.cast("double") - lo) / span).otherwise(F.lit(0.0))
-    return F.least(F.floor(frac * top), F.lit(top)).cast("long")
+    # NULL cells sort first (cell 0) rather than poisoning the Morton code
+    return F.least(F.floor(F.coalesce(frac, F.lit(0.0)) * top), F.lit(top)).cast("long")
 
 
 def zorder_key(scaled: list[Column], bits: int) -> Column:

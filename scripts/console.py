@@ -99,13 +99,26 @@ def main(argv: list[str] | None = None) -> int:
         elif s.startswith("\\explain"):
             from pysparkdb.plans.pushdown import explain_str
 
-            print(explain_str(eng.sql(s[len("\\explain"):].strip()), "formatted"))
+            print(
+                explain_str(
+                    eng.sql(s[len("\\explain"):].strip(), predicate_transfer=transfer),
+                    "formatted",
+                )
+            )
         else:
             run_statement(eng, s, timing=timing, transfer=transfer)
         return True
 
+    def safe_dispatch(stmt: str) -> bool:
+        # a typo must re-prompt, not kill the session (psql behavior)
+        try:
+            return dispatch(stmt)
+        except Exception as exc:  # noqa: BLE001
+            print(f"error: {exc}", file=sys.stderr)
+            return True
+
     for c in args.commands:
-        dispatch(c)
+        safe_dispatch(c)
     if args.commands:
         return 0
 
@@ -118,13 +131,22 @@ def main(argv: list[str] | None = None) -> int:
         line = sys.stdin.readline()
         if not line:  # EOF
             if buf:
-                dispatch(" ".join(buf))
+                safe_dispatch("\n".join(buf))
             return 0
-        buf.append(line.strip())
-        if line.rstrip().endswith(";") or line.strip().startswith("\\"):
-            stmt = " ".join(buf)
+        if line.strip().startswith("\\"):
+            # backslash command: abandon any partial statement, run it alone
+            if buf:
+                print("(discarded unfinished statement)", file=sys.stderr)
+                buf = []
+            if not safe_dispatch(line.strip()):
+                return 0
+            continue
+        # keep newlines: '--' comments and string literals must survive
+        buf.append(line.rstrip("\n"))
+        if line.rstrip().endswith(";"):
+            stmt = "\n".join(buf)
             buf = []
-            if not dispatch(stmt):
+            if not safe_dispatch(stmt):
                 return 0
 
 

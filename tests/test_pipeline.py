@@ -557,10 +557,8 @@ def test_pii_scrub_idempotent_and_clean(spark, sf_dir):
     once = load_all()["text_pii_scrub"].fn(spark, sf_dir)
     import pyspark.sql.functions as F
 
-    leftover = once
     for name, pat, _ in PII_PATTERNS:
-        leftover = leftover.filter(F.col("scrubbed").rlike(pat))
-    assert leftover.count() == 0
+        assert once.filter(F.col("scrubbed").rlike(pat)).count() == 0, name
     twice = pii_scrub(
         once.select(F.col("id"), F.col("scrubbed").alias("text")),
         id_col="id", text_col="text",
