@@ -283,6 +283,23 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def pii_scrub_cols(
+    text_col: Column | str,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> tuple[Column, dict[str, Column]]:
+    """Column-level core of the PII scrub: returns (scrubbed_text_column,
+    {pattern_name: match_count_column}). Stateless pure expressions, so it
+    composes into batch projections and streaming micro-batches alike."""
+    cur = F.col(text_col) if isinstance(text_col, str) else text_col
+    counts: dict[str, Column] = {}
+    for name, pat, repl in patterns:
+        counts[name] = (
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).cast("long")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur, counts
+
+
 def pii_scrub(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -299,16 +316,12 @@ def pii_scrub(
     100 TB this is exactly one pass over the text column. Returns
     (id_col, scrubbed, n_<name> per pattern).
     """
-    cur = F.col(text_col)
-    counts = []
-    for name, pat, repl in patterns:
-        counts.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
-            .cast("long")
-            .alias(f"n_{name}")
-        )
-        cur = F.regexp_replace(cur, pat, repl)
-    return df.select(F.col(id_col), cur.alias("scrubbed"), *counts)
+    scrubbed, counts = pii_scrub_cols(text_col, patterns)
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
 
 
 def dup_chunk_stats(

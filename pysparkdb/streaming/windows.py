@@ -241,11 +241,15 @@ def read_documents_stream(
     )
 
 
-def stream_clean_documents(docs: DataFrame) -> DataFrame:
+def stream_clean_documents(docs: DataFrame, scrub_pii: bool = False) -> DataFrame:
     """Streaming ingest twin of the batch `pipeline_clean` composition:
     quality gate (token-count band) -> exact dedup on the normalized-text
-    digest, first arrival wins. Emits the cleaned stream (append mode),
-    ready for a checkpointed parquet sink.
+    digest, first arrival wins -> optional PII scrub (``scrub_pii=True``
+    replaces text with its redacted form — pure stateless column exprs,
+    pysparkdb.pipeline.text.pii_scrub_cols, so it adds no streaming
+    state; scrubbing runs AFTER the dedup fingerprint so redaction can't
+    merge two documents that differed only inside their PII). Emits the
+    cleaned stream (append mode), ready for a checkpointed parquet sink.
 
     State: dropDuplicates on the 32-byte digest keeps one state row per
     DISTINCT document ever seen — the honest cost of exact corpus dedup;
@@ -255,12 +259,16 @@ def stream_clean_documents(docs: DataFrame) -> DataFrame:
     within the late-data horizon) or an external fingerprint store; both
     trade global exactness for bounded state — the same trade the batch
     engine documents for its streaming sketches."""
-    from pysparkdb.pipeline.text import token_count
+    from pysparkdb.pipeline.text import pii_scrub_cols, token_count
 
     n_tok = token_count("text")
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return (
+    out = (
         docs.filter(n_tok.between(20, 1000))
         .withColumn("fp", fp)
         .dropDuplicates(["fp"])
     )
+    if scrub_pii:
+        scrubbed, _counts = pii_scrub_cols("text")
+        out = out.withColumn("text", scrubbed)
+    return out

@@ -250,3 +250,37 @@ def test_stream_clean_matches_batch_pipeline(spark, sf_dir, tmp_path):
     batch_counts = {r.lang: r.n_docs for r in batch.collect()}
     assert stream_counts == batch_counts
     assert sum(stream_counts.values()) > 0
+
+
+def test_stream_clean_scrub_pii_is_stateless_and_clean(spark, sf_dir, tmp_path):
+    """scrub_pii=True must redact every PII pattern from the surviving
+    stream without changing which documents survive (scrub runs after the
+    dedup fingerprint)."""
+    from pysparkdb.pipeline.text import PII_PATTERNS
+
+    src = tmp_path / "docs_pii"
+    # inject synthetic PII into real documents so there is something to scrub
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    salted = base.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" mail me at someone@example.com or 12-345-678-9012")),
+    )
+    # part files directly in the stream dir (the source does not recurse)
+    salted.write.parquet(str(src))
+
+    stream = S.read_documents_stream(spark, str(src))
+    got = S.run_to_memory(
+        S.stream_clean_documents(stream, scrub_pii=True), "t_pii", output_mode="append"
+    )
+    rows = got.count()
+    assert rows > 0
+    for name, pat, _ in PII_PATTERNS:
+        assert got.filter(F.col("text").rlike(pat)).count() == 0, name
+    assert got.filter(F.col("text").contains("[EMAIL]")).count() == rows
+    assert got.filter(F.col("text").contains("[PHONE]")).count() == rows
+
+    plain = S.run_to_memory(
+        S.stream_clean_documents(S.read_documents_stream(spark, str(src))),
+        "t_pii_plain", output_mode="append",
+    )
+    assert plain.count() == rows  # scrub changes content, never membership
