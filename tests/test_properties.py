@@ -115,3 +115,63 @@ def test_asof_join_equals_argmax(spark, left, right):
         else:
             expect.add((i, None, None))
     assert got == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_zorder_key_matches_python_morton(spark, pairs):
+    """The codegen bit-interleave must equal the textbook Morton code, and
+    be injective over the scaled-cell domain (a curve that collapses cells
+    can't cluster them)."""
+    from pysparkdb.sources.layout import zorder_key
+
+    bits = 12
+    df = spark.createDataFrame(pairs, "x: long, y: long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_key([F.col("x"), F.col("y")], bits)
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+    assert len(set(got.values())) == len(got)  # injective on distinct cells
+
+
+@given(
+    words=st.lists(st.sampled_from(["data", "spark", "row", "scan"]), min_size=1, max_size=8),
+    n_email=st.integers(min_value=0, max_value=3),
+    n_phone=st.integers(min_value=0, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_pii_scrub_counts_injected_pii(spark, words, n_email, n_phone):
+    """Exactly the injected PII is counted and redacted, whatever clean
+    text surrounds it."""
+    from pysparkdb.pipeline.text import pii_scrub
+
+    text = " ".join(
+        words
+        + ["u%d@ex.com" % i for i in range(n_email)]
+        + ["12-345-678-90%02d" % i for i in range(n_phone)]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    r = pii_scrub(df).collect()[0]
+    assert (r.n_email, r.n_phone) == (n_email, n_phone)
+    assert r.scrubbed.count("[EMAIL]") == n_email
+    assert r.scrubbed.count("[PHONE]") == n_phone
