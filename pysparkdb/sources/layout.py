@@ -105,3 +105,40 @@ def write_zordered(
     if row_group_bytes is not None:
         w = w.option("parquet.block.size", str(row_group_bytes))
     w.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 << 20,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-lived
+    100 TB table needs. Streaming sinks and incremental loads leave
+    thousands of KB-sized part files; each costs a task, a footer read,
+    and an object-store request per scan. Compaction rewrites the table
+    into ceil(total_bytes / target_file_bytes) files (one shuffle-free
+    coalesce when shrinking; a round-robin repartition only when the
+    input has FEWER partitions than the target, where coalesce could not
+    grow them). ``sort_within`` optionally re-sorts rows inside each
+    output file so zone maps stay tight after the rewrite (pair with
+    write_zordered for full re-clustering instead).
+
+    Sizing reads actual on-disk bytes from the source footers via the
+    filesystem, not optimizer guesses. Returns the output file count.
+    """
+    import glob
+    import math
+    import os
+
+    files = glob.glob(os.path.join(src, "*.parquet")) or [src]
+    total = sum(os.path.getsize(f) for f in files if os.path.isfile(f))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    parts = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if parts >= n_out else df.repartition(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").parquet(dest)
+    return len(glob.glob(os.path.join(dest, "*.parquet")))

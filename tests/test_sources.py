@@ -229,3 +229,28 @@ def test_console_renders_result_table(spark, sf_dir):
         )
         text = out.getvalue()
         assert "| r_name" in text and "2 rows" in text, text
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    """Compaction must collapse a many-small-files table to the byte-target
+    file count without gaining/losing/changing a row."""
+    from pysparkdb.sources.layout import compact_parquet
+
+    li = tables(spark, sf_dir)["lineitem"]
+    shredded = str(tmp_path / "li_shredded")
+    li.repartition(24).write.parquet(shredded)
+
+    import glob
+
+    n_in = len(glob.glob(shredded + "/*.parquet"))
+    assert n_in >= 24
+    compacted = str(tmp_path / "li_compacted")
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(shredded + "/*.parquet")
+    )
+    # target = half the table → exactly 2 output files
+    n_out = compact_parquet(spark, shredded, compacted, target_file_bytes=(total + 1) // 2)
+    assert n_out == 2, n_out
+    a = spark.read.parquet(compacted)
+    assert a.count() == li.count()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, li.collect()))
