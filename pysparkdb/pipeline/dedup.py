@@ -396,3 +396,59 @@ def cross_corpus_overlap(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _bloom_positions(fp: Column, k: int, m: int) -> Column:
+    """k seeded hash positions in [0, m) for a fingerprint — the bit
+    indexes a classic Bloom filter would set."""
+    return F.array(*[(F.abs(F.xxhash64(fp, F.lit(i))) % m) for i in range(k)])
+
+
+def incremental_new_documents(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Incremental exact dedup: the rows of ``batch`` whose normalized
+    text has never appeared in ``history`` — the nightly-ingest shape,
+    where the corpus is petabytes of already-deduped history and the new
+    batch is comparatively small.
+
+    A direct anti-join would shuffle the ENTIRE history fingerprint set
+    every run. Instead the history side is collapsed to a relational
+    Bloom filter: the DISTINCT set-bit positions of k seeded hashes over
+    a fixed m-bit space — at most m rows (8 MB of longs at m = 2^20)
+    whatever the history size, always broadcastable. The batch probes it
+    map-side (explode k positions, broadcast join, count == k ⇒ "might
+    contain"); only the might-contain candidates — bounded by true dups
+    plus the classic (1-e^{-kn/m})^k false-positive rate — pay the exact
+    fingerprint semi-join against history. Bloom filters have no false
+    negatives, so the result is EXACT, not approximate: definite-new rows
+    skip the join entirely, and false positives are eliminated by the
+    verify join. Analog of the reference's bloom-filter semi-join
+    reduction (fpdb-executor bloomfilter/BloomFilterCreatePOp.cpp) turned
+    into a user-level incremental-ingest operator.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    hfp = history.select(F.md5(norm).alias("fp"))
+    bits = hfp.select(
+        F.explode(_bloom_positions(F.col("fp"), k, m)).alias("pos")
+    ).distinct()
+
+    fingered = batch.withColumn("_fp", F.md5(norm))
+    probe = fingered.select(
+        F.col(id_col), F.col("_fp"),
+        F.explode(_bloom_positions(F.col("_fp"), k, m)).alias("pos"),
+    )
+    might = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "_fp")
+        .agg(F.count(F.lit(1)).alias("_nbits"))
+        .filter(F.col("_nbits") == k)
+        .select(id_col, "_fp")
+    )
+    true_dups = might.join(hfp, might["_fp"] == hfp["fp"], "left_semi")
+    return fingered.join(true_dups.select(id_col), id_col, "left_anti").drop("_fp")

@@ -1371,3 +1371,37 @@ def text_dup_chunks(spark, sf_dir):
     self-join formulation would scan it twice) — then a per-doc rollup on
     doc_id. Only 16-byte digests shuffle, never chunk text."""
     return text.dup_chunk_stats(tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dedup_incremental",
+    r"""
+    WITH hist AS (
+      SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 10 < 8),
+    batch AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 10 >= 8)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM batch WHERE fp NOT IN (SELECT fp FROM hist)
+    GROUP BY lang
+    """,
+    "pipeline", "dedup", "incremental", "bloom",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: docs with doc_id % 10 < 8 play the
+    already-ingested history, the rest the nightly batch; count per
+    language the batch docs whose normalized text never appeared in
+    history. Runs through the relational Bloom filter
+    (pysparkdb.pipeline.dedup.incremental_new_documents): history
+    collapses to ≤2^20 distinct set-bit rows (broadcast), the batch
+    probes map-side, and only might-contain candidates pay the exact
+    fingerprint semi-join — history is never shuffled whole. Bloom
+    filters have no false negatives and candidates are verify-joined, so
+    the result is exact — hence the full value oracle (DuckDB NOT IN)."""
+    d = tables(spark, sf_dir)["documents"]
+    history = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    new = dedup.incremental_new_documents(history, batch)
+    return new.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("n_new"))

@@ -236,3 +236,11 @@ class TestPipelinePlans:
         p = plan("text_dup_chunks", spark, sf_dir, mode="simple")
         assert p.count("Exchange") == 2, p
         assert "Join" not in p, p
+
+    def test_incremental_dedup_broadcasts_bit_table(self, spark, sf_dir):
+        """The relational Bloom filter must reach the batch probe as a
+        BROADCAST join (the bit table is ≤2^20 rows by construction);
+        history's only other appearance is the candidate verify join."""
+        p = plan("dedup_incremental", spark, sf_dir, mode="simple")
+        assert "BroadcastHashJoin" in p, p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
