@@ -175,3 +175,30 @@ def test_pii_scrub_counts_injected_pii(spark, words, n_email, n_phone):
     assert (r.n_email, r.n_phone) == (n_email, n_phone)
     assert r.scrubbed.count("[EMAIL]") == n_email
     assert r.scrubbed.count("[PHONE]") == n_phone
+
+
+@given(
+    hist=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=10),
+    batch=st.lists(st.sampled_from(["aa", "bb", "cc", "xx", "yy", "zz"]), min_size=1, max_size=10),
+)
+@settings(**_SETTINGS)
+def test_incremental_dedup_equals_exact_anti_join(spark, hist, batch):
+    """The relational-Bloom path must return EXACTLY the batch rows whose
+    normalized text is absent from history — including empty history
+    (everything new) and full overlap (nothing new). Tiny m forces heavy
+    bloom false positives; the verify join must absorb them all."""
+    from pysparkdb.pipeline.dedup import incremental_new_documents
+
+    h = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hist)] or [(0, "___never___")],
+        "doc_id: long, text: string",
+    )
+    if not hist:
+        h = h.filter("doc_id < 0")  # truly empty history
+    b = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)], "doc_id: long, text: string"
+    )
+    got = sorted(r.doc_id for r in
+                 incremental_new_documents(h, b, m=64, k=3).collect())
+    want = sorted(100 + i for i, t in enumerate(batch) if t not in hist)
+    assert got == want
