@@ -241,7 +241,11 @@ def read_documents_stream(
     )
 
 
-def stream_clean_documents(docs: DataFrame, scrub_pii: bool = False) -> DataFrame:
+def stream_clean_documents(
+    docs: DataFrame,
+    scrub_pii: bool = False,
+    history: DataFrame | None = None,
+) -> DataFrame:
     """Streaming ingest twin of the batch `pipeline_clean` composition:
     quality gate (token-count band) -> exact dedup on the normalized-text
     digest, first arrival wins -> optional PII scrub (``scrub_pii=True``
@@ -250,6 +254,17 @@ def stream_clean_documents(docs: DataFrame, scrub_pii: bool = False) -> DataFram
     state; scrubbing runs AFTER the dedup fingerprint so redaction can't
     merge two documents that differed only inside their PII). Emits the
     cleaned stream (append mode), ready for a checkpointed parquet sink.
+
+    ``history`` (a STATIC DataFrame of already-ingested documents) adds
+    cross-run dedup: a stream-static LEFT ANTI join on the normalized
+    fingerprint drops any arriving document the historical corpus already
+    holds. Stream-static joins keep no state — the static side is
+    re-evaluated per micro-batch, which is the right trade when each
+    micro-batch is small next to history; the batch twin
+    (pipeline.dedup.incremental_new_documents) adds the relational-Bloom
+    prefilter instead, because a batch-sized probe amortizes building it
+    (a per-micro-batch streaming aggregation could not run under append
+    mode anyway).
 
     State: dropDuplicates on the 32-byte digest keeps one state row per
     DISTINCT document ever seen — the honest cost of exact corpus dedup;
@@ -268,6 +283,13 @@ def stream_clean_documents(docs: DataFrame, scrub_pii: bool = False) -> DataFram
         .withColumn("fp", fp)
         .dropDuplicates(["fp"])
     )
+    if history is not None:
+        hist_fp = history.select(
+            F.md5(
+                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+            ).alias("fp")
+        ).distinct()
+        out = out.join(hist_fp, "fp", "left_anti")
     if scrub_pii:
         scrubbed, _counts = pii_scrub_cols("text")
         out = out.withColumn("text", scrubbed)

@@ -284,3 +284,32 @@ def test_stream_clean_scrub_pii_is_stateless_and_clean(spark, sf_dir, tmp_path):
         "t_pii_plain", output_mode="append",
     )
     assert plain.count() == rows  # scrub changes content, never membership
+
+
+def test_stream_clean_drops_history_duplicates(spark, sf_dir, tmp_path):
+    """Cross-run dedup: arriving documents already present in the static
+    history corpus must be dropped (stream-static anti join on the
+    fingerprint); genuinely new documents must all survive."""
+    src = tmp_path / "docs_hist"
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    history = full.filter(F.col("doc_id") % 10 < 8)
+    full.write.parquet(str(src))  # the whole corpus lands again
+
+    got = S.run_to_memory(
+        S.stream_clean_documents(
+            S.read_documents_stream(spark, str(src)), history=history
+        ),
+        "t_hist", output_mode="append",
+    )
+    # expected: quality-gated, batch-deduped docs whose fp is NOT in history
+    from pysparkdb.pipeline.text import token_count
+
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    gated = full.filter(token_count("text").between(20, 1000)).withColumn("fp", fp)
+    hist_fp = history.select(fp.alias("fp")).distinct()
+    want = gated.dropDuplicates(["fp"]).join(hist_fp, "fp", "left_anti")
+    assert got.count() == want.count()
+    assert got.count() > 0
+    assert {r.fp for r in got.select("fp").collect()} == {
+        r.fp for r in want.select("fp").collect()
+    }
