@@ -274,22 +274,33 @@ def ivf_topk_neighbors(
     so recall per probed fraction beats data-oblivious hyperplanes on
     clustered corpora; probe cost is n·q·(nprobe/nlist) pair evaluations.
     """
-    from pyspark.sql import Window
-
     centroids = train_ivf_centroids(df, dim, vec_col, nlist=nlist)
     e = _spread(with_norm(df, vec_col))
     scored_cells = e.withColumn("_cd", _cell_distances(F.col("v"), centroids))
+    cand = _nearest_cell(scored_cells)
+    q = scored_cells if query_filter is None else scored_cells.filter(query_filter)
+    return _probe_and_score(q, cand, k=k, nprobe=nprobe)
 
-    # candidate side: every vector lives in exactly its nearest cell
-    c = scored_cells.withColumn(
+
+def _nearest_cell(scored_cells: DataFrame) -> DataFrame:
+    """Candidate side of IVF: every vector lives in exactly its nearest
+    cell. Input must carry (vec_id, v, nrm, _cd)."""
+    return scored_cells.withColumn(
         "cell", F.array_position(F.col("_cd"), F.array_min("_cd")).cast("int")
     ).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"), "cell",
     )
 
-    # query side: probe the nprobe nearest cells (sorted (dist, idx) pairs)
-    q = scored_cells if query_filter is None else scored_cells.filter(query_filter)
+
+def _probe_and_score(
+    q_scored: DataFrame, cand: DataFrame, k: int, nprobe: int
+) -> DataFrame:
+    """Shared IVF search stage: queries (vec_id, v, nrm, _cd) explode into
+    their ``nprobe`` nearest cells (sorted (dist, idx) pairs), join the
+    candidate frame on cell, cosine-score, per-query top-k window."""
+    from pyspark.sql import Window
+
     probes = F.transform(
         F.slice(
             F.array_sort(
@@ -302,12 +313,11 @@ def ivf_topk_neighbors(
         ),
         lambda s: s["idx"].cast("int"),
     )
-    q = q.select(
+    q = q_scored.select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.explode(probes).alias("cell"),
     )
-
-    scored = q.join(c, on="cell").filter(F.col("qid") != F.col("cid")).select(
+    scored = q.join(cand, on="cell").filter(F.col("qid") != F.col("cid")).select(
         "qid", "cid",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
@@ -317,6 +327,75 @@ def ivf_topk_neighbors(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    vec_col: str = "embedding",
+    nlist: int = 8,
+) -> None:
+    """Offline IVF index build — pay the train+assign cost ONCE, search
+    many times (the FAISS build/search split, lakehouse-style). Writes:
+
+    - ``path``/centroids.parquet — (cell, c): nlist rows, the coarse
+      quantizer; tiny, read whole at search time.
+    - ``path``/assignments.parquet — (cid, cv, cn, cell), hive-partitioned
+      BY CELL: each probed cell is a directory, so a search touching
+      nprobe cells scans nprobe/nlist of the corpus off directory layout
+      alone (the write-side half of partition pruning; same economics as
+      write_bucketed/write_zordered — shuffle-class work at build time
+      buys every subsequent search its pruning).
+
+    At 100 TB the assignment pass is one distributed scan (Arrow-batched
+    matmul per partition); only the nlist-row centroid table ever reaches
+    the driver.
+    """
+    centroids = train_ivf_centroids(df, dim, vec_col, nlist=nlist)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell: int, c: array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    e = _spread(with_norm(df, vec_col))
+    assigned = _nearest_cell(
+        e.withColumn("_cd", _cell_distances(F.col("v"), centroids))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/assignments.parquet"
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 1,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index (build_ivf_index layout): load the
+    nlist-row centroid table (the only driver materialization), score the
+    query batch against it with the same Arrow-batched matmul as the
+    in-memory path, and probe the cell-partitioned assignments table.
+    Identical results to ivf_topk_neighbors for the same build inputs
+    (asserted in tests) — the cell expression and centroid doubles
+    round-trip parquet exactly.
+    """
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids.parquet").collect(),
+        key=lambda r: r.cell,
+    )
+    centroids = np.array([list(r.c) for r in crows])
+    cand = spark.read.parquet(f"{path}/assignments.parquet").select(
+        "cid", "cv", "cn", F.col("cell").cast("int").alias("cell")
+    )
+    q = _spread(with_norm(queries, vec_col)).withColumn(
+        "_cd", _cell_distances(F.col("v"), centroids)
+    )
+    return _probe_and_score(q, cand, k=k, nprobe=nprobe)
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -566,3 +566,25 @@ def test_pii_scrub_idempotent_and_clean(spark, sf_dir):
     assert twice.filter(
         (F.col("n_email") != 0) | (F.col("n_phone") != 0)
     ).count() == 0
+
+
+def test_ivf_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    """Build-once/search-many: searching the persisted IVF index must
+    return exactly the in-memory ivf_topk_neighbors result for the same
+    build inputs (centroid doubles round-trip parquet exactly; the cell
+    assignment is the same expression)."""
+    from pysparkdb.pipeline.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+        ivf_topk_neighbors,
+    )
+    from pysparkdb.queries.base import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, idx, dim=64, nlist=8)
+    from_index = ivf_topk_from_index(spark, idx, e, k=2, nprobe=2)
+    in_memory = ivf_topk_neighbors(e, dim=64, k=2, nlist=8, nprobe=2)
+    a = sorted(map(tuple, from_index.collect()))
+    b = sorted(map(tuple, in_memory.collect()))
+    assert a == b and len(a) > 0
