@@ -178,12 +178,19 @@ def lsh_topk_neighbors(
     evaluations; recall for genuinely-near neighbors (cos ≥ .8) is ≥ 95%
     by the (nbits, L) math, while far 'nearest' neighbors are inherently
     hard for any LSH — that is the documented trade."""
-    from pyspark.sql import Window
-
     e = hyperplane_buckets(df, dim, vec_col, nbits, tables)
     q = e if query_filter is None else e.filter(query_filter)
+    return _bucket_join_topk(q, e, k)
+
+
+def _bucket_join_topk(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """Shared LSH search stage: bucket-collision join in any table,
+    pair dedup, cosine score, per-query top-k window. Inputs carry
+    (vec_id, v, nrm, tbl, bucket)."""
+    from pyspark.sql import Window
+
     q = q.withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})
-    c = e.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn"})
+    c = c.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn"})
     pairs = (
         q.join(c, on=["tbl", "bucket"])
         .filter(F.col("qid") != F.col("cid"))
@@ -200,6 +207,49 @@ def lsh_topk_neighbors(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    vec_col: str = "embedding",
+    nbits: int = 6,
+    tables: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist the multi-table LSH index: the candidate bucket frame
+    (vec_id, v, nrm, tbl, bucket) hive-partitioned by table, plus a
+    one-row meta parquet (dim, nbits, tables, seed). The hyperplanes are
+    a pure function of (seed, dim, nbits, tables), so search re-derives
+    them bit-identically instead of serializing the matrix — the bucket
+    assignment (the corpus-wide matmul pass) is what the build pays once.
+    """
+    hyperplane_buckets(df, dim, vec_col, nbits, tables, seed).write.mode(
+        "overwrite"
+    ).partitionBy("tbl").parquet(f"{path}/buckets.parquet")
+    df.sparkSession.createDataFrame(
+        [(dim, nbits, tables, seed)], "dim: int, nbits: int, tables: int, seed: int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+
+def lsh_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 1,
+) -> DataFrame:
+    """Search a persisted LSH index (build_lsh_index layout): bucket the
+    query batch with planes re-derived from the stored seed, join against
+    the persisted candidate buckets. Identical results to
+    lsh_topk_neighbors for the same build inputs (asserted in tests)."""
+    m = spark.read.parquet(f"{path}/meta.parquet").first()
+    cand = spark.read.parquet(f"{path}/buckets.parquet").select(
+        "vec_id", "v", "nrm", F.col("tbl").cast("int").alias("tbl"), "bucket"
+    )
+    q = hyperplane_buckets(queries, m.dim, vec_col, m.nbits, m.tables, m.seed)
+    return _bucket_join_topk(q, cand, k)
 
 
 def train_ivf_centroids(

@@ -588,3 +588,22 @@ def test_ivf_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, from_index.collect()))
     b = sorted(map(tuple, in_memory.collect()))
     assert a == b and len(a) > 0
+
+
+def test_lsh_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
+    """Persisted LSH index: planes re-derived from the stored seed +
+    persisted candidate buckets must reproduce lsh_topk_neighbors
+    exactly."""
+    from pysparkdb.pipeline.similarity import (
+        build_lsh_index,
+        lsh_topk_from_index,
+        lsh_topk_neighbors,
+    )
+    from pysparkdb.queries.base import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(e, idx, dim=64)
+    a = sorted(map(tuple, lsh_topk_from_index(spark, idx, e, k=2).collect()))
+    b = sorted(map(tuple, lsh_topk_neighbors(e, dim=64, k=2).collect()))
+    assert a == b and len(a) > 0
