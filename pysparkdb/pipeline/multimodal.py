@@ -290,3 +290,52 @@ def chunk_audio(
             )
 
     return df.mapInPandas(fake_chunks, schema=out_schema)
+
+
+def image_ahash(df: DataFrame, npx: int = 64, fake: bool = False) -> DataFrame:
+    """Perceptual average-hash over image payloads — the image-side dedup
+    primitive (aHash: downsample, threshold each pixel against the image
+    mean, emit the bit string). Near-identical images (recompressions,
+    tiny edits) collide; grouping on the hash is perceptual dedup at
+    corpus scale: one Arrow-batched pass + a 64-char-key group-by, never
+    pairwise image comparison.
+
+    STUB contract (decode_image/resize_image family): ``fake=True``
+    byte-samples the payload through the same deterministic
+    nearest-neighbor rule as resize_image — real mapInPandas plumbing,
+    numpy-vectorized per batch — and thresholds the raw byte values
+    against their exact mean (integer sums in float64; mean = sum/64 is
+    exact, so the bits are engine-reproducible); ``fake=False`` raises
+    until a real decoder is wired. Returns (doc_id, ahash) with ahash a
+    ``npx``-char '0'/'1' string (a packed int64 would lose the top bit to
+    the sign at npx=64).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips — not available in this "
+            "container; call with fake=True for the deterministic stand-in"
+        )
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ahash", T.StringType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                step = max(len(raw) // npx, 1)
+                b = np.array(
+                    [raw[min(i * step, len(raw) - 1)] for i in range(npx)],
+                    dtype=np.float64,
+                )
+                bits = b > b.mean()
+                hashes.append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    return df.mapInPandas(hash_batch, schema=out_schema)

@@ -1405,3 +1405,50 @@ def dedup_incremental(spark, sf_dir):
     batch = d.filter(F.col("doc_id") % 10 >= 8)
     new = dedup.incremental_new_documents(history, batch)
     return new.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("n_new"))
+
+
+@register(
+    "mm_image_dedup",
+    # Full value oracle, the mm_resize ASCII-bytes argument: on this
+    # pure-ASCII corpus payload bytes ARE ascii() codes, so DuckDB replays
+    # the byte sampling and the exact-mean threshold (integer sums in
+    # float64; sum/64 is exact) bit for bit.
+    """
+    WITH s AS (
+      SELECT doc_id,
+             [ascii(substr(text,
+                           least(i * greatest(length(text) // 64, 1),
+                                 length(text) - 1) + 1, 1))
+              for i in range(0, 64)] AS b
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             array_to_string(
+               [CASE WHEN x > list_sum(b) / 64.0 THEN '1' ELSE '0' END
+                for x in b], '') AS ahash
+      FROM s)
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM h GROUP BY ahash HAVING COUNT(*) > 1
+    """,
+    "pipeline", "multimodal", "dedup",
+)
+def mm_image_dedup(spark, sf_dir):
+    """Perceptual image dedup (STUBBED codec): average-hash every payload
+    (multimodal.image_ahash — one Arrow-batched pass, 64-bit threshold
+    signature), group on the hash, emit the duplicate groups with their
+    survivor (min doc_id). The image twin of dedup_exact: near-identical
+    images collide on the hash, so dedup is a group-by on a 64-char key —
+    never a pairwise image comparison — and the survivor set is one
+    hash-shuffle away at any corpus size."""
+    d = tables(spark, sf_dir)["documents"]
+    hashes = multimodal.image_ahash(multimodal.to_binary_column(d), fake=True)
+    return (
+        hashes.groupBy("ahash")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_docs"),
+            bigint(F.min("doc_id")).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -54,6 +54,7 @@ NOT_ANSI_PORTABLE = {
     "text_inverted_index", # duck list()/list_sort posting aggregation + string_split
     "text_pii_scrub",      # regexp_replace 'g' flag + regexp_extract_all defaults
     "dedup_incremental",   # regexp_replace 'g' flag normalization
+    "mm_image_dedup",      # ascii()/list-comprehension byte oracle
     "text_dup_chunks",     # unnest(range()) chunk-offset materialization
     "text_tfidf",          # string_split/unnest tokenization
     "text_domain_mix",     # string_split + duck '0x'-string hex cast
