@@ -1100,3 +1100,36 @@ def op_window_analytics(spark, sf_dir):
         F.first("o_orderkey").over(w).cast("long").alias("cheapest_key"),
         F.last("o_orderkey").over(wfull).cast("long").alias("priciest_key"),
     )
+
+
+@register(
+    "op_cube",
+    f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           {_ds('l_quantity')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "ops", "aggregate", "cube",
+)
+def op_cube(spark, sf_dir):
+    """CUBE: every subset of the grouping keys — (flag,status), (flag),
+    (status), () — completing the grouping-sets family next to op_rollup
+    and op_grouping_sets. Same plan shape: one map-side Expand over the
+    2^n sets, partial aggregation per set, ONE exchange — the row
+    multiplier is the Expand fan-out (4x here), never an extra shuffle
+    or rescan per set. NULL subtotal keys COALESCEd to 'ALL' sentinels
+    (op_rollup convention: the oracle sort breaks on None)."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+             bigint(F.count(F.lit(1))).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "sum_qty", "n",
+        )
+    )

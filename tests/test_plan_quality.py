@@ -244,3 +244,10 @@ class TestPipelinePlans:
         p = plan("dedup_incremental", spark, sf_dir, mode="simple")
         assert "BroadcastHashJoin" in p, p
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+    def test_cube_is_expand_plus_one_aggregation(self, spark, sf_dir):
+        """CUBE = one Expand over all 2^n grouping sets + ONE exchange,
+        same contract as rollup/grouping_sets — never per-set rescans."""
+        p = plan("op_cube", spark, sf_dir, mode="simple")
+        assert "Expand" in p
+        assert p.count("Exchange") == 1
