@@ -279,3 +279,62 @@ def ev_stateful(spark, sf_dir):
     return out.groupBy("user_id").agg(
         bigint(F.max("n_events")).alias("n_events")
     )
+
+
+@register(
+    "ev_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    s2 AS (
+      SELECT user_id, ts, event_type, t1,
+             MIN(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1),
+    s3 AS (
+      SELECT user_id, t1, t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2),
+    u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+          FROM s3 GROUP BY user_id)
+    SELECT CAST(COUNT(t1) AS BIGINT) AS n_signup,
+           CAST(COUNT(t2) AS BIGINT) AS n_view_after,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchase_after
+    FROM u
+    """,
+    "events", "funnel",
+)
+def ev_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → view → purchase: per user, the
+    first signup, the first view strictly after it, the first purchase
+    strictly after that; report how many users reach each step. The
+    sequential dependency (step k+1's filter references step k's result)
+    chains three conditional window-MINs over the SAME partition spec —
+    Catalyst plans ONE exchange + sort on user_id serving all three
+    Window passes (no join, no self-union, asserted in
+    test_plan_quality); the per-user rollup reuses that distribution and
+    the final funnel row is a tiny global aggregate. At 100 TB this is
+    one shuffle of (user_id, ts, type) triples."""
+    e = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    ty = F.col("event_type")
+    e1 = e.withColumn("t1", F.min(F.when(ty == "signup", t)).over(w))
+    e2 = e1.withColumn(
+        "t2", F.min(F.when((ty == "view") & (t > F.col("t1")), t)).over(w)
+    )
+    e3 = e2.withColumn(
+        "t3", F.min(F.when((ty == "purchase") & (t > F.col("t2")), t)).over(w)
+    )
+    u = e3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return u.agg(
+        bigint(F.count("t1")).alias("n_signup"),
+        bigint(F.count("t2")).alias("n_view_after"),
+        bigint(F.count("t3")).alias("n_purchase_after"),
+    )

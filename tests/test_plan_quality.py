@@ -251,3 +251,13 @@ class TestPipelinePlans:
         p = plan("op_cube", spark, sf_dir, mode="simple")
         assert "Expand" in p
         assert p.count("Exchange") == 1
+
+    def test_funnel_single_user_shuffle(self, spark, sf_dir):
+        """The three chained conditional window-MINs share one partition
+        spec: ONE exchange+sort on user_id serves all of them, the
+        per-user rollup reuses the distribution, and only the final
+        single-row aggregate adds its tiny exchange."""
+        p = plan("ev_funnel", spark, sf_dir, mode="simple")
+        assert p.count("Window") >= 1, p
+        assert p.count("Exchange") <= 2, p
+        assert "Join" not in p, p
