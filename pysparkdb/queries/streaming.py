@@ -338,3 +338,35 @@ def ev_funnel(spark, sf_dir):
         bigint(F.count("t2")).alias("n_view_after"),
         bigint(F.count("t3")).alias("n_purchase_after"),
     )
+
+
+@register(
+    "ev_retention",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort
+      FROM events)
+    SELECT cohort, CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM t GROUP BY cohort, day_offset
+    """,
+    "events", "retention",
+)
+def ev_retention(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen day (their
+    cohort), counted distinct on each subsequent active day offset — the
+    standard DAU-retention triangle. The cohort assignment is a window
+    MIN over user_id (one shuffle, no join-back); the matrix rollup is a
+    distinct-count keyed by (cohort, offset) — at 100 TB swap the exact
+    COUNT(DISTINCT) for approx_count_distinct per the op_approx_distinct
+    pattern when the per-cell user sets outgrow the agg state."""
+    e = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id")
+    d = F.to_date("ts")
+    cohort = F.min(d).over(w)
+    return (
+        e.select(F.col("user_id"), d.alias("d"), cohort.alias("cohort"))
+        .groupBy("cohort", F.datediff("d", "cohort").cast("long").alias("day_offset"))
+        .agg(bigint(F.countDistinct("user_id")).alias("n_active"))
+    )

@@ -55,6 +55,7 @@ NOT_ANSI_PORTABLE = {
     "text_pii_scrub",      # regexp_replace 'g' flag + regexp_extract_all defaults
     "dedup_incremental",   # regexp_replace 'g' flag normalization
     "mm_image_dedup",      # ascii()/list-comprehension byte oracle
+    "ev_retention",        # date_diff('day', a, b) 3-arg form vs Spark datediff(b, a)
     "text_dup_chunks",     # unnest(range()) chunk-offset materialization
     "text_tfidf",          # string_split/unnest tokenization
     "text_domain_mix",     # string_split + duck '0x'-string hex cast
