@@ -22,16 +22,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pysparkdb.pipeline.text import tokens, word_shingles
+from pysparkdb.pipeline.text import normalized_fingerprint, tokens, word_shingles
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: md5(normalized text) → survivor = min id per digest.
     Returns (fp, keep_id, n_copies). At 100 TB: one shuffle on the digest;
     the text column never shuffles (hash first, group on 32-byte key)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return (
-        df.select(F.md5(norm).alias("fp"), F.col(id_col))
+        df.select(normalized_fingerprint(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -432,13 +431,12 @@ def incremental_new_documents(
     reduction (fpdb-executor bloomfilter/BloomFilterCreatePOp.cpp) turned
     into a user-level incremental-ingest operator.
     """
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    hfp = history.select(F.md5(norm).alias("fp"))
+    hfp = history.select(normalized_fingerprint(text_col).alias("fp"))
     bits = hfp.select(
         F.explode(_bloom_positions(F.col("fp"), k, m)).alias("pos")
     ).distinct()
 
-    fingered = batch.withColumn("_fp", F.md5(norm))
+    fingered = batch.withColumn("_fp", normalized_fingerprint(text_col))
     probe = fingered.select(
         F.col(id_col), F.col("_fp"),
         F.explode(_bloom_positions(F.col("_fp"), k, m)).alias("pos"),

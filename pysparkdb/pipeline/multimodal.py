@@ -329,6 +329,11 @@ def image_ahash(df: DataFrame, npx: int = 64, fake: bool = False) -> DataFrame:
             hashes = []
             for p in pdf["payload"]:
                 raw = bytes(p)
+                if not raw:
+                    # empty payload: all-zero hash (mirrors the oracle,
+                    # where ascii('') = 0 for every sampled position)
+                    hashes.append("0" * npx)
+                    continue
                 step = max(len(raw) // npx, 1)
                 b = np.array(
                     [raw[min(i * step, len(raw) - 1)] for i in range(npx)],

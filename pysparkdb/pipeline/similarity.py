@@ -183,17 +183,22 @@ def lsh_topk_neighbors(
     return _bucket_join_topk(q, e, k)
 
 
-def _bucket_join_topk(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+def _bucket_join_topk(
+    q: DataFrame, c: DataFrame, k: int, exclude_self: bool = True
+) -> DataFrame:
     """Shared LSH search stage: bucket-collision join in any table,
     pair dedup, cosine score, per-query top-k window. Inputs carry
-    (vec_id, v, nrm, tbl, bucket)."""
+    (vec_id, v, nrm, tbl, bucket). ``exclude_self`` drops qid == cid
+    pairs — correct when queries ARE corpus rows (self-search); pass
+    False for an external query batch whose ids are an independent
+    space (an id collision there is NOT the same vector)."""
     from pyspark.sql import Window
 
     q = q.withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})
     c = c.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn"})
     pairs = (
         q.join(c, on=["tbl", "bucket"])
-        .filter(F.col("qid") != F.col("cid"))
+        .filter(F.col("qid") != F.col("cid") if exclude_self else F.lit(True))
         .select("qid", "cid", "qv", "cv", "qn", "cn")
         .dropDuplicates(["qid", "cid"])  # a pair may collide in several tables
     )
@@ -218,16 +223,22 @@ def build_lsh_index(
     tables: int = 8,
     seed: int = 42,
 ) -> None:
-    """Persist the multi-table LSH index: the candidate bucket frame
-    (vec_id, v, nrm, tbl, bucket) hive-partitioned by table, plus a
-    one-row meta parquet (dim, nbits, tables, seed). The hyperplanes are
-    a pure function of (seed, dim, nbits, tables), so search re-derives
-    them bit-identically instead of serializing the matrix — the bucket
-    assignment (the corpus-wide matmul pass) is what the build pays once.
+    """Persist the multi-table LSH index in two tables: the bucket map
+    (vec_id, tbl, bucket) hive-partitioned by table, the vector payload
+    (vec_id, v, nrm) stored ONCE — not once per table, which would
+    inflate the index by the L factor — plus a one-row meta parquet
+    (dim, nbits, tables, seed). The hyperplanes are a pure function of
+    (seed, dim, nbits, tables), so search re-derives them bit-identically
+    instead of serializing the matrix — the bucket assignment (the
+    corpus-wide matmul pass) is what the build pays once.
     """
-    hyperplane_buckets(df, dim, vec_col, nbits, tables, seed).write.mode(
+    b = hyperplane_buckets(df, dim, vec_col, nbits, tables, seed)
+    b.select("vec_id", "tbl", "bucket").write.mode("overwrite").partitionBy(
+        "tbl"
+    ).parquet(f"{path}/buckets.parquet")
+    b.select("vec_id", "v", "nrm").dropDuplicates(["vec_id"]).write.mode(
         "overwrite"
-    ).partitionBy("tbl").parquet(f"{path}/buckets.parquet")
+    ).parquet(f"{path}/vectors.parquet")
     df.sparkSession.createDataFrame(
         [(dim, nbits, tables, seed)], "dim: int, nbits: int, tables: int, seed: int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
@@ -239,17 +250,23 @@ def lsh_topk_from_index(
     queries: DataFrame,
     vec_col: str = "embedding",
     k: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Search a persisted LSH index (build_lsh_index layout): bucket the
-    query batch with planes re-derived from the stored seed, join against
-    the persisted candidate buckets. Identical results to
-    lsh_topk_neighbors for the same build inputs (asserted in tests)."""
+    query batch with planes re-derived from the stored seed, rehydrate
+    candidates by joining the bucket map with the once-stored vector
+    payload (co-keyed on vec_id), and run the shared collision search.
+    Identical results to lsh_topk_neighbors for the same build inputs
+    (asserted in tests). ``exclude_self=False`` for external query
+    batches whose id space is independent of the corpus ids."""
     m = spark.read.parquet(f"{path}/meta.parquet").first()
-    cand = spark.read.parquet(f"{path}/buckets.parquet").select(
-        "vec_id", "v", "nrm", F.col("tbl").cast("int").alias("tbl"), "bucket"
+    cand = (
+        spark.read.parquet(f"{path}/buckets.parquet")
+        .join(spark.read.parquet(f"{path}/vectors.parquet"), "vec_id")
+        .select("vec_id", "v", "nrm", F.col("tbl").cast("int").alias("tbl"), "bucket")
     )
     q = hyperplane_buckets(queries, m.dim, vec_col, m.nbits, m.tables, m.seed)
-    return _bucket_join_topk(q, cand, k)
+    return _bucket_join_topk(q, cand, k, exclude_self=exclude_self)
 
 
 def train_ivf_centroids(
@@ -344,7 +361,8 @@ def _nearest_cell(scored_cells: DataFrame) -> DataFrame:
 
 
 def _probe_and_score(
-    q_scored: DataFrame, cand: DataFrame, k: int, nprobe: int
+    q_scored: DataFrame, cand: DataFrame, k: int, nprobe: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Shared IVF search stage: queries (vec_id, v, nrm, _cd) explode into
     their ``nprobe`` nearest cells (sorted (dist, idx) pairs), join the
@@ -367,7 +385,9 @@ def _probe_and_score(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.explode(probes).alias("cell"),
     )
-    scored = q.join(cand, on="cell").filter(F.col("qid") != F.col("cid")).select(
+    scored = q.join(cand, on="cell").filter(
+        F.col("qid") != F.col("cid") if exclude_self else F.lit(True)
+    ).select(
         "qid", "cid",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
@@ -425,6 +445,7 @@ def ivf_topk_from_index(
     vec_col: str = "embedding",
     k: int = 1,
     nprobe: int = 2,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Search a persisted IVF index (build_ivf_index layout): load the
     nlist-row centroid table (the only driver materialization), score the
@@ -445,7 +466,7 @@ def ivf_topk_from_index(
     q = _spread(with_norm(queries, vec_col)).withColumn(
         "_cd", _cell_distances(F.col("v"), centroids)
     )
-    return _probe_and_score(q, cand, k=k, nprobe=nprobe)
+    return _probe_and_score(q, cand, k=k, nprobe=nprobe, exclude_self=exclude_self)
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

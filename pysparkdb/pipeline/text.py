@@ -83,12 +83,21 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", pred.alias("pred_lang"))
 
 
+def normalized_fingerprint(text_col: Column | str = "text") -> Column:
+    """THE exact-dedup fingerprint column: md5 over case-/whitespace-
+    normalized text. Single definition on purpose — batch dedup, streaming
+    ingest, and incremental ingest all key on this expression, and their
+    cross-path equivalence (stream-vs-batch tests, the incremental oracle)
+    depends on every path using the same bits."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over case-/whitespace-normalized text.
     The normalize→hash shape is the standard exact-dedup key for 100 TB
     corpora (hash once, group on the 16-byte digest, never on the text)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    return df.select("doc_id", F.md5(norm).alias("fp"))
+    return df.select("doc_id", normalized_fingerprint(text_col).alias("fp"))
 
 
 def chunk_text(

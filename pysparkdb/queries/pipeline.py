@@ -581,7 +581,7 @@ def pipeline_clean(spark, sf_dir):
     quality = d.filter(text.token_count("text").between(20, 1000))
     survivors = (
         quality.select(
-            F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+            text.normalized_fingerprint("text").alias("fp"),
             "doc_id", "lang",
         )
         .groupBy("fp")
@@ -1125,7 +1125,7 @@ def pipeline_clean_near(spark, sf_dir):
     any near-dup pair) against the survivor frame."""
     d = tables(spark, sf_dir)["documents"]
     quality = d.filter(text.token_count("text").between(20, 1000))
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = text.normalized_fingerprint("text")
     fps = quality.select("doc_id", "lang", "text", fp.alias("fp"))
     keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     surv = fps.join(keep, ["fp", "doc_id"], "left_semi")
@@ -1384,7 +1384,8 @@ def text_dup_chunks(spark, sf_dir):
              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
       FROM documents WHERE doc_id % 10 >= 8)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new
-    FROM batch WHERE fp NOT IN (SELECT fp FROM hist)
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
     GROUP BY lang
     """,
     "pipeline", "dedup", "incremental", "bloom",
@@ -1399,7 +1400,10 @@ def dedup_incremental(spark, sf_dir):
     probes map-side, and only might-contain candidates pay the exact
     fingerprint semi-join — history is never shuffled whole. Bloom
     filters have no false negatives and candidates are verify-joined, so
-    the result is exact — hence the full value oracle (DuckDB NOT IN)."""
+    the result is exact — hence the full value oracle (DuckDB NOT
+    EXISTS, not NOT IN: a NULL-text row fingerprints to NULL, survives
+    the engine's null-unsafe verify join as "new", and NOT EXISTS
+    matches that semantics where NOT IN would silently drop the row)."""
     d = tables(spark, sf_dir)["documents"]
     history = d.filter(F.col("doc_id") % 10 < 8)
     batch = d.filter(F.col("doc_id") % 10 >= 8)

@@ -127,13 +127,24 @@ def compact_parquet(
 
     Sizing reads actual on-disk bytes from the source footers via the
     filesystem, not optimizer guesses. Returns the output file count.
+    NOTE: a hive-partitioned source is read with its partition columns
+    inlined and rewritten FLAT — compact a partitioned table per
+    partition directory if the layout must survive.
     """
     import glob
     import math
     import os
 
-    files = glob.glob(os.path.join(src, "*.parquet")) or [src]
-    total = sum(os.path.getsize(f) for f in files if os.path.isfile(f))
+    # recursive: hive-partitioned tables nest part files under key=dirs
+    files = [
+        f
+        for f in ([src] if os.path.isfile(src) else glob.glob(
+            os.path.join(src, "**", "*.parquet"), recursive=True))
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    if total == 0:
+        raise ValueError(f"no parquet bytes found under {src!r}")
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src)
     parts = df.rdd.getNumPartitions()

@@ -274,21 +274,21 @@ def stream_clean_documents(
     within the late-data horizon) or an external fingerprint store; both
     trade global exactness for bounded state — the same trade the batch
     engine documents for its streaming sketches."""
-    from pysparkdb.pipeline.text import pii_scrub_cols, token_count
+    from pysparkdb.pipeline.text import (
+        normalized_fingerprint,
+        pii_scrub_cols,
+        token_count,
+    )
 
     n_tok = token_count("text")
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = normalized_fingerprint("text")
     out = (
         docs.filter(n_tok.between(20, 1000))
         .withColumn("fp", fp)
         .dropDuplicates(["fp"])
     )
     if history is not None:
-        hist_fp = history.select(
-            F.md5(
-                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
-            ).alias("fp")
-        ).distinct()
+        hist_fp = history.select(normalized_fingerprint("text").alias("fp")).distinct()
         out = out.join(hist_fp, "fp", "left_anti")
     if scrub_pii:
         scrubbed, _counts = pii_scrub_cols("text")

@@ -607,3 +607,39 @@ def test_lsh_index_roundtrip_matches_inmemory(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, lsh_topk_from_index(spark, idx, e, k=2).collect()))
     b = sorted(map(tuple, lsh_topk_neighbors(e, dim=64, k=2).collect()))
     assert a == b and len(a) > 0
+
+
+def test_index_search_external_query_batch(spark, sf_dir, tmp_path):
+    """Index search with an EXTERNAL query batch (independent id space):
+    exclude_self=False must keep a corpus candidate whose vec_id happens
+    to equal a query id — the id collision is not the same vector."""
+    from pysparkdb.pipeline.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        ivf_topk_from_index,
+        lsh_topk_from_index,
+    )
+    from pysparkdb.queries.base import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    # external batch: the vectors of ids 100..104, renumbered 0..4 —
+    # id 0 collides with corpus id 0 but holds a different vector
+    ext = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        .withColumn("vec_id", F.col("vec_id") - 100)
+    )
+    ivf = str(tmp_path / "ivf_ext")
+    build_ivf_index(e, ivf, dim=64, nlist=4)
+    got = ivf_topk_from_index(spark, ivf, ext, k=1, nprobe=4, exclude_self=False)
+    # each external query's own corpus twin (id+100) is its exact nearest
+    # neighbor at cosine 1.0; with exclude_self=False nothing hides it
+    top = {r.qid: (r.cid, r.cosine) for r in got.collect()}
+    assert len(top) == 5
+    for qid, (cid, cos) in top.items():
+        assert cid == qid + 100 and abs(cos - 1.0) < 1e-9, (qid, cid, cos)
+
+    lsh = str(tmp_path / "lsh_ext")
+    build_lsh_index(e, lsh, dim=64)
+    got2 = {r.qid: r.cid for r in
+            lsh_topk_from_index(spark, lsh, ext, k=1, exclude_self=False).collect()}
+    assert all(got2[q] == q + 100 for q in got2), got2
