@@ -16,6 +16,8 @@ both interactively and piped). Backslash commands:
     \\timing        toggle per-query wall time (default on)
     \\transfer      toggle the CIDR-2024 predicate-transfer pre-pass
     \\explain SQL   show the formatted physical plan instead of rows
+    \\metrics SQL   run and print per-operator runtime metrics
+                   (the reference's SHOW_OP_TIMES / SHOW_SCAN_METRICS)
     \\tables        list attached tables
     \\q             quit
 """
@@ -96,6 +98,13 @@ def main(argv: list[str] | None = None) -> int:
         elif s == "\\tables":
             assert eng.catalog is not None
             print(" ".join(sorted(eng.catalog.tables)))
+        elif s.startswith("\\metrics"):
+            from pysparkdb.plans.metrics import collect_with_metrics, format_metrics
+
+            _rows, ops = collect_with_metrics(
+                eng.sql(s[len("\\metrics"):].strip(), predicate_transfer=transfer)
+            )
+            print(format_metrics(ops))
         elif s.startswith("\\explain"):
             from pysparkdb.plans.pushdown import explain_str
 

@@ -421,3 +421,26 @@ class TestJoinEdgeExtraction:
         base = {tuple(r) for r in _q5_plan(t).collect()}
         got = {tuple(r) for r in _q5_plan(predicate_transfer(t, edges)).collect()}
         assert got == base
+
+
+class TestOperatorMetrics:
+    def test_collect_with_metrics_reports_per_operator(self, spark, sf_dir):
+        """SHOW_OP_TIMES / SHOW_SCAN_METRICS analog (exec.conf:7-8): the
+        executed-plan walk must surface the scan's row/file counts and the
+        aggregate's row counts with correct values, through AQE's final
+        plan (query-stage wrappers descended, not reported as leaves)."""
+        from pysparkdb.plans.metrics import collect_with_metrics, format_metrics
+        from pysparkdb.queries import load_all
+
+        df = load_all()["q6"].fn(spark, sf_dir)
+        rows, ops = collect_with_metrics(df)
+        assert len(rows) == 1
+        nodes = {o["node"] for o in ops}
+        assert any(n.startswith("Scan parquet") for n in nodes), nodes
+        scan = next(o for o in ops if o["node"].startswith("Scan parquet"))
+        assert scan["metrics"]["numFiles"] >= 1
+        assert scan["metrics"]["numOutputRows"] > 0
+        # leaf depth > root depth proves the walk descended the wrappers
+        assert scan["depth"] > 2
+        txt = format_metrics(ops)
+        assert "numOutputRows" in txt and "Scan parquet" in txt
