@@ -118,6 +118,65 @@ def write_csv(
     w.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Declared-schema JSON-lines scan (beyond-ref format; the reference
+    reads only CSV and parquet, fpdb-tuple/include/fpdb/tuple/csv/CSVFormat.h
+    + parquet/ParquetReader.h — JSON is a free upgrade via Spark's native
+    reader). Schema is always declared: at 100 TB an inference pass is a
+    full extra read, and silent type drift between files is a correctness
+    hazard. JSON-lines is splittable, so the scan parallelizes per
+    spark.sql.files.maxPartitionBytes like CSV; gzip members are
+    per-file-serial, same caveat as the CSV reader above."""
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .json(path)
+    )
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink (one object per line — the splittable layout)."""
+    w = df.write.mode(mode).option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan (beyond-ref columnar format; same declared-schema contract
+    as read_parquet — ORC carries stripe-level min/max statistics, so the
+    same predicate-pushdown/row-group-skip economics as parquet apply)."""
+    if schema is not None:
+        return spark.read.schema(schema).orc(path)
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """ORC sink; partition_by gives hive-style directory pruning exactly as
+    write_parquet does."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_bucketed(
     df,
     table: str,

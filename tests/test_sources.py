@@ -12,7 +12,17 @@ from pyspark.sql import functions as F
 
 from pysparkdb.plans.pushdown import assert_pushdown
 from pysparkdb.queries.base import tables
-from pysparkdb.sources import read_csv, read_parquet, scan, write_csv, write_parquet
+from pysparkdb.sources import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    scan,
+    write_csv,
+    write_json,
+    write_orc,
+    write_parquet,
+)
 
 
 def _sorted_rows(df, keys):
@@ -67,6 +77,44 @@ def test_parquet_roundtrip_with_declared_schema(spark, nation, tmp_path):
     write_parquet(nation, path)
     back = read_parquet(spark, path, nation.schema)
     assert _sorted_rows(back, ["n_nationkey"]) == _sorted_rows(nation, ["n_nationkey"])
+
+
+def test_json_roundtrip_with_timestamps(spark, sf_dir, tmp_path):
+    """JSON-lines round-trip with a declared schema, including timestamp
+    columns (beyond-ref format; schema is declared, never inferred)."""
+    orders = tables(spark, sf_dir)["orders"].limit(200)
+    path = str(tmp_path / "orders_json")
+    write_json(orders, path)
+    back = read_json(spark, path, orders.schema)
+    assert _sorted_rows(back, ["o_orderkey"]) == _sorted_rows(orders, ["o_orderkey"])
+
+
+def test_json_roundtrip_gzip(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_json_gz")
+    write_json(nation, path, compression="gzip")
+    files = [f for f in os.listdir(path) if f.endswith(".json.gz")]
+    assert files, "expected gzip-compressed json part files"
+    back = read_json(spark, path, nation.schema)
+    assert _sorted_rows(back, ["n_nationkey"]) == _sorted_rows(nation, ["n_nationkey"])
+
+
+def test_orc_roundtrip_and_filter_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip plus the pushdown contract: ORC scans accept pushed
+    filters the same way parquet does (stripe stats → skip)."""
+    orders = tables(spark, sf_dir)["orders"].limit(500)
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path, orders.schema)
+    assert _sorted_rows(back, ["o_orderkey"]) == _sorted_rows(orders, ["o_orderkey"])
+    plan = (
+        read_orc(spark, path)
+        .filter(F.col("o_orderkey") > 100)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:80]
 
 
 def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
