@@ -77,6 +77,10 @@ TABLE_NAMES = tuple(DECLARED_SCHEMAS)
 #: transparently by Spark's CSV reader).
 _CSV_EXTS = (".csv", ".csv.gz", ".csv.bz2")
 
+#: JSON-lines extensions — beyond-ref format; same declared-schema rule as
+#: CSV (JSON text carries no authoritative types, inference is forbidden).
+_JSON_EXTS = (".json", ".json.gz")
+
 
 def _types_compatible(declared: T.DataType, actual: T.DataType) -> bool:
     # Parquet timestamps may surface as NTZ depending on writer metadata;
@@ -108,7 +112,7 @@ class Catalog:
         catalogs (resources/metadata/tpch-sf0.01/csv/schema.json declares
         the same tables over CSV)."""
         for name in TABLE_NAMES:
-            for ext in (".parquet", *_CSV_EXTS):
+            for ext in (".parquet", *_CSV_EXTS, ".orc", *_JSON_EXTS):
                 path = os.path.join(self.data_dir, name + ext)
                 if os.path.exists(path):
                     self.register(name, path, validate=validate)
@@ -136,6 +140,21 @@ class Catalog:
             df = read_csv(
                 self.spark, path, declared, delimiter=delimiter, header=header
             )
+        elif any(path.endswith(e) for e in _JSON_EXTS):
+            from pysparkdb.sources.files import read_json
+
+            declared = DECLARED_SCHEMAS.get(name)
+            if declared is None:
+                raise ValueError(
+                    f"table {name!r}: JSON registration needs a declared "
+                    "schema (JSON text carries no authoritative types; "
+                    "inference is forbidden, same rule as CSV)"
+                )
+            df = read_json(self.spark, path, declared)
+        elif path.endswith(".orc"):
+            from pysparkdb.sources.files import read_orc
+
+            df = read_orc(self.spark, path, DECLARED_SCHEMAS.get(name))
         else:
             df = self.spark.read.parquet(path)
             df = self._resolve_timestamps(name, df)

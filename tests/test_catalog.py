@@ -78,6 +78,43 @@ def test_register_all_from_csv_catalog(spark, sf_dir, tmp_path):
     assert csv_rows == pq_rows
 
 
+def test_register_all_mixed_format_catalog(spark, sf_dir, tmp_path):
+    """One catalog directory can mix all four formats — lineitem as ORC,
+    orders as JSON-lines, customer as parquet — and a 3-table TPC-H join
+    (q3) over the federated catalog matches the all-parquet result. The
+    100 TB story: format migration is per-table and incremental; readers
+    never need a flag day."""
+    import shutil
+
+    from pysparkdb.queries.base import tables
+    from pysparkdb.sources import write_json, write_orc
+
+    src = tables(spark, sf_dir)  # parquet-backed, timestamps resolved
+    write_orc(src["lineitem"], str(tmp_path / "lineitem.orc"))
+    write_json(src["orders"], str(tmp_path / "orders.json"))
+    shutil.copy(
+        os.path.join(sf_dir, "customer.parquet"),
+        str(tmp_path / "customer.parquet"),
+    )
+
+    cat = Catalog(spark, str(tmp_path)).register_all(validate=True)
+    assert set(cat.tables) == {"lineitem", "orders", "customer"}
+
+    from pysparkdb.queries import load_all
+
+    q3 = load_all()["q3"]
+    mixed_rows = sorted(map(tuple, q3.fn(spark, str(tmp_path)).collect()))
+    pq_rows = sorted(map(tuple, q3.fn(spark, sf_dir).collect()))
+    assert mixed_rows == pq_rows
+
+
+def test_json_registration_requires_declared_schema(spark, tmp_path):
+    (tmp_path / "mystery.json").write_text('{"a": 1}\n')
+    cat = Catalog(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="declared schema"):
+        cat.register("mystery", str(tmp_path / "mystery.json"))
+
+
 def test_csv_registration_requires_declared_schema(spark, tmp_path):
     (tmp_path / "mystery.csv").write_text("1|2\n")
     cat = Catalog(spark, str(tmp_path))
