@@ -1123,12 +1123,22 @@ def pipeline_clean_near(spark, sf_dir):
     clustering adds O(log² n) cheap edge-frame rounds; the final drop is
     one broadcast-sized left join of labels (|labels| = docs appearing in
     any near-dup pair) against the survivor frame."""
+    from pyspark.storagelevel import StorageLevel
+
     d = tables(spark, sf_dir)["documents"]
     quality = d.filter(text.token_count("text").between(20, 1000))
     fp = text.normalized_fingerprint("text")
     fps = quality.select("doc_id", "lang", "text", fp.alias("fp"))
     keep = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    surv = fps.join(keep, ["fp", "doc_id"], "left_semi")
+    # The survivor frame feeds the shingle self-join (both sides + the
+    # stop-shingle and size counts) AND the final keep-filter join — five
+    # consumers of the same quality+exact-dedup subtree. Persist it once
+    # (MEMORY_AND_DISK: spills, never OOMs) exactly as q21 pins `late`; at
+    # real corpus scale this materialization point is where a production
+    # run would checkpoint survivors to parquet between stages.
+    surv = fps.join(keep, ["fp", "doc_id"], "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = dedup.ngram_jaccard_pairs(surv, threshold=0.5)
     labels = cluster.connected_components(pairs).withColumnRenamed("did", "doc_id")
     return (
