@@ -54,13 +54,27 @@ def read_csv(
 
 
 def read_parquet(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Parquet scan; optional declared schema (projection enforced at the
-    footer level — extra on-disk columns are simply never read)."""
+    footer level — extra on-disk columns are simply never read).
+
+    ``merge_schema=True`` unions the schemas of every footer in the scan —
+    the schema-evolution read path: a corpus written over months gains
+    columns, and old files surface the new columns as NULL instead of
+    failing or silently dropping them. Off by default because the merge
+    reads every footer up front (on a 100 TB corpus that is millions of
+    footer GETs); evolved corpora should either declare the superset
+    schema explicitly (footer-read-free) or pay the merge knowingly."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if schema is not None:
-        return spark.read.schema(schema).parquet(path)
-    return spark.read.parquet(path)
+        return reader.schema(schema).parquet(path)
+    return reader.parquet(path)
 
 
 def scan(

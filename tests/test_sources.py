@@ -79,6 +79,29 @@ def test_parquet_roundtrip_with_declared_schema(spark, nation, tmp_path):
     assert _sorted_rows(back, ["n_nationkey"]) == _sorted_rows(nation, ["n_nationkey"])
 
 
+def test_parquet_schema_evolution_merge(spark, nation, tmp_path):
+    """Schema-evolution read: files written before a column existed surface
+    it as NULL under merge_schema=True; the declared-superset path reads
+    the same corpus without touching every footer."""
+    path = str(tmp_path / "nation_evolved")
+    old = nation.select("n_nationkey", "n_name")
+    new = nation.select(
+        "n_nationkey", "n_name", F.lit("added-later").alias("note")
+    )
+    old.write.parquet(path)
+    new.write.mode("append").parquet(path)
+
+    merged = read_parquet(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "note"}
+    n = nation.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("note").isNull()).count() == n
+
+    # declared-superset read: same result, no footer-merge pass
+    declared = read_parquet(spark, path, schema=merged.schema)
+    assert declared.filter(F.col("note") == "added-later").count() == n
+
+
 def test_json_roundtrip_with_timestamps(spark, sf_dir, tmp_path):
     """JSON-lines round-trip with a declared schema, including timestamp
     columns (beyond-ref format; schema is declared, never inferred)."""
