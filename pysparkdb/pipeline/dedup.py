@@ -450,3 +450,63 @@ def incremental_new_documents(
     )
     true_dups = might.join(hfp, might["_fp"] == hfp["fp"], "left_semi")
     return fingered.join(true_dups.select(id_col), id_col, "left_anti").drop("_fp")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    field: Column,
+    threshold: int,
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    band_width: int | None = None,
+) -> DataFrame:
+    """Fuzzy string self-join: pairs whose `field` values are within
+    `threshold` Levenshtein edits — the near-identical-title/URL matcher
+    next to the token-set matchers (ngram_jaccard_pairs) and the
+    signature matchers (minhash/simhash). Returns (doc_a, doc_b, dist).
+
+    Scale shape: an all-pairs edit-distance join is O(n²·L²) and never
+    runs at corpus scale. Candidates are generated by an EQUI join on
+    (block_cols, length band): edit distance ≥ length difference, so a
+    pair within `threshold` edits differs in length by ≤ threshold, and
+    with band width B > threshold its two band ids differ by ≤ 1. The
+    left side replicates into its band and both neighbors (3 rows), the
+    right side keeps its own band — every qualifying pair meets in
+    exactly one band, so the blocking is LOSSLESS (no candidate missed,
+    no pair duplicated) and the join is a plain hash join. Survivors pay
+    the banded Levenshtein verify (threshold arg caps the DP band:
+    O(L·threshold) per pair, early exit at -1 beyond it).
+    """
+    if band_width is None:
+        band_width = threshold + 1
+    if band_width <= threshold:
+        raise ValueError("band width must exceed the edit-distance threshold")
+    base = df.select(
+        F.col(id_col).alias("did"), *block_cols, field.alias("s"),
+        F.floor(F.length(field) / band_width).cast("long").alias("band"),
+    )
+    left = base.select(
+        "did", *block_cols, "s",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    right = base
+    dist = F.levenshtein(F.col("a.s"), F.col("b.s"), threshold)
+    return (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+            + [F.col("a.band") == F.col("b.band"), F.col("a.did") < F.col("b.did")],
+        )
+        .filter(
+            (F.abs(F.length(F.col("a.s")) - F.length(F.col("b.s"))) <= threshold)
+            & (dist >= 0)
+        )
+        .select(
+            F.col("a.did").alias("doc_a"),
+            F.col("b.did").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )

@@ -1,0 +1,164 @@
+"""Iterative graph algorithms as DataFrame loops — fixed-point PageRank.
+
+The reference engine is strictly one-shot batch SQL (SURVEY §2.10); a
+training-data pipeline additionally needs iterative link analysis — rank
+web/document graphs for crawl prioritization and quality weighting (the
+PageRank-as-quality-signal lineage of Common Crawl curation). This module
+implements power-iteration PageRank as a loop of joins and aggregations on
+DataFrames, the same shape connected components takes in
+pysparkdb.pipeline.cluster (Kiveris-style: every step is groupBy + join,
+no driver-side graph state).
+
+Determinism contract: ranks are carried as BIGINT "units" (1e12 = total
+mass) and every division is an explicit floor — integer arithmetic is
+associative and engine-exact, so a DuckDB oracle replaying the same
+schedule matches bit-for-bit, which no float formulation survives
+(cross-engine float SUM order differs; ten iterations amplify it). This is
+also the production reproducibility trick: fixed-point ranks make reruns
+and incremental refreshes byte-stable. Truncation loses < out_degree
+units/node/iteration of mass — bounded and asserted in tests.
+
+Scale shape (100 TB): each iteration is one shuffle of the edge frame
+joined to the current rank frame (hash on src) plus one aggregation
+(hash on dst). Edges are persisted once and reused across iterations;
+ranks are ~|V| rows. Lineage is truncated per iteration via persist so
+the plan does not grow with iteration count. The one driver-side scalar
+is |V| (a metastore-grade stat at scale, here a count()).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOTAL_UNITS = 1_000_000_000_000  # 1e12 — fixed-point mass
+
+
+def _floor_div(c: F.Column, d: int) -> F.Column:
+    """Portable exact integer division: FLOOR(double(a)/d) as BIGINT.
+
+    Exact whenever |a| < 2^53 and d is small: the quotient's distance to
+    the nearest integer is ≥ 1/d, far above one ulp, so the double
+    division cannot round across an integer boundary. Chosen over DIV
+    because DuckDB spells that `//` — this form runs verbatim in both
+    engines, which the oracle requires.
+    """
+    return F.floor(c.cast("double") / F.lit(d)).cast("long")
+
+
+def synthetic_link_graph(docs: DataFrame, n_nodes: int, out_degree: int = 3) -> DataFrame:
+    """Deterministic digraph over contiguous doc_ids 0..N-1: src links to
+    MOD(src*src + j*13, N) for j in 1..d. Out-degree is exactly d; the
+    quadratic scatter makes IN-degree non-uniform (quadratic residues are
+    hit repeatedly, non-residues never), so ranks genuinely differentiate
+    — a uniform-in-degree map would make PageRank converge to the uniform
+    vector and the oracle comparison vacuous. The testdata corpus has no
+    link column; this derivation is engine-replayable (pure integer
+    expressions, src² ≤ N² stays far under 2^53) while exercising the
+    real edge-frame shape: in production the edge frame comes from href
+    extraction and everything downstream is unchanged. Hot dst keys (the
+    web's power-law reality) are absorbed by map-side partial aggregation
+    — the inflow SUM is algebraic, so skew costs no single-reducer
+    hotspot."""
+    js = F.explode(F.array(*[F.lit(j) for j in range(1, out_degree + 1)])).alias("j")
+    return docs.select(F.col("doc_id").alias("src"), js).select(
+        "src",
+        ((F.col("src") * F.col("src") + F.col("j") * 13) % F.lit(n_nodes)).alias("dst"),
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    out_degree: int,
+    iterations: int = 10,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point power iteration: units'(v) = teleport + floor(d% * inflow / 100)
+    where inflow(v) = Σ over in-edges of floor(units(src)/out_degree).
+
+    `nodes` must have a `doc_id` column covering every vertex; vertices
+    with no in-edges keep the teleport mass (LEFT join + coalesce), so the
+    algorithm is total even when the edge map is not a bijection.
+    Returns (doc_id, units BIGINT, rank DOUBLE = units/1e12).
+    """
+    teleport = math.floor(
+        (100 - damping_pct) * TOTAL_UNITS / 100.0 / n_nodes
+    )  # same IEEE double path the SQL oracle takes
+    edges = edges.persist()
+    ranks = nodes.select(
+        "doc_id", F.lit(TOTAL_UNITS // n_nodes).cast("long").alias("units")
+    )
+    prev: DataFrame | None = None
+    for _ in range(iterations):
+        inflow = (
+            edges.join(ranks, edges["src"] == ranks["doc_id"])
+            .select("dst", _floor_div(F.col("units"), out_degree).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        nxt = (
+            nodes.join(inflow, nodes["doc_id"] == inflow["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(teleport).cast("long")
+                    + _floor_div(
+                        F.lit(damping_pct).cast("long")
+                        * F.coalesce(F.col("inflow"), F.lit(0)),
+                        100,
+                    )
+                ).alias("units"),
+            )
+            .persist()  # truncate lineage: plan size stays O(1) per iteration
+        )
+        nxt.count()  # materialize before unpersisting the predecessor
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks = nxt
+    edges.unpersist()
+    return ranks.select(
+        "doc_id",
+        "units",
+        (F.col("units").cast("double") / F.lit(float(TOTAL_UNITS))).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(iterations: int = 10, out_degree: int = 3, damping_pct: int = 85) -> str:
+    """ANSI SQL replaying the exact fixed-point schedule for DuckDB (and
+    Spark SQL — the text is dialect-portable). Chained CTEs unroll the
+    iterations; recursive CTEs cannot aggregate in the recursive member."""
+    teleport = f"CAST(FLOOR({(100 - damping_pct) * TOTAL_UNITS / 100:.1f} / nn.n) AS BIGINT)"
+    js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(1, out_degree + 1))
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        (
+            "edges AS (SELECT doc_id AS src, MOD(doc_id * doc_id + j * 13, nn.n) AS dst"
+            f" FROM documents CROSS JOIN nn CROSS JOIN ({js}) js)"
+        ),
+        (
+            f"r0 AS (SELECT doc_id, CAST(FLOOR({float(TOTAL_UNITS)} / nn.n) AS BIGINT)"
+            " AS units FROM documents CROSS JOIN nn)"
+        ),
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""i{i} AS (
+      SELECT e.dst, SUM(CAST(FLOOR(CAST(r.units AS DOUBLE) / {out_degree}) AS BIGINT)) AS inflow
+      FROM edges e JOIN r{i - 1} r ON e.src = r.doc_id GROUP BY e.dst),
+    r{i} AS (
+      SELECT d.doc_id,
+             {teleport}
+             + CAST(FLOOR({damping_pct}.0 * COALESCE(i.inflow, 0) / 100) AS BIGINT) AS units
+      FROM documents d LEFT JOIN i{i} i ON d.doc_id = i.dst CROSS JOIN nn)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, units, CAST(units AS DOUBLE) / {float(TOTAL_UNITS)} AS rank
+    FROM r{iterations}"""
+    )

@@ -1133,3 +1133,168 @@ def op_cube(spark, sf_dir):
             "sum_qty", "n",
         )
     )
+
+
+@register(
+    "op_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey <= 8000
+    ),
+    changes AS (
+      SELECT k,
+             CASE WHEN MOD(k, 10) = 3 THEN 'D' ELSE 'U' END AS op,
+             CAST(CAST(price AS DECIMAL(25,6)) * CAST(1.1 AS DECIMAL(2,1))
+                  AS DOUBLE) AS new_price
+      FROM base WHERE MOD(k, 10) IN (0, 1, 3)
+    ),
+    inserts AS (
+      SELECT k + 10000000 AS k, CAST(100.0 AS DOUBLE) AS price
+      FROM base WHERE MOD(k, 10) = 5
+    )
+    SELECT b.k, CASE WHEN c.op = 'U' THEN c.new_price ELSE b.price END AS price,
+           CASE WHEN c.op = 'U' THEN 'updated' ELSE 'kept' END AS src
+    FROM base b LEFT JOIN changes c ON b.k = c.k
+    WHERE c.op IS NULL OR c.op = 'U'
+    UNION ALL
+    SELECT k, price, 'inserted' AS src FROM inserts
+    """,
+    "ops", "merge", "cdc",
+)
+def op_upsert(spark, sf_dir):
+    """CDC MERGE without a table format: apply a deterministic changes
+    feed (updates / deletes / inserts keyed on MOD(k,10)) to a base table
+    as ONE left join + filter + union — the relational decomposition of
+    MERGE INTO (match → update, match+tombstone → drop, unmatched source
+    → insert). Beyond-reference (the engine has no DML surface,
+    SURVEY §2.10); this is the nightly-snapshot upsert a lakehouse runs
+    when Delta/Iceberg isn't in play. Scale shape: one shuffle join on
+    the key (AQE broadcasts the changes side when it is genuinely small
+    — no forced broadcast: a CDC feed is unbounded), union is
+    partition-local. The updated price goes through exact DECIMAL
+    multiply (double * 1.1 would round differently per engine)."""
+    o = tables(spark, sf_dir)["orders"]
+    base = o.filter(F.col("o_orderkey") <= 8000).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    m = F.col("k") % 10
+    changes = base.filter(m.isin(0, 1, 3)).select(
+        "k",
+        F.when(m == 3, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("price").cast("decimal(25,6)") * F.lit("1.1").cast("decimal(2,1)"))
+        .cast("double")
+        .alias("new_price"),
+    )
+    inserts = base.filter(m == 5).select(
+        (F.col("k") + 10000000).alias("k"),
+        F.lit(100.0).alias("price"),
+        F.lit("inserted").alias("src"),
+    )
+    merged = (
+        base.join(changes, "k", "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "k",
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(F.col("price"))
+            .alias("price"),
+            F.when(F.col("op") == "U", F.lit("updated"))
+            .otherwise(F.lit("kept"))
+            .alias("src"),
+        )
+    )
+    return merged.unionByName(inserts)
+
+
+@register(
+    "op_scd2",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events WHERE user_id < 50
+    ),
+    starts AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                THEN TRUE ELSE FALSE END AS is_current
+    FROM starts
+    """,
+    "ops", "window_function", "scd2",
+)
+def op_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event_type stream into validity intervals — lag() drops runs of the
+    unchanged value, lead() closes each interval at the next change,
+    NULL valid_to marks the current row. The dimension-history twin of
+    op_sessionize (same engine machinery, different semantics: state
+    intervals, not activity gaps). Two window passes over the SAME
+    (user_id → ts, event_id) ordering, so Catalyst plans ONE exchange +
+    sort reused by both Window operators — at 100 TB the build costs a
+    single shuffle of the change rows. Tie-broken by event_id for total
+    determinism."""
+    from pyspark.sql import Window
+
+    e = tables(spark, sf_dir)["events"].filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        e.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    closed = starts.select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return closed.select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@register(
+    "op_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(MOD(doc_id * 2654435761, 2147483648) + 1 AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
+    FROM keyed ORDER BY priority, doc_id LIMIT 50
+    """,
+    "ops", "sampling", "weighted",
+)
+def op_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (sequential Poisson /
+    priority sampling, Ohlsson 1998): priority = u/weight with u a
+    deterministic per-key uniform, keep the k smallest — inclusion
+    probability ∝ n_chars, membership a pure function of doc_id (the
+    reproducibility contract op_hash_sample sets for the uniform case).
+    u is a Knuth multiplicative hash (golden-ratio constant 2654435761
+    mod 2^31) rather than md5 because the engines share no hex→integer
+    conversion; the priority is ONE IEEE double division, bit-identical
+    everywhere. Scale shape: the scan computes priorities map-side and
+    top-k plans as TakeOrderedAndProject — per-partition heaps + a k-row
+    driver merge, never a global sort."""
+    d = tables(spark, sf_dir)["documents"]
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648) + 1
+    keyed = d.select(
+        "doc_id", "lang", "n_chars",
+        (u.cast("double") / F.col("n_chars").cast("double")).alias("priority"),
+    )
+    return (
+        keyed.orderBy("priority", "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", bigint(F.col("n_chars")).alias("weight"))
+    )

@@ -1466,3 +1466,61 @@ def mm_image_dedup(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "text_fuzzy_join",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             substr(text, 1, 20 + MOD(doc_id, 30)) AS s
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE ABS(length(a.s) - length(b.s)) <= 10
+      AND levenshtein(a.s, b.s) <= 10
+    """,
+    "pipeline", "dedup", "fuzzy",
+)
+def text_fuzzy_join(spark, sf_dir):
+    """Fuzzy string self-join: document pairs whose key strings are within
+    10 Levenshtein edits, through dedup.edit_distance_pairs — lossless
+    (lang, length-band) blocking into a hash join, then banded-DP verify
+    (the threshold arg caps each comparison at O(L·t) and the -1 early
+    exit skips non-matches). The matcher for near-identical titles/URLs
+    that token-set and signature dedup both miss. The key string varies
+    in length with the doc (prefix of 20 + doc_id mod 30 chars) so the
+    length banding genuinely prunes here, as it would on real titles;
+    the oracle replays the brute-force within-language form — identical
+    unit-cost edit-distance semantics in both engines."""
+    d = tables(spark, sf_dir)["documents"]
+    field = F.expr("substr(text, 1, 20 + doc_id % 30)")
+    return dedup.edit_distance_pairs(d, field, threshold=10, band_width=12)
+
+
+from pysparkdb.pipeline.graph import pagerank_oracle_sql as _pr_sql  # noqa: E402
+
+
+@register(
+    "graph_pagerank",
+    _pr_sql(iterations=10, out_degree=3),  # generated SQL unrolls the iterations
+    "pipeline", "graph", "iterative",
+)
+def graph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (10 iterations, damping 0.85, out-degree-3
+    deterministic link graph) via pysparkdb.pipeline.graph — the
+    iterative-algorithm class the strictly-one-shot reference lacks
+    (SURVEY §2.10) and crawl-curation pipelines need. Each iteration is
+    one hash join (edges ⋈ ranks on src) + one aggregation (inflow by
+    dst) with per-iteration persist to keep the plan O(1); ranks are
+    BIGINT fixed-point units, so every arithmetic step is exact and the
+    unrolled-CTE DuckDB oracle matches bit for bit — no float-sum-order
+    tolerance anywhere."""
+    from pysparkdb.pipeline import graph
+
+    d = tables(spark, sf_dir)["documents"]
+    nodes = d.select("doc_id")
+    n = nodes.count()  # the one driver-side scalar: |V|, a metastore stat at scale
+    edges = graph.synthetic_link_graph(nodes, n, out_degree=3)
+    return graph.pagerank(nodes, edges, n, out_degree=3, iterations=10)

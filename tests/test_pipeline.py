@@ -643,3 +643,60 @@ def test_index_search_external_query_batch(spark, sf_dir, tmp_path):
     got2 = {r.qid: r.cid for r in
             lsh_topk_from_index(spark, lsh, ext, k=1, exclude_self=False).collect()}
     assert all(got2[q] == q + 100 for q in got2), got2
+
+
+def test_pagerank_mass_and_skew(spark, sf_dir):
+    """Fixed-point PageRank invariants: (a) total mass stays within the
+    floor-truncation budget of 1e12 (each node loses < out_degree + 2
+    units per iteration across its floors); (b) the quadratic-scatter
+    graph produces genuinely non-uniform ranks (many distinct values) —
+    a regression guard against silently reverting to a regular graph,
+    where uniform ranks would make the oracle comparison vacuous."""
+    from pysparkdb.pipeline.graph import TOTAL_UNITS
+    from pysparkdb.queries import load_all
+
+    rows = load_all()["graph_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r.units for r in rows)
+    assert total <= TOTAL_UNITS
+    assert total >= TOTAL_UNITS - n * 5 * 10  # 10 iterations, <5 units/node each
+    assert len({r.units for r in rows}) > n // 10
+    top = max(r.units for r in rows)
+    assert top > 2 * TOTAL_UNITS // n  # hubs exist: max rank ≫ uniform 1/n
+
+
+def test_fuzzy_join_banding_matches_bruteforce(spark, sf_dir):
+    """Losslessness of the (lang, band) blocking: edit_distance_pairs
+    must return exactly the brute-force within-language pair set —
+    every qualifying pair meets in exactly one band (no misses from
+    band boundaries, no duplicates from the 3-way replication)."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb.pipeline.dedup import edit_distance_pairs
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"]
+    field = F.expr("substr(text, 1, 20 + doc_id % 30)")
+    banded = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in edit_distance_pairs(d, field, threshold=10, band_width=12).collect()
+    }
+    s = d.select("doc_id", "lang", field.alias("s"))
+    brute = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in (
+            s.alias("a")
+            .join(
+                s.alias("b"),
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.levenshtein(F.col("a.s"), F.col("b.s")).alias("dist"),
+            )
+            .filter(F.col("dist") <= 10)
+        ).collect()
+    }
+    assert banded == brute

@@ -261,3 +261,38 @@ class TestPipelinePlans:
         assert p.count("Window") >= 1, p
         assert p.count("Exchange") <= 2, p
         assert "Join" not in p, p
+
+
+class TestRound6LateAdditions:
+    def test_upsert_is_one_join_plus_union(self, spark, sf_dir):
+        """The CDC merge must be a single equi join on the key feeding a
+        Union — no cartesian, and no second join for the insert branch."""
+        p = plan("op_upsert", spark, sf_dir, mode="simple")
+        assert "Union" in p, p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+        assert p.count("Join") == 1, p
+
+    def test_scd2_single_exchange_two_windows(self, spark, sf_dir):
+        """lag() and lead() share the (user_id → ts, event_id) window
+        spec, so ONE exchange + sort must serve both Window operators —
+        the SCD2 build costs a single shuffle of the change rows."""
+        p = plan("op_scd2", spark, sf_dir, mode="simple")
+        assert p.count("Window") == 2, p
+        assert p.count("Exchange") == 1, p
+        assert p.count("Sort") == 1, p
+
+    def test_weighted_sample_is_take_ordered(self, spark, sf_dir):
+        """Priority top-k must plan as TakeOrderedAndProject over a
+        3-column scan: per-partition heaps + k-row driver merge, never a
+        global sort, never a full-width read."""
+        p = plan("op_weighted_sample", spark, sf_dir)
+        assert "TakeOrderedAndProject" in p, p
+        assert "struct<doc_id:bigint,lang:string,n_chars:bigint>" in p, p
+
+    def test_fuzzy_join_blocking_is_hash_join(self, spark, sf_dir):
+        """The (lang, length-band) blocking must buy an equi hash join
+        with the Levenshtein verify as a residual — an edit-distance
+        join that plans as a product would be quadratic at any scale."""
+        p = plan("text_fuzzy_join", spark, sf_dir)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+        assert "levenshtein" in p and "Some(10)" in p, p  # banded-DP threshold form
