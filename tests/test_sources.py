@@ -348,3 +348,43 @@ def test_zorder_skips_row_groups_at_runtime(spark, sf_dir, tmp_path):
     _rows, ops = collect_with_metrics(sel.groupBy().count())
     scan = next(op for op in ops if op["node"].startswith("Scan parquet"))
     assert 0 < scan["metrics"]["numOutputRows"] < total / 2, scan["metrics"]
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DYNAMIC partition pruning: when the fact table is partitioned on the
+    join key and the dim side carries a selective filter, Catalyst must
+    inject a runtime `dynamicpruning` subquery into the fact scan's
+    partition filters — the fact reads only partitions whose keys survive
+    the dim filter, discovered AT RUN TIME from the broadcast build side.
+    This is the runtime completion of the reference's static zone-map
+    pruning (PartitionPruner.cpp simplifies predicates against min/max at
+    PLAN time; DPP prunes on values no static analysis can know). At
+    100 TB a date-partitioned fact joined to a filtered date dim reads
+    only the qualifying days — the difference between a full scan and a
+    sliver."""
+    orders = tables(spark, sf_dir)["orders"]
+    path = str(tmp_path / "orders_by_prio")
+    write_parquet(orders, path, partition_by=["o_orderpriority"])
+    fact = read_parquet(spark, path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep"), ("2-HIGH", "keep"), ("3-MEDIUM", "drop"),
+         ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")],
+        "prio string, tag string",
+    )
+    joined = (
+        fact.join(dim, fact["o_orderpriority"] == dim["prio"])
+        .filter(F.col("tag") == "keep")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    got = {r.o_orderpriority: r.n for r in joined.collect()}
+    expect = {
+        r.o_orderpriority: r.n
+        for r in orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
