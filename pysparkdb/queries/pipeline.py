@@ -1473,30 +1473,33 @@ def mm_image_dedup(spark, sf_dir):
     """
     WITH s AS (
       SELECT doc_id, lang,
-             substr(text, 1, 20 + MOD(doc_id, 30)) AS s
+             substr(text, 1, 8 + MOD(doc_id, 40)) AS s
       FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
     FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE ABS(length(a.s) - length(b.s)) <= 10
-      AND levenshtein(a.s, b.s) <= 10
+    WHERE ABS(length(a.s) - length(b.s)) <= 4
+      AND levenshtein(a.s, b.s) <= 4
     """,
     "pipeline", "dedup", "fuzzy",
 )
 def text_fuzzy_join(spark, sf_dir):
     """Fuzzy string self-join: document pairs whose key strings are within
-    10 Levenshtein edits, through dedup.edit_distance_pairs — lossless
+    4 Levenshtein edits, through dedup.edit_distance_pairs — lossless
     (lang, length-band) blocking into a hash join, then banded-DP verify
     (the threshold arg caps each comparison at O(L·t) and the -1 early
     exit skips non-matches). The matcher for near-identical titles/URLs
     that token-set and signature dedup both miss. The key string varies
-    in length with the doc (prefix of 20 + doc_id mod 30 chars) so the
-    length banding genuinely prunes here, as it would on real titles;
-    the oracle replays the brute-force within-language form — identical
-    unit-cost edit-distance semantics in both engines."""
+    in length with the doc (prefix of 8 + doc_id mod 40 chars) so the
+    length banding genuinely prunes, as it does on real titles. Threshold
+    discipline matters doubly at scale: it bounds the per-pair DP band
+    AND (via band width t+1) the candidate fan-in — a threshold-10 run
+    over the same corpus costs ~10x this plan. Oracle replays the
+    brute-force within-language form — identical unit-cost edit-distance
+    semantics in both engines."""
     d = tables(spark, sf_dir)["documents"]
-    field = F.expr("substr(text, 1, 20 + doc_id % 30)")
-    return dedup.edit_distance_pairs(d, field, threshold=10, band_width=12)
+    field = F.expr("substr(text, 1, 8 + doc_id % 40)")
+    return dedup.edit_distance_pairs(d, field, threshold=4, band_width=5)
 
 
 from pysparkdb.pipeline.graph import pagerank_oracle_sql as _pr_sql  # noqa: E402

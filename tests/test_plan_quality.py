@@ -295,4 +295,4 @@ class TestRound6LateAdditions:
         join that plans as a product would be quadratic at any scale."""
         p = plan("text_fuzzy_join", spark, sf_dir)
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-        assert "levenshtein" in p and "Some(10)" in p, p  # banded-DP threshold form
+        assert "levenshtein" in p and "Some(4)" in p, p  # banded-DP threshold form
