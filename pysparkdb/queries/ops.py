@@ -1298,3 +1298,140 @@ def op_weighted_sample(spark, sf_dir):
         .limit(50)
         .select("doc_id", "lang", bigint(F.col("n_chars")).alias("weight"))
     )
+
+
+@register(
+    "op_profile",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(-1.0 AS DOUBLE) AS avg_len
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           CAST(-1.0 AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           CAST(-1.0 AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+           CAST(SUM(length(o_orderstatus)) AS DOUBLE) / COUNT(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+           CAST(SUM(length(o_orderpriority)) AS DOUBLE) / COUNT(o_orderpriority)
+    FROM orders
+    """,
+    "ops", "profiling", "stats",
+)
+def op_profile(spark, sf_dir):
+    """Column profiling in ONE scan: per-column null count, exact distinct
+    count, numeric min/max, mean string length — the engine-side
+    computation behind the reference's catalog stats
+    (resources/metadata/*/stats.json rowCount + apxColumnLength,
+    ObjStoreCatalogueEntryReader.cpp) and the input to CBO/zone-map
+    decisions. The Spark form aggregates every metric in a single pass
+    and unpivots with stack(); Catalyst plans the multi-DISTINCT via one
+    Expand (scan once, expand per distinct column) — the oracle's
+    union-of-selects formulation would rescan the table per column. At
+    100 TB the exact DISTINCTs swap for approx_count_distinct (HLL, no
+    Expand; op_approx_distinct is the certified scale path); everything
+    else is already partial-aggregable. Non-applicable metrics carry a
+    -1.0 sentinel, not NULL (compare sorts rows; None breaks ordering —
+    the op_grouping_sets convention)."""
+    o = tables(spark, sf_dir)["orders"]
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"{c}_cnt"),
+            F.countDistinct(c).alias(f"{c}_dist"),
+        ]
+    for c in num_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    for c in str_cols:
+        aggs.append(F.sum(F.length(c)).alias(f"{c}_lensum"))
+    row = o.agg(*aggs)
+    stack_args = []
+    for c in num_cols:
+        stack_args.append(
+            f"'{c}', _n - {c}_cnt, {c}_dist, CAST({c}_min AS DOUBLE),"
+            f" CAST({c}_max AS DOUBLE), CAST(-1.0 AS DOUBLE)"
+        )
+    for c in str_cols:
+        stack_args.append(
+            f"'{c}', _n - {c}_cnt, {c}_dist, CAST(-1.0 AS DOUBLE),"
+            f" CAST(-1.0 AS DOUBLE), CAST({c}_lensum AS DOUBLE) / {c}_cnt"
+        )
+    n = len(num_cols) + len(str_cols)
+    return row.select(
+        F.expr(
+            f"stack({n}, {', '.join(stack_args)})"
+            " AS (col_name, n_null, n_distinct, min_num, max_num, avg_len)"
+        ),
+        F.col("_n").cast("long").alias("n_rows"),
+    ).select(
+        "col_name", "n_rows",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num", "max_num", "avg_len",
+    )
+
+
+@register(
+    "op_window_range_frame",
+    """
+    SELECT user_id, ts, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+                  PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h,
+           CAST(COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_1h
+    FROM events WHERE user_id < 40
+    """,
+    "ops", "window_function", "range_frame",
+)
+def op_window_range_frame(spark, sf_dir):
+    """Time-RANGE window frame: per-user rolling 1-hour sum/count — the
+    sliding aggregate over *history* that ROWS frames can't express
+    (peers are defined by timestamp distance, not row position) and the
+    batch twin of the streaming sliding window (ev_sliding). One
+    exchange + sort on user_id serves both frame aggregates. Rows with
+    equal timestamps are RANGE peers (both included), so the result is
+    deterministic without an id tiebreak. Oracle is DuckDB-dialect only
+    because the engines share no epoch-seconds function (epoch() vs
+    unix_timestamp(), the op_sessionize precedent)."""
+    from pyspark.sql import Window
+
+    e = tables(spark, sf_dir)["events"].filter(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id", "ts", "event_id",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("rolling_1h"),
+        bigint(F.count(F.lit(1)).over(w)).alias("n_1h"),
+    )

@@ -296,3 +296,58 @@ class TestRound6LateAdditions:
         p = plan("text_fuzzy_join", spark, sf_dir)
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
         assert "levenshtein" in p and "Some(4)" in p, p  # banded-DP threshold form
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, proven at runtime: a shuffle join whose
+    build of one partition dwarfs the median must come out of execution
+    with the join marked skew=true — AQE split the hot partition into
+    sub-partitions and replicated the matching other side, the automatic
+    twin of the manual salted_join escape hatch (operators/relational.py).
+    Thresholds are lowered so local-scale data trips the same code path a
+    hot key trips at 100 TB; broadcast is disabled because a broadcast
+    join has no shuffle partitions to skew."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+        # payload must survive pruning (it feeds the final aggregate) and be
+        # incompressible enough that the hot partition's shuffle bytes trip
+        # the lowered threshold — a constant key with constant payload
+        # compresses to almost nothing and defeats the detector.
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            ((F.col("id") * 2654435761) % 1000000007).alias("payload"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"))
+        joined = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+        )
+        row = joined.collect()[0]
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        # 99% of left lands on the hot key 0; the 1% tail joins its own id,
+        # which only matches right's 0..999 when id < 1000 (and id%100>=99)
+        assert row.n == 396_000 + sum(
+            1 for i in range(1000) if i % 100 >= 99
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -40,6 +40,7 @@ NOT_ANSI_PORTABLE = {
     "text_rolling_hash",   # list comprehension + list_reduce are DuckDB-only
     "pipeline_clean",      # regexp_replace 'g' flag argument
     "op_sessionize",       # epoch() is DuckDB-only (Spark: unix_timestamp)
+    "op_window_range_frame",  # epoch() again (same op_sessionize reason)
     "text_chunk",          # unnest(range()) offset materialization
     "emb_norm_stats",      # duck DOUBLE[] cast + list-comprehension dot
     "op_collect_set",      # duck list()/list_sort vs Spark collect_set
