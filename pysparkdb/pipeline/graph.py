@@ -173,3 +173,75 @@ def pagerank_oracle_sql(iterations: int = 10, out_degree: int = 3, damping_pct: 
     SELECT doc_id, units, CAST(units AS DOUBLE) / {float(TOTAL_UNITS)} AS rank
     FROM r{iterations}"""
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any source node, capped at
+    `max_depth` — reachability/contamination-radius analysis over a link
+    graph (which documents sit within k hops of a known-bad seed set).
+
+    Level-synchronous frontier expansion: each level joins the frontier to
+    the edge frame and anti-joins the visited set, the MapReduce-native
+    BFS shape. Each level's frontier is consumed TWICE (the visited union
+    and the next level's join), so its lineage must be cut with an eager
+    localCheckpoint — a lazy union/anti-join chain would double the
+    shared subtree per level and the plan alone grows 2^depth (observed:
+    depth 6 OOMs the driver just *printing* the plan). After the cut,
+    `visited` is a linear union of checkpointed leaves. This is the
+    standard iterative-Spark discipline (same reason pagerank checkpoints
+    every `checkpoint_interval` steps). At 100 TB each level is one
+    shuffle join of the frontier (small) against edges partitioned by
+    src — broadcast-able frontiers make deep traversals cheap.
+
+    `sources` must be a (doc_id) frame. Returns (doc_id, hops BIGINT).
+    """
+    frontier = sources.select(
+        "doc_id", F.lit(0).cast("long").alias("hops")
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        # Frontier and visited are broadcast: a radius-bounded reach set
+        # stays orders of magnitude under the edge frame, so each level is
+        # a map-side probe of edges (no edge shuffle) plus one small
+        # exchange for the distinct. For unbounded traversals where the
+        # reach set outgrows a broadcast, drop the hints — AQE falls back
+        # to shuffle joins and the algorithm is unchanged.
+        nxt = (
+            edges.join(F.broadcast(frontier), edges["src"] == frontier["doc_id"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(F.broadcast(visited), "doc_id", "left_anti")
+            .select("doc_id", F.lit(depth).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def bfs_oracle_sql(max_depth: int, out_degree: int = 3, source_pred: str = "doc_id < 3") -> str:
+    """ANSI recursive-CTE BFS over the same synthetic graph — runs
+    verbatim in BOTH engines (Spark 4 supports WITH RECURSIVE), making
+    this the registry's first recursive-SQL parity query. The recursion
+    enumerates walks (no visited-set dedup — not expressible in the
+    recursive member) and the outer MIN collapses them to hop counts;
+    the depth cap bounds the 3^d walk fan-out."""
+    js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(1, out_degree + 1))
+    return f"""
+    WITH RECURSIVE walk(node, dist) AS (
+      SELECT doc_id, 0 FROM documents WHERE {source_pred}
+      UNION ALL
+      SELECT MOD(e.src * e.src + e.j * 13, e.n), w.dist + 1
+      FROM (SELECT d.doc_id AS src, js.j, nn.n
+            FROM documents d
+            CROSS JOIN (SELECT COUNT(*) AS n FROM documents) nn
+            CROSS JOIN ({js}) js) e
+      JOIN walk w ON e.src = w.node
+      WHERE w.dist < {max_depth}
+    )
+    SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
+    FROM walk GROUP BY node"""

@@ -1527,3 +1527,31 @@ def graph_pagerank(spark, sf_dir):
     n = nodes.count()  # the one driver-side scalar: |V|, a metastore stat at scale
     edges = graph.synthetic_link_graph(nodes, n, out_degree=3)
     return graph.pagerank(nodes, edges, n, out_degree=3, iterations=10)
+
+
+from pysparkdb.pipeline.graph import bfs_oracle_sql as _bfs_sql  # noqa: E402
+
+
+@register(
+    "graph_bfs",
+    _bfs_sql(max_depth=6, out_degree=3),
+    "pipeline", "graph", "iterative", "recursive_cte",
+)
+def graph_bfs(spark, sf_dir):
+    """Multi-source BFS over the synthetic link graph: minimum hops from
+    the seed set {doc_id < 3}, depth-capped at 6 — the
+    contamination-radius / reachability traversal
+    (pysparkdb.pipeline.graph.bfs_hops). Level-synchronous frontier
+    expansion, fixed-depth, with an eager localCheckpoint per level —
+    the frontier is consumed twice per level, so an uncut lineage doubles
+    per level and explodes 2^depth. The oracle is a recursive CTE that runs
+    VERBATIM in both engines (Spark 4 WITH RECURSIVE) — the registry's
+    first recursive-SQL parity query: walk enumeration in the recursive
+    member, MIN-collapse outside."""
+    from pysparkdb.pipeline import graph
+
+    d = tables(spark, sf_dir)["documents"]
+    nodes = d.select("doc_id")
+    n = nodes.count()  # |V|, a metastore stat at scale
+    edges = graph.synthetic_link_graph(nodes, n, out_degree=3)
+    return graph.bfs_hops(edges, nodes.filter(F.col("doc_id") < 3), max_depth=6)

@@ -700,3 +700,18 @@ def test_fuzzy_join_banding_matches_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert banded == brute
+
+
+def test_bfs_seed_zero_and_frontier_growth(spark, sf_dir):
+    """BFS sanity beyond the oracle: seeds report 0 hops, every hop count
+    0..max appears (the synthetic graph is connected enough that no level
+    is empty at depth 6), and hop counts never exceed the cap."""
+    from pysparkdb.queries import load_all
+
+    rows = load_all()["graph_bfs"].fn(spark, sf_dir).collect()
+    by_hops = {}
+    for r in rows:
+        by_hops.setdefault(r.hops, set()).add(r.doc_id)
+    assert by_hops[0] == {0, 1, 2}
+    assert max(by_hops) <= 6
+    assert all(by_hops[h] for h in range(0, max(by_hops) + 1))
