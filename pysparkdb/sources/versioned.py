@@ -1,0 +1,132 @@
+"""Manifest-based snapshot versioning: lightweight time travel for parquet.
+
+A 100 TB training pipeline needs REPRODUCIBLE dataset snapshots — "train on
+exactly the corpus that existed at version 7" — and cheap appends that never
+rewrite history. Full table formats (Delta/Iceberg/Hudi, public designs)
+solve this with a transaction log over immutable data files; this module
+implements the minimal core of that idea with nothing but parquet + JSON:
+
+- data files are IMMUTABLE: every append writes a fresh ``data/batch-N/``
+  directory and never touches earlier files;
+- a version is a MANIFEST (``_manifests/v{N}.json``): the explicit list of
+  data files visible at that version, plus row counts for audit;
+- reading version N is ``spark.read.parquet(*manifest(N).files)`` — Spark
+  plans exactly those splits, so old versions stay readable forever and
+  concurrent readers of different versions never conflict;
+- compaction rewrites the CURRENT file set into fewer files as a new
+  version; history before it is untouched (the file list, not the data,
+  is the unit of change).
+
+Contract: single writer (the commit is a manifest write; real formats
+arbitrate concurrent writers with CAS on the log — out of scope here and
+documented rather than half-built). Manifests are written to a temp name
+and atomically renamed, so readers never observe a torn manifest.
+
+This composes with the rest of the engine: the reference's catalog is
+static JSON metadata over immutable S3 objects
+(fpdb-catalogue/src/obj-store/ObjStoreCatalogueEntryReader.cpp) — a
+manifest is the same idea made multi-version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"v{version}.json")
+
+
+def snapshot_versions(root: str) -> list[int]:
+    """Committed versions, ascending (1-based)."""
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def _commit(root: str, version: int, files: list[str], n_rows: int, parent: int | None) -> None:
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    body = {"version": version, "files": sorted(files), "n_rows": n_rows,
+            "parent": parent}
+    tmp = _manifest_path(root, version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    os.rename(tmp, _manifest_path(root, version))  # atomic publish
+
+
+def _parquet_files(d: str) -> list[str]:
+    return [
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def snapshot_append(df: DataFrame, root: str) -> int:
+    """Append df as a new immutable batch; commit and return the new
+    version. Data lands under data/batch-{version}/; the manifest is the
+    parent's file list plus the new files."""
+    versions = snapshot_versions(root)
+    parent = versions[-1] if versions else None
+    version = (parent or 0) + 1
+    batch_dir = os.path.join(root, _DATA_DIR, f"batch-{version}")
+    df.write.mode("error").parquet(batch_dir)
+    new_files = [os.path.relpath(p, root) for p in _parquet_files(batch_dir)]
+    prev = _read_manifest(root, parent) if parent else {"files": [], "n_rows": 0}
+    n_new = df.sparkSession.read.parquet(batch_dir).count()
+    _commit(root, version, prev["files"] + new_files, prev["n_rows"] + n_new, parent)
+    return version
+
+
+def snapshot_read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Read the dataset as of `version` (default: latest). Spark plans
+    exactly the manifest's files — no directory listing, no eventual-
+    consistency window, identical bytes on every replay."""
+    versions = snapshot_versions(root)
+    if not versions:
+        raise ValueError(f"no snapshot versions committed under {root!r}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    m = _read_manifest(root, version)
+    if not m["files"]:
+        raise ValueError(f"version {version} is empty")
+    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+
+
+def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+    """Rewrite the CURRENT version's file set into `target_files` files as
+    a new version. Earlier versions keep reading their original files —
+    compaction changes the file list, never history. The rewrite is one
+    coalesce-write of the current snapshot (same economics as
+    layout.compact_parquet: pay once, every later scan opens fewer
+    files)."""
+    versions = snapshot_versions(root)
+    if not versions:
+        raise ValueError(f"no snapshot versions committed under {root!r}")
+    parent = versions[-1]
+    version = parent + 1
+    cur = snapshot_read(spark, root, parent)
+    batch_dir = os.path.join(root, _DATA_DIR, f"compact-{version}")
+    cur.coalesce(target_files).write.mode("error").parquet(batch_dir)
+    files = [os.path.relpath(p, root) for p in _parquet_files(batch_dir)]
+    _commit(root, version, files, _read_manifest(root, parent)["n_rows"], parent)
+    return version

@@ -388,3 +388,62 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+class TestSnapshotVersioning:
+    """Manifest-based time travel (sources/versioned.py): immutable data
+    files + per-version file lists — the minimal core of a transaction
+    log, for reproducible training snapshots."""
+
+    def test_append_creates_versions_and_time_travel(self, spark, sf_dir, tmp_path):
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_read, snapshot_versions,
+        )
+
+        root = str(tmp_path / "snap")
+        nation = tables(spark, sf_dir)["nation"]
+        v1 = snapshot_append(nation.filter(F.col("n_nationkey") < 10), root)
+        v2 = snapshot_append(nation.filter(F.col("n_nationkey") >= 10), root)
+        assert (v1, v2) == (1, 2)
+        assert snapshot_versions(root) == [1, 2]
+        assert snapshot_read(spark, root, 1).count() == 10
+        assert snapshot_read(spark, root, 2).count() == nation.count()
+        # default = latest
+        assert snapshot_read(spark, root).count() == nation.count()
+        # version 1 is bit-stable after the second append (immutability)
+        keys = {r.n_nationkey for r in snapshot_read(spark, root, 1).collect()}
+        assert keys == set(range(10))
+
+    def test_compaction_preserves_history(self, spark, sf_dir, tmp_path):
+        import glob
+
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_compact, snapshot_read,
+        )
+
+        root = str(tmp_path / "snap")
+        nation = tables(spark, sf_dir)["nation"]
+        snapshot_append(nation.filter(F.col("n_nationkey") < 10).repartition(4), root)
+        snapshot_append(nation.filter(F.col("n_nationkey") >= 10).repartition(4), root)
+        v3 = snapshot_compact(spark, root, target_files=1)
+        assert v3 == 3
+        # same rows, fewer files
+        assert snapshot_read(spark, root, 3).count() == nation.count()
+        files_v3 = len(snapshot_read(spark, root, 3).inputFiles())
+        assert files_v3 == 1
+        # pre-compaction versions still read their original files unchanged
+        assert snapshot_read(spark, root, 1).count() == 10
+        assert snapshot_read(spark, root, 2).count() == nation.count()
+        assert len(snapshot_read(spark, root, 2).inputFiles()) >= 8
+
+    def test_read_rejects_unknown_version(self, spark, sf_dir, tmp_path):
+        import pytest as _pytest
+
+        from pysparkdb.sources.versioned import snapshot_append, snapshot_read
+
+        root = str(tmp_path / "snap")
+        with _pytest.raises(ValueError, match="no snapshot versions"):
+            snapshot_read(spark, root)
+        snapshot_append(tables(spark, sf_dir)["region"], root)
+        with _pytest.raises(ValueError, match="not in"):
+            snapshot_read(spark, root, 7)
