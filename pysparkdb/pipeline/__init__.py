@@ -7,4 +7,11 @@ on pyspark.sql.functions (JVM/codegen) wherever possible, Arrow-batched
 pandas UDFs where not, never row-at-a-time Python.
 """
 
-from pysparkdb.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from pysparkdb.pipeline import (  # noqa: F401
+    cluster,
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    text,
+)
