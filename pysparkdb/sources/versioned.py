@@ -6,8 +6,8 @@ rewrite history. Full table formats (Delta/Iceberg/Hudi, public designs)
 solve this with a transaction log over immutable data files; this module
 implements the minimal core of that idea with nothing but parquet + JSON:
 
-- data files are IMMUTABLE: every append writes a fresh ``data/batch-N/``
-  directory and never touches earlier files;
+- data files are IMMUTABLE: every append writes a fresh uniquely-named
+  ``data/batch-N-<uuid>/`` directory and never touches earlier files;
 - a version is a MANIFEST (``_manifests/v{N}.json``): the explicit list of
   data files visible at that version, plus row counts for audit;
 - reading version N is ``spark.read.parquet(*manifest(N).files)`` — Spark
@@ -61,10 +61,11 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(root: str, version: int, files: list[str], n_rows: int, parent: int | None) -> None:
+def _commit(root: str, version: int, files: list[str], n_rows: int, parent: int | None,
+            epoch: int | None = None) -> None:
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     body = {"version": version, "files": sorted(files), "n_rows": n_rows,
-            "parent": parent}
+            "parent": parent, "epoch": epoch}
     tmp = _manifest_path(root, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -79,19 +80,26 @@ def _parquet_files(d: str) -> list[str]:
     ]
 
 
-def snapshot_append(df: DataFrame, root: str) -> int:
+def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
     """Append df as a new immutable batch; commit and return the new
-    version. Data lands under data/batch-{version}/; the manifest is the
-    parent's file list plus the new files."""
+    version. Data lands under data/batch-{version}-{uuid}/; the manifest
+    is the parent's file list plus the new files. The uuid suffix makes a
+    failed write recoverable: a crash before the manifest rename leaves an
+    orphan directory no manifest references (inert garbage, collectible by
+    diffing data/ against the union of manifests) and the retry writes a
+    fresh directory instead of colliding with the partial one."""
     versions = snapshot_versions(root)
     parent = versions[-1] if versions else None
     version = (parent or 0) + 1
-    batch_dir = os.path.join(root, _DATA_DIR, f"batch-{version}")
+    batch_dir = os.path.join(
+        root, _DATA_DIR, f"batch-{version}-{uuid.uuid4().hex[:8]}"
+    )
     df.write.mode("error").parquet(batch_dir)
     new_files = [os.path.relpath(p, root) for p in _parquet_files(batch_dir)]
     prev = _read_manifest(root, parent) if parent else {"files": [], "n_rows": 0}
     n_new = df.sparkSession.read.parquet(batch_dir).count()
-    _commit(root, version, prev["files"] + new_files, prev["n_rows"] + n_new, parent)
+    _commit(root, version, prev["files"] + new_files, prev["n_rows"] + n_new, parent,
+            epoch=epoch)
     return version
 
 
@@ -125,8 +133,59 @@ def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> i
     parent = versions[-1]
     version = parent + 1
     cur = snapshot_read(spark, root, parent)
-    batch_dir = os.path.join(root, _DATA_DIR, f"compact-{version}")
+    batch_dir = os.path.join(
+        root, _DATA_DIR, f"compact-{version}-{uuid.uuid4().hex[:8]}"
+    )
     cur.coalesce(target_files).write.mode("error").parquet(batch_dir)
     files = [os.path.relpath(p, root) for p in _parquet_files(batch_dir)]
     _commit(root, version, files, _read_manifest(root, parent)["n_rows"], parent)
     return version
+
+
+def committed_epochs(root: str) -> set[int]:
+    """Streaming epoch ids already committed to a manifest (see
+    snapshot_stream_sink)."""
+    return {
+        m["epoch"]
+        for v in snapshot_versions(root)
+        for m in (_read_manifest(root, v),)
+        if m.get("epoch") is not None
+    }
+
+
+def snapshot_stream_sink(stream_df: DataFrame, root: str, checkpoint_dir: str):
+    """Structured-Streaming sink: every micro-batch commits as a snapshot
+    version — the transaction-log streaming sink pattern (each version is
+    an atomic, replayable batch boundary; downstream training jobs pin a
+    version and get a frozen corpus while ingest continues).
+
+    Exactly-once WITHOUT a transactional store: foreachBatch is
+    at-least-once (a crash after the data write but before the engine
+    records the batch replays the SAME epoch_id), so the commit is made
+    IDEMPOTENT on epoch_id — each manifest records the epoch that
+    produced it, and a replayed epoch that already has a manifest is
+    skipped. Epoch ids are monotonic per checkpoint, so a restart resumes
+    appending where it stopped. One checkpoint per snapshot root: epoch
+    ids are scoped to a checkpoint, so pointing a FRESH checkpoint at an
+    old root would collide with its recorded epochs — pair them for the
+    root's lifetime. Returns the DataStreamWriter; callers .start() it
+    (trigger(availableNow=True) for drain-and-stop ingest).
+    """
+
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: commit_epoch(batch_df, root, epoch_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def commit_epoch(batch_df: DataFrame, root: str, epoch_id: int) -> int | None:
+    """Idempotent micro-batch commit (the snapshot_stream_sink body,
+    module-level so the replay guard is directly testable): append the
+    batch as a new version unless this epoch already committed one —
+    returns the new version, or None for a skipped replay."""
+    if epoch_id in committed_epochs(root):
+        return None  # replay of an already-committed batch: exactly-once
+    return snapshot_append(batch_df, root, epoch=epoch_id)
