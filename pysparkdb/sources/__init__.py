@@ -12,6 +12,14 @@ from pysparkdb.sources.files import (
     write_orc,
     write_parquet,
 )
+from pysparkdb.sources.layout import compact_parquet, write_zordered
+from pysparkdb.sources.versioned import (
+    snapshot_append,
+    snapshot_compact,
+    snapshot_read,
+    snapshot_stream_sink,
+    snapshot_versions,
+)
 
 __all__ = [
     "read_csv",
@@ -24,4 +32,11 @@ __all__ = [
     "write_json",
     "write_orc",
     "write_parquet",
+    "compact_parquet",
+    "write_zordered",
+    "snapshot_append",
+    "snapshot_compact",
+    "snapshot_read",
+    "snapshot_stream_sink",
+    "snapshot_versions",
 ]
