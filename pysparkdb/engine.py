@@ -75,6 +75,18 @@ class Engine:
         assert self.catalog is not None, "call attach(data_dir) first"
         return self.catalog.table(name)
 
+    def attach_snapshot(self, name: str, root: str, version: int | None = None) -> DataFrame:
+        """Register a snapshot-versioned dataset (sources/versioned.py) as
+        a queryable view — time travel through the same SQL front door:
+        ``engine.attach_snapshot("docs", root, version=3)`` then
+        ``engine.sql("SELECT ... FROM docs")`` reads exactly version 3's
+        manifest, frozen while ingest appends new versions."""
+        from pysparkdb.sources.versioned import snapshot_read
+
+        df = snapshot_read(self.spark, root, version)
+        df.createOrReplaceTempView(name)
+        return df
+
     def analyze_tables(self) -> None:
         """Collect table/column stats so Catalyst CBO can reorder joins —
         the role of the reference's stats.json + Calcite row-count metadata

@@ -127,3 +127,29 @@ def test_table_lookup_error_names_known_tables(spark, sf_dir):
     cat.register("region", os.path.join(sf_dir, "region.parquet"))
     with pytest.raises(KeyError, match="region"):
         cat.table("no_such_table")
+
+
+def test_engine_attach_snapshot_time_travel(spark, sf_dir, tmp_path):
+    """Snapshot versions are queryable through the SQL front door:
+    attach_snapshot pins a version as a view, and the view keeps reading
+    that version's manifest even after later appends."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb import Engine
+    from pysparkdb.queries.base import tables
+    from pysparkdb.sources.versioned import snapshot_append
+
+    root = str(tmp_path / "snap")
+    nation = tables(spark, sf_dir)["nation"]
+    snapshot_append(nation.filter(F.col("n_nationkey") < 10), root)
+    eng = Engine(spark)
+    eng.attach_snapshot("nations_v1", root, version=1)
+    assert eng.sql("SELECT COUNT(*) AS n FROM nations_v1").collect()[0].n == 10
+    snapshot_append(nation.filter(F.col("n_nationkey") >= 10), root)
+    # pinned view still reads version 1; re-attaching latest sees both
+    assert eng.sql("SELECT COUNT(*) AS n FROM nations_v1").collect()[0].n == 10
+    eng.attach_snapshot("nations_latest", root)
+    assert (
+        eng.sql("SELECT COUNT(*) AS n FROM nations_latest").collect()[0].n
+        == nation.count()
+    )
