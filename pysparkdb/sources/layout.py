@@ -55,7 +55,9 @@ def zorder_key(scaled: list[Column], bits: int) -> Column:
     return z
 
 
-def zorder_df(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
+def zorder_df(
+    df: DataFrame, cols: list[str], bits: int = 12, n_partitions: int | None = None
+) -> DataFrame:
     """Return ``df`` re-laid-out along the Z-order curve of ``cols``:
     range-partitioned and sorted within partitions by the Morton code of
     the min/max-scaled columns. The curve column is internal and dropped.
@@ -78,7 +80,9 @@ def zorder_df(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     keyed = with_mm.withColumn("_z", zorder_key(scaled, bits)).drop(
         *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols]
     )
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = n_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     return (
         keyed.repartitionByRange(n_parts, "_z").sortWithinPartitions("_z").drop("_z")
     )

@@ -120,13 +120,27 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
     return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
 
 
-def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> int:
+def snapshot_compact(
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    zorder_cols: list[str] | None = None,
+    row_group_bytes: int | None = None,
+) -> int:
     """Rewrite the CURRENT version's file set into `target_files` files as
     a new version. Earlier versions keep reading their original files —
     compaction changes the file list, never history. The rewrite is one
     coalesce-write of the current snapshot (same economics as
     layout.compact_parquet: pay once, every later scan opens fewer
-    files)."""
+    files).
+
+    `zorder_cols` makes this the OPTIMIZE-ZORDER maintenance pass of the
+    lakehouse formats: the rewrite clusters rows along the Morton curve of
+    those columns (layout.zorder_df), so every subsequent range predicate
+    on ANY of them skips most row groups off footer stats — streaming
+    ingest appends unclustered micro-batches cheaply, and the periodic
+    compaction restores scan-pruning locality as a new version while every
+    pinned training snapshot keeps its original files."""
     versions = snapshot_versions(root)
     if not versions:
         raise ValueError(f"no snapshot versions committed under {root!r}")
@@ -136,7 +150,19 @@ def snapshot_compact(spark: SparkSession, root: str, target_files: int = 1) -> i
     batch_dir = os.path.join(
         root, _DATA_DIR, f"compact-{version}-{uuid.uuid4().hex[:8]}"
     )
-    cur.coalesce(target_files).write.mode("error").parquet(batch_dir)
+    if zorder_cols:
+        from pysparkdb.sources.layout import zorder_df
+
+        # range-partition straight to the target file count: a coalesce
+        # AFTER the range exchange could merge non-adjacent z-bands into
+        # one file and widen its row-group zone maps back out
+        out = zorder_df(cur, zorder_cols, n_partitions=target_files)
+    else:
+        out = cur.coalesce(target_files)
+    w = out.write.mode("error")
+    if row_group_bytes is not None:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(batch_dir)
     files = [os.path.relpath(p, root) for p in _parquet_files(batch_dir)]
     _commit(root, version, files, _read_manifest(root, parent)["n_rows"], parent)
     return version

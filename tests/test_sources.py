@@ -447,3 +447,35 @@ class TestSnapshotVersioning:
         snapshot_append(tables(spark, sf_dir)["region"], root)
         with _pytest.raises(ValueError, match="not in"):
             snapshot_read(spark, root, 7)
+
+
+def test_snapshot_compact_zorder_restores_pruning(spark, sf_dir, tmp_path):
+    """OPTIMIZE-ZORDER composition: appends land unclustered; a zordered
+    compaction must produce a new version whose row-group zone maps prune
+    a range predicate on a participating column, while the pre-compaction
+    version keeps reading its original (unclustered) files."""
+    from pysparkdb.catalog import prunable_row_groups
+    from pysparkdb.sources.versioned import (
+        snapshot_append, snapshot_compact, snapshot_read,
+    )
+
+    root = str(tmp_path / "snap")
+    orders = tables(spark, sf_dir)["orders"]
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    other = orders.filter(F.col("o_orderkey") % 2 == 1)
+    v1 = snapshot_append(half.orderBy(F.rand(seed=7)), root)
+    snapshot_append(other.orderBy(F.rand(seed=9)), root)
+    v3 = snapshot_compact(
+        spark, root, target_files=2,
+        zorder_cols=["o_orderkey", "o_custkey"], row_group_bytes=64 * 1024,
+    )
+    assert snapshot_read(spark, root, v3).count() == orders.count()
+    assert snapshot_read(spark, root, v1).count() == half.count()
+    lo, hi = 1000, 2000
+    kept = total = 0
+    for f in snapshot_read(spark, root, v3).inputFiles():
+        k, t = prunable_row_groups(f.replace("file:", ""), "o_orderkey", lo, hi)
+        kept += k
+        total += t
+    assert total >= 8, f"need enough row groups to prove pruning, got {total}"
+    assert kept <= total // 2, f"zone maps kept {kept}/{total} row groups"
