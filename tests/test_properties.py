@@ -202,3 +202,72 @@ def test_incremental_dedup_equals_exact_anti_join(spark, hist, batch):
                  incremental_new_documents(h, b, m=64, k=3).collect())
     want = sorted(100 + i for i, t in enumerate(batch) if t not in hist)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40), VALS),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_upsert_algebra_against_python_merge(spark, rows):
+    """CDC-merge semantics (the op_upsert shape) against a literal Python
+    dict merge: updates override, tombstones remove, inserts add — for
+    arbitrary key sets, including all-deleted and empty-changes cases."""
+    base = spark.createDataFrame(rows, "k long, v long")
+    m = F.col("k") % 10
+    changes = base.filter(m.isin(0, 1, 3)).select(
+        "k",
+        F.when(m == 3, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("v") + 1000).alias("nv"),
+    )
+    inserts = base.filter(m == 5).select(
+        (F.col("k") + 100).alias("k"), F.lit(-7).alias("v")
+    )
+    merged = (
+        base.join(changes, "k", "left")
+        .filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "k",
+            F.when(F.col("op") == "U", F.col("nv")).otherwise(F.col("v")).alias("v"),
+        )
+        .unionByName(inserts)
+    )
+    got = {(r.k, r.v) for r in merged.collect()}
+    exp = {}
+    for k, v in rows:
+        if k % 10 == 3:
+            continue
+        exp[k] = v + 1000 if k % 10 in (0, 1) else v
+    for k, v in rows:
+        if k % 10 == 5:
+            exp[k + 100] = -7
+    assert got == {(k, v) for k, v in exp.items()}
+
+
+def test_weighted_sample_invariant_under_repartition(spark, sf_dir):
+    """op_weighted_sample must select the identical document set whatever
+    the physical partitioning — the reproducibility contract that
+    rand()-based sampling cannot give (TakeOrderedAndProject merges
+    per-partition heaps deterministically)."""
+    from pysparkdb.queries import load_all
+
+    fn = load_all()["op_weighted_sample"].fn
+    baseline = {r.doc_id for r in fn(spark, sf_dir).collect()}
+
+    from pysparkdb.queries.base import tables
+
+    d = tables(spark, sf_dir)["documents"].repartition(17)
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648) + 1
+    rep = {
+        r.doc_id
+        for r in d.select(
+            "doc_id",
+            (u.cast("double") / F.col("n_chars").cast("double")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(50)
+        .collect()
+    }
+    assert rep == baseline
