@@ -351,3 +351,12 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """op_profile's contract is ONE pass over the table: the multi-
+    DISTINCT planner uses a single Expand over one FileScan — the
+    union-of-selects oracle formulation would rescan per column."""
+    p = plan("op_profile", spark, sf_dir, mode="simple")
+    assert p.count("FileScan parquet") == 1, p
+    assert "Expand" in p, p
