@@ -179,6 +179,19 @@ def committed_epochs(root: str) -> set[int]:
     }
 
 
+def last_committed_epoch(root: str) -> int | None:
+    """Newest epoch recorded by any manifest, walking back past
+    non-streaming versions (manual appends / compactions carry no epoch).
+    O(recent manifests) instead of committed_epochs' O(all) — the right
+    guard for a long-running stream, valid because Spark epoch ids are
+    monotonic per checkpoint."""
+    for v in reversed(snapshot_versions(root)):
+        e = _read_manifest(root, v).get("epoch")
+        if e is not None:
+            return e
+    return None
+
+
 def snapshot_stream_sink(stream_df: DataFrame, root: str, checkpoint_dir: str):
     """Structured-Streaming sink: every micro-batch commits as a snapshot
     version — the transaction-log streaming sink pattern (each version is
@@ -211,7 +224,11 @@ def commit_epoch(batch_df: DataFrame, root: str, epoch_id: int) -> int | None:
     """Idempotent micro-batch commit (the snapshot_stream_sink body,
     module-level so the replay guard is directly testable): append the
     batch as a new version unless this epoch already committed one —
-    returns the new version, or None for a skipped replay."""
-    if epoch_id in committed_epochs(root):
+    returns the new version, or None for a skipped replay. Monotonic
+    epoch ids make ≤ last_committed_epoch the replay test (constant-ish
+    manifest reads per batch, where a full committed-set scan would make
+    a long stream quadratic in its own history)."""
+    last = last_committed_epoch(root)
+    if last is not None and epoch_id <= last:
         return None  # replay of an already-committed batch: exactly-once
     return snapshot_append(batch_df, root, epoch=epoch_id)
