@@ -130,12 +130,19 @@ def pagerank(
                 prev.unpersist()
             prev = nxt
         ranks = nxt
-    edges.unpersist()
-    return ranks.select(
+    # Materialize the result as a localCheckpoint (freed with the returned
+    # DataFrame by the context cleaner) so the loop's persisted frames can
+    # be released HERE — a bare persist would pin one cached ~|V|-row frame
+    # per call in the cache manager for the session's lifetime.
+    out = ranks.select(
         "doc_id",
         "units",
         (F.col("units").cast("double") / F.lit(float(TOTAL_UNITS))).alias("rank"),
-    )
+    ).localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    edges.unpersist()
+    return out
 
 
 def pagerank_oracle_sql(iterations: int = 10, out_degree: int = 3, damping_pct: int = 85) -> str:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pysparkdb.pipeline import cluster, dedup, multimodal, similarity, text
+from pysparkdb.pipeline import cluster, dedup, graph, multimodal, similarity, text
 from pysparkdb.queries import register
 from pysparkdb.queries.base import bigint, tables
 
@@ -1502,12 +1502,9 @@ def text_fuzzy_join(spark, sf_dir):
     return dedup.edit_distance_pairs(d, field, threshold=4, band_width=5)
 
 
-from pysparkdb.pipeline.graph import pagerank_oracle_sql as _pr_sql  # noqa: E402
-
-
 @register(
     "graph_pagerank",
-    _pr_sql(iterations=10, out_degree=3),  # generated SQL unrolls the iterations
+    graph.pagerank_oracle_sql(iterations=10, out_degree=3),  # unrolled-CTE SQL
     "pipeline", "graph", "iterative",
 )
 def graph_pagerank(spark, sf_dir):
@@ -1520,8 +1517,6 @@ def graph_pagerank(spark, sf_dir):
     BIGINT fixed-point units, so every arithmetic step is exact and the
     unrolled-CTE DuckDB oracle matches bit for bit — no float-sum-order
     tolerance anywhere."""
-    from pysparkdb.pipeline import graph
-
     d = tables(spark, sf_dir)["documents"]
     nodes = d.select("doc_id")
     n = nodes.count()  # the one driver-side scalar: |V|, a metastore stat at scale
@@ -1529,12 +1524,9 @@ def graph_pagerank(spark, sf_dir):
     return graph.pagerank(nodes, edges, n, out_degree=3, iterations=10)
 
 
-from pysparkdb.pipeline.graph import bfs_oracle_sql as _bfs_sql  # noqa: E402
-
-
 @register(
     "graph_bfs",
-    _bfs_sql(max_depth=6, out_degree=3),
+    graph.bfs_oracle_sql(max_depth=6, out_degree=3),
     "pipeline", "graph", "iterative", "recursive_cte",
 )
 def graph_bfs(spark, sf_dir):
@@ -1548,8 +1540,6 @@ def graph_bfs(spark, sf_dir):
     VERBATIM in both engines (Spark 4 WITH RECURSIVE) — the registry's
     first recursive-SQL parity query: walk enumeration in the recursive
     member, MIN-collapse outside."""
-    from pysparkdb.pipeline import graph
-
     d = tables(spark, sf_dir)["documents"]
     nodes = d.select("doc_id")
     n = nodes.count()  # |V|, a metastore stat at scale

@@ -80,8 +80,12 @@ def zorder_df(
     keyed = with_mm.withColumn("_z", zorder_key(scaled, bits)).drop(
         *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols]
     )
-    n_parts = n_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    if n_partitions is not None and n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+    n_parts = (
+        n_partitions
+        if n_partitions is not None
+        else int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     )
     return (
         keyed.repartitionByRange(n_parts, "_z").sortWithinPartitions("_z").drop("_z")

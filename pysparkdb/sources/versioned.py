@@ -80,6 +80,12 @@ def _parquet_files(d: str) -> list[str]:
     ]
 
 
+def _footer_rows(files: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+
+
 def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
     """Append df as a new immutable batch; commit and return the new
     version. Data lands under data/batch-{version}-{uuid}/; the manifest
@@ -97,7 +103,9 @@ def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
     df.write.mode("error").parquet(batch_dir)
     new_files = [os.path.relpath(p, root) for p in _parquet_files(batch_dir)]
     prev = _read_manifest(root, parent) if parent else {"files": [], "n_rows": 0}
-    n_new = df.sparkSession.read.parquet(batch_dir).count()
+    # row count from parquet footers (the catalog.zone_map pattern) — no
+    # Spark job per commit, which matters when every micro-batch commits
+    n_new = _footer_rows(_parquet_files(batch_dir))
     _commit(root, version, prev["files"] + new_files, prev["n_rows"] + n_new, parent,
             epoch=epoch)
     return version
