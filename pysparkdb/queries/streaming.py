@@ -370,3 +370,100 @@ def ev_retention(spark, sf_dir):
         .groupBy("cohort", F.datediff("d", "cohort").cast("long").alias("day_offset"))
         .agg(bigint(F.countDistinct("user_id")).alias("n_active"))
     )
+
+
+@register(
+    "ev_rollup_cascade",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+    FROM events GROUP BY d
+    """,
+    "events", "rollup", "cascade",
+)
+def ev_rollup_cascade(spark, sf_dir):
+    """Cascading time rollup (the continuous-aggregate maintenance
+    pattern): the DAILY grain is computed FROM THE HOURLY aggregate, not
+    from raw events — at scale the hourly frame is orders of magnitude
+    smaller than the event stream, so refreshing coarse grains from fine
+    grains is the only affordable schedule (TimescaleDB/materialized-
+    rollup practice, public design). Correctness hinges on
+    re-aggregability: counts sum, and the value total stays DECIMAL
+    through the cascade (decimal addition is associative, so
+    sum-of-hourly-sums is bit-identical to the oracle's direct daily sum
+    — a double intermediate would re-introduce order sensitivity).
+    n_hours (= hourly rows folded per day) proves the daily row really
+    went through the hourly grain."""
+    e = tables(spark, sf_dir)["events"]
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("total_dec"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("d"))
+        .agg(
+            bigint(F.sum("n")).alias("n"),
+            F.sum("total_dec").cast("double").alias("total"),
+            bigint(F.count(F.lit(1))).alias("n_hours"),
+        )
+    )
+
+
+@register(
+    "ev_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mu,
+             (CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE)
+              - CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                * CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS var
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_total,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_outliers
+    FROM stats s LEFT JOIN events e
+      ON e.event_type = s.event_type
+     AND ABS(e.value - s.mu) > 2 * sqrt(s.var)
+    GROUP BY s.event_type, s.n_total
+    """,
+    "events", "aggregate", "anomaly",
+)
+def ev_zscore_outliers(spark, sf_dir):
+    """Z-score anomaly counts per event type — the data-quality monitor a
+    pipeline runs over every metric stream. Two passes, both scan-shaped:
+    per-type moments via the exact decimal formulation (op_variance's
+    hash-stable trick — mean and variance come out bit-identical in both
+    engines, and sqrt is IEEE correctly-rounded, so the outlier BOUNDARY
+    is engine-exact), then a broadcast join of the tiny stats frame back
+    onto events to count |value − μ| > 2σ. LEFT join keeps types with
+    zero outliers at n_outliers = 0. At 100 TB: stats are |types| rows
+    (broadcast), the second pass is map-side — two scans, no wide
+    shuffle; a single-pass window formulation would shuffle the whole
+    stream by type instead."""
+    e = tables(spark, sf_dir)["events"]
+    v = F.col("value")
+    n = F.count(F.lit(1))
+    stats = e.groupBy("event_type").agg(
+        bigint(n).alias("n_total"),
+        (dsum(v) / n).alias("mu"),
+        ((dsum(v * v) - dsum(v) * dsum(v) / n) / (n - 1)).alias("var"),
+    )
+    st = F.broadcast(stats.alias("st"))
+    ev = e.alias("ev")
+    joined = st.join(
+        ev,
+        (F.col("ev.event_type") == F.col("st.event_type"))
+        & (F.abs(F.col("ev.value") - F.col("st.mu")) > 2 * F.sqrt(F.col("st.var"))),
+        "left",
+    )
+    return joined.groupBy(F.col("st.event_type"), F.col("st.n_total").alias("n_total")).agg(
+        bigint(F.count(F.col("ev.event_id"))).alias("n_outliers")
+    )
