@@ -20,10 +20,11 @@ units/node/iteration of mass — bounded and asserted in tests.
 
 Scale shape (100 TB): each iteration is one shuffle of the edge frame
 joined to the current rank frame (hash on src) plus one aggregation
-(hash on dst). Edges are persisted once and reused across iterations;
-ranks are ~|V| rows. Lineage is truncated per iteration via persist so
-the plan does not grow with iteration count. The one driver-side scalar
-is |V| (a metastore-grade stat at scale, here a count()).
+(hash on dst); ranks are ~|V| rows. Runs at or under the checkpoint
+interval stay ONE fused lazy DAG (nothing persisted, nothing leaked);
+deeper runs persist edges once and materialize every interval so plan
+depth stays bounded. The one driver-side scalar is |V| (a
+metastore-grade stat at scale, here a count()).
 """
 
 from __future__ import annotations
@@ -89,7 +90,11 @@ def pagerank(
     teleport = math.floor(
         (100 - damping_pct) * TOTAL_UNITS / 100.0 / n_nodes
     )  # same IEEE double path the SQL oracle takes
-    edges = edges.persist()
+    deep = iterations > checkpoint_interval
+    if deep:
+        # only deep runs materialize mid-loop; persist edges so those
+        # checkpoint jobs (and the segments after them) reuse one copy
+        edges = edges.persist()
     ranks = nodes.select(
         "doc_id", F.lit(TOTAL_UNITS // n_nodes).cast("long").alias("units")
     )
@@ -123,26 +128,27 @@ def pagerank(
         # steps instead: the steps in between fuse into one lazy DAG, and
         # long runs still get bounded plan depth (hundreds of fused joins
         # would bloat Catalyst analysis and stack AQE stages).
-        if it % checkpoint_interval == 0 or it == iterations:
+        if it % checkpoint_interval == 0 and it != iterations:
+            # the final iteration materializes via the result localCheckpoint
+            # below — a persist+count here would double-materialize it
             nxt = nxt.persist()
             nxt.count()
             if prev is not None:
                 prev.unpersist()
             prev = nxt
         ranks = nxt
-    # Materialize the result as a localCheckpoint (freed with the returned
-    # DataFrame by the context cleaner) so the loop's persisted frames can
-    # be released HERE — a bare persist would pin one cached ~|V|-row frame
-    # per call in the cache manager for the session's lifetime.
-    out = ranks.select(
+    # Return the LAZY frame: with iterations <= checkpoint_interval nothing
+    # was persisted, so the caller's single action computes the fused chain
+    # once and nothing stays pinned in the cache manager afterwards (an
+    # end-of-loop persist would leak one cached ~|V|-row frame per call; an
+    # eager localCheckpoint pays a second materialization job). Long runs
+    # keep their interval checkpoints; those frames stay cached until the
+    # session clears them — the documented cost of a deep iteration chain.
+    return ranks.select(
         "doc_id",
         "units",
         (F.col("units").cast("double") / F.lit(float(TOTAL_UNITS))).alias("rank"),
-    ).localCheckpoint(eager=True)
-    if prev is not None:
-        prev.unpersist()
-    edges.unpersist()
-    return out
+    )
 
 
 def pagerank_oracle_sql(iterations: int = 10, out_degree: int = 3, damping_pct: int = 85) -> str:
