@@ -715,3 +715,30 @@ def test_bfs_seed_zero_and_frontier_growth(spark, sf_dir):
     assert by_hops[0] == {0, 1, 2}
     assert max(by_hops) <= 6
     assert all(by_hops[h] for h in range(0, max(by_hops) + 1))
+
+
+def test_train_pipeline_demo_end_to_end(spark, sf_dir, tmp_path):
+    """The composed training-corpus build (scripts/train_pipeline_demo):
+    ingest (clean+versioned) → zordered compaction → pinned-version
+    curation → mix → pack. Invariants: each stage only removes documents;
+    the pack manifest conserves the mixed set's docs and tokens; the
+    pinned version is unaffected by the compaction version that follows."""
+    import sys as _sys
+
+    _sys.path.insert(0, "scripts")
+    from train_pipeline_demo import run
+
+    from pysparkdb.pipeline.text import token_count
+    from pysparkdb.sources.versioned import snapshot_read
+
+    stats = run(spark, sf_dir, str(tmp_path))
+    assert stats["landed"] >= stats["ingested_clean"] >= stats["curated"] >= stats["mixed"]
+    assert stats["mixed"] > 0
+    assert stats["packed_docs"] == stats["mixed"]
+    # pinned version still readable and smaller than the raw landing set
+    pinned = snapshot_read(spark, str(tmp_path / "corpus"), stats["pinned_version"])
+    assert pinned.count() == stats["ingested_clean"]
+    # compaction committed a later version over the same rows
+    assert stats["versions"][-1] > stats["pinned_version"]
+    latest = snapshot_read(spark, str(tmp_path / "corpus"))
+    assert latest.count() == stats["ingested_clean"]
