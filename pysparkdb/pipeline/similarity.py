@@ -50,9 +50,11 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", keep: tuple[str, ...] = ()
+) -> DataFrame:
     v = _as_double(F.col(vec_col))
-    return df.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+    return df.select("vec_id", *keep, v.alias("v"), norm(v).alias("nrm"))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -511,4 +513,47 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         "vec_id",
         F.round(F.col("_q.scale"), 6).alias("scale"),
         F.col("_q.q").alias("q"),
+    )
+
+
+def hard_negatives(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 1,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar candidates with a DIFFERENT label — the
+    highest-value negatives a contrastive loss can see (easy negatives
+    are already far away; the near-but-wrong ones carry the gradient).
+
+    Same plan shape as topk_neighbors with the label-mismatch predicate
+    folded into the join, so mismatch filtering happens BEFORE scoring —
+    at 100 TB the label filter prunes the candidate side per query class
+    (and the bucketed LSH/IVF variants apply unchanged when brute force
+    is too wide: mine within buckets, then re-rank). Ties broken by cid.
+    """
+    from pyspark.sql import Window
+
+    e = with_norm(df, vec_col, keep=(label_col,))
+    q = e if query_filter is None else e.filter(query_filter)
+    q = _spread(q).withColumnsRenamed(
+        {"vec_id": "qid", "v": "qv", "nrm": "qn", label_col: "qlabel"}
+    )
+    c = e.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn", label_col: "clabel"})
+    scored = q.join(
+        c, (F.col("qid") != F.col("cid")) & (F.col("qlabel") != F.col("clabel"))
+    ).select(
+        "qid", "qlabel", "cid", "clabel",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid", F.col("qlabel").cast("long").alias("qlabel"),
+            "cid", F.col("clabel").cast("long").alias("clabel"), "cosine",
+        )
     )

@@ -1545,3 +1545,36 @@ def graph_bfs(spark, sf_dir):
     n = nodes.count()  # |V|, a metastore stat at scale
     edges = graph.synthetic_link_graph(nodes, n, out_degree=3)
     return graph.bfs_hops(edges, nodes.filter(F.col("doc_id") < 3), max_depth=6)
+
+
+@register(
+    "emb_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt({_duck_dot('v', 'v')}) AS nrm FROM e),
+    scored AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+                      c.vec_id AS cid, c.label AS clabel,
+                      {_duck_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cosine
+               FROM n q JOIN n c
+                 ON q.vec_id <> c.vec_id AND q.label <> c.label
+               WHERE q.vec_id < 50)
+    SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
+           cid, CAST(clabel AS BIGINT) AS clabel, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, cid ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 1
+    """,
+    "pipeline", "similarity", "contrastive",
+)
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): per query vector
+    (vec_id < 50), the most-similar embedding with a DIFFERENT label —
+    the near-but-wrong candidates that carry the gradient in contrastive
+    training. Same brute-force-with-window shape as ann_topk with the
+    label-mismatch predicate folded into the join (filter before score);
+    the LSH/IVF bucketed variants are the scale path when the candidate
+    side outgrows brute force."""
+    return similarity.hard_negatives(
+        tables(spark, sf_dir)["embeddings"], query_filter=F.col("vec_id") < 50
+    )

@@ -23,6 +23,7 @@ from pysparkdb.queries.base import tables
 # DuckDB-dialect oracles that Spark SQL cannot parse/run verbatim.
 NOT_ANSI_PORTABLE = {
     "ann_topk",            # duck 1-based array indexing in the dot product
+    "emb_hard_negatives",  # same duck dot-product idiom
     "dedup_embedding",     # same
     "dedup_ngram_jaccard", # same corpus of duck list ops
     "dedup_exact",         # regexp_replace 'g' flag argument
