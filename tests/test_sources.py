@@ -479,3 +479,26 @@ def test_snapshot_compact_zorder_restores_pruning(spark, sf_dir, tmp_path):
         total += t
     assert total >= 8, f"need enough row groups to prove pruning, got {total}"
     assert kept <= total // 2, f"zone maps kept {kept}/{total} row groups"
+
+
+def test_snapshot_append_ignores_orphan_batch_dirs(spark, sf_dir, tmp_path):
+    """Crash recovery: a write that died before its manifest rename leaves
+    an orphan data directory. Later appends must not collide with it, and
+    no version may surface its files."""
+    import os
+
+    from pysparkdb.sources.versioned import snapshot_append, snapshot_read
+
+    root = str(tmp_path / "snap")
+    region = tables(spark, sf_dir)["region"]
+    snapshot_append(region, root)
+    # simulate the torn write: an unreferenced batch dir with a stray file
+    orphan = os.path.join(root, "data", "batch-2-deadbeef")
+    os.makedirs(orphan)
+    region.limit(1).write.mode("overwrite").parquet(orphan)
+    v2 = snapshot_append(region, root)
+    assert v2 == 2
+    assert snapshot_read(spark, root, 1).count() == region.count()
+    assert snapshot_read(spark, root, 2).count() == 2 * region.count()
+    files = snapshot_read(spark, root, 2).inputFiles()
+    assert not any("deadbeef" in f for f in files)
