@@ -98,6 +98,20 @@ def main(argv: list[str] | None = None) -> int:
         elif s == "\\tables":
             assert eng.catalog is not None
             print(" ".join(sorted(eng.catalog.tables)))
+        elif s.startswith("\\versions"):
+            from pysparkdb.sources.versioned import snapshot_versions
+
+            print(snapshot_versions(s[len("\\versions"):].strip()) or "(none)")
+        elif s.startswith("\\pin"):
+            # \pin <view> <root> [version] — register a snapshot version as
+            # a queryable view (time travel through the SQL front door)
+            parts = s[len("\\pin"):].split()
+            if len(parts) not in (2, 3):
+                print("usage: \\pin <view> <root> [version]", file=sys.stderr)
+            else:
+                ver = int(parts[2]) if len(parts) == 3 else None
+                df = eng.attach_snapshot(parts[0], parts[1], ver)
+                print(f"{parts[0]}: {df.count()} rows")
         elif s.startswith("\\metrics"):
             from pysparkdb.plans.metrics import collect_with_metrics, format_metrics
 

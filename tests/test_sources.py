@@ -502,3 +502,28 @@ def test_snapshot_append_ignores_orphan_batch_dirs(spark, sf_dir, tmp_path):
     assert snapshot_read(spark, root, 2).count() == 2 * region.count()
     files = snapshot_read(spark, root, 2).inputFiles()
     assert not any("deadbeef" in f for f in files)
+
+
+def test_console_snapshot_commands(spark, sf_dir, tmp_path):
+    """Console time-travel surface: \\versions lists committed snapshot
+    versions and \\pin registers one as a queryable view (a subprocess
+    drive of the same path lives in the session verify recipe; this test
+    exercises the dispatch in-process)."""
+    import subprocess
+    import sys as _sys
+
+    from pysparkdb.sources.versioned import snapshot_append
+
+    root = str(tmp_path / "snap")
+    snapshot_append(tables(spark, sf_dir)["region"], root)
+    out = subprocess.run(
+        [_sys.executable, "scripts/console.py", "--data-dir", sf_dir,
+         "-c", f"\\versions {root}",
+         "-c", f"\\pin regions_v1 {root} 1",
+         "-c", "SELECT COUNT(*) AS n FROM regions_v1"],
+        capture_output=True, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "[1]" in out.stdout
+    assert "regions_v1: 5 rows" in out.stdout
