@@ -129,8 +129,8 @@ def pagerank(
         # long runs still get bounded plan depth (hundreds of fused joins
         # would bloat Catalyst analysis and stack AQE stages).
         if it % checkpoint_interval == 0 and it != iterations:
-            # the final iteration materializes via the result localCheckpoint
-            # below — a persist+count here would double-materialize it
+            # never checkpoint the final iteration: the caller's action is
+            # its materialization, and a persist here would outlive the call
             nxt = nxt.persist()
             nxt.count()
             if prev is not None:
@@ -200,11 +200,14 @@ def bfs_hops(
     Level-synchronous frontier expansion: each level joins the frontier to
     the edge frame and anti-joins the visited set, the MapReduce-native
     BFS shape. Each level's frontier is consumed TWICE (the visited union
-    and the next level's join), so its lineage must be cut with an eager
-    localCheckpoint — a lazy union/anti-join chain would double the
-    shared subtree per level and the plan alone grows 2^depth (observed:
-    depth 6 OOMs the driver just *printing* the plan). After the cut,
-    `visited` is a linear union of checkpointed leaves. This is the
+    and the next level's join), so its lineage must be cut with a
+    localCheckpoint — an uncut union/anti-join chain doubles the shared
+    subtree per level and the plan alone grows 2^depth (observed: depth 6
+    OOMs the driver just *printing* the plan). The checkpoint is LAZY:
+    plan truncation happens at the call, materialization folds into the
+    caller's one action, and the marked RDD computes once for both
+    consumers. After the cut, `visited` is a linear union of checkpointed
+    leaves. This is the
     standard iterative-Spark discipline (same reason pagerank checkpoints
     every `checkpoint_interval` steps). At 100 TB each level is one
     shuffle join of the frontier (small) against edges partitioned by
@@ -214,7 +217,7 @@ def bfs_hops(
     """
     frontier = sources.select(
         "doc_id", F.lit(0).cast("long").alias("hops")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     visited = frontier
     for depth in range(1, max_depth + 1):
         # Frontier and visited are broadcast: a radius-bounded reach set
@@ -229,7 +232,11 @@ def bfs_hops(
             .distinct()
             .join(F.broadcast(visited), "doc_id", "left_anti")
             .select("doc_id", F.lit(depth).cast("long").alias("hops"))
-            .localCheckpoint(eager=True)
+            # lazy: the plan is truncated at the call (killing the 2^depth
+            # growth) but materialization folds into the caller's single
+            # action — no per-level blocking job; the checkpoint-marked RDD
+            # still computes once and is reused by both consumers
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(nxt)
         frontier = nxt
