@@ -137,18 +137,24 @@ def pagerank(
                 prev.unpersist()
             prev = nxt
         ranks = nxt
-    # Return the LAZY frame: with iterations <= checkpoint_interval nothing
-    # was persisted, so the caller's single action computes the fused chain
-    # once and nothing stays pinned in the cache manager afterwards (an
-    # end-of-loop persist would leak one cached ~|V|-row frame per call; an
-    # eager localCheckpoint pays a second materialization job). Long runs
-    # keep their interval checkpoints; those frames stay cached until the
-    # session clears them — the documented cost of a deep iteration chain.
-    return ranks.select(
+    out = ranks.select(
         "doc_id",
         "units",
         (F.col("units").cast("double") / F.lit(float(TOTAL_UNITS))).alias("rank"),
     )
+    if deep:
+        # deep runs hold persisted frames (edges + the last interval
+        # checkpoint); materialize the result as a localCheckpoint — freed
+        # with the returned DataFrame by the context cleaner — so both can
+        # be released here instead of leaking per call
+        out = out.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        edges.unpersist()
+    # Shallow runs (iterations <= checkpoint_interval) return the LAZY
+    # frame: nothing was persisted, the caller's single action computes the
+    # fused chain once, and nothing stays pinned in the cache manager.
+    return out
 
 
 def pagerank_oracle_sql(iterations: int = 10, out_degree: int = 3, damping_pct: int = 85) -> str:

@@ -822,8 +822,8 @@ def op_hash_sample(spark, sf_dir):
     """
     WITH gaps AS (
       SELECT user_id, ts, value, event_id,
-             CASE WHEN CAST(epoch(ts) AS BIGINT)
-                       - lag(CAST(epoch(ts) AS BIGINT))
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > 1800
                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1401,11 +1401,11 @@ def op_profile(spark, sf_dir):
     """
     SELECT user_id, ts, event_id,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
-                  PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                  PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS rolling_1h,
            CAST(COUNT(*) OVER (
-                  PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                  PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS n_1h
     FROM events WHERE user_id < 40

@@ -1534,9 +1534,10 @@ def graph_bfs(spark, sf_dir):
     the seed set {doc_id < 3}, depth-capped at 6 — the
     contamination-radius / reachability traversal
     (pysparkdb.pipeline.graph.bfs_hops). Level-synchronous frontier
-    expansion, fixed-depth, with an eager localCheckpoint per level —
-    the frontier is consumed twice per level, so an uncut lineage doubles
-    per level and explodes 2^depth. The oracle is a recursive CTE that runs
+    expansion, fixed-depth, with a LAZY localCheckpoint per level — the
+    frontier is consumed twice per level, so an uncut lineage doubles per
+    level and explodes 2^depth; the lazy cut truncates the plan without a
+    per-level blocking job. The oracle is a recursive CTE that runs
     VERBATIM in both engines (Spark 4 WITH RECURSIVE) — the registry's
     first recursive-SQL parity query: walk enumeration in the recursive
     member, MIN-collapse outside."""

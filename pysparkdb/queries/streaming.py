@@ -442,9 +442,12 @@ def ev_zscore_outliers(spark, sf_dir):
     per-type moments via the exact decimal formulation (op_variance's
     hash-stable trick — mean and variance come out bit-identical in both
     engines, and sqrt is IEEE correctly-rounded, so the outlier BOUNDARY
-    is engine-exact), then a broadcast join of the tiny stats frame back
-    onto events to count |value − μ| > 2σ. LEFT join keeps types with
-    zero outliers at n_outliers = 0. At 100 TB: stats are |types| rows
+    is engine-exact), then an INNER broadcast join of the tiny stats
+    frame onto events to count |value − μ| > 2σ map-side; zero-outlier
+    types are restored by a tiny stats-side left join (events must be
+    the stream side: Spark cannot broadcast-build the preserved side of
+    a left outer join, so the outer-first formulation would shuffle the
+    whole stream by type). At 100 TB: stats are |types| rows
     (broadcast), the second pass is map-side — two scans, no wide
     shuffle; a single-pass window formulation would shuffle the whole
     stream by type instead."""
@@ -456,14 +459,27 @@ def ev_zscore_outliers(spark, sf_dir):
         (dsum(v) / n).alias("mu"),
         ((dsum(v * v) - dsum(v) * dsum(v) / n) / (n - 1)).alias("var"),
     )
-    st = F.broadcast(stats.alias("st"))
+    # events stays the STREAM side of a broadcast join: Spark cannot build
+    # the preserved side of a LEFT OUTER join, so a stats-left formulation
+    # would silently shuffle the whole event stream by type. Inner-join
+    # events against the broadcast stats to count outliers map-side, then
+    # restore zero-outlier types with a tiny stats-frame left join.
+    st = stats.alias("st")
     ev = e.alias("ev")
-    joined = st.join(
-        ev,
-        (F.col("ev.event_type") == F.col("st.event_type"))
-        & (F.abs(F.col("ev.value") - F.col("st.mu")) > 2 * F.sqrt(F.col("st.var"))),
-        "left",
+    outl = (
+        ev.join(
+            F.broadcast(st),
+            (F.col("ev.event_type") == F.col("st.event_type"))
+            & (F.abs(F.col("ev.value") - F.col("st.mu")) > 2 * F.sqrt(F.col("st.var"))),
+        )
+        .groupBy(F.col("st.event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("_n_out"))
     )
-    return joined.groupBy(F.col("st.event_type"), F.col("st.n_total").alias("n_total")).agg(
-        bigint(F.count(F.col("ev.event_id"))).alias("n_outliers")
+    return (
+        stats.select("event_type", "n_total")
+        .join(outl, "event_type", "left")
+        .select(
+            "event_type", "n_total",
+            bigint(F.coalesce(F.col("_n_out"), F.lit(0))).alias("n_outliers"),
+        )
     )

@@ -101,11 +101,12 @@ def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
         root, _DATA_DIR, f"batch-{version}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(batch_dir)
-    new_files = [os.path.relpath(p, root) for p in _parquet_files(batch_dir)]
+    written = _parquet_files(batch_dir)
+    new_files = [os.path.relpath(p, root) for p in written]
     prev = _read_manifest(root, parent) if parent else {"files": [], "n_rows": 0}
     # row count from parquet footers (the catalog.zone_map pattern) — no
     # Spark job per commit, which matters when every micro-batch commits
-    n_new = _footer_rows(_parquet_files(batch_dir))
+    n_new = _footer_rows(written)
     _commit(root, version, prev["files"] + new_files, prev["n_rows"] + n_new, parent,
             epoch=epoch)
     return version

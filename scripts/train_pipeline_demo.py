@@ -60,16 +60,16 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         pq.write_table(pa.Table.from_pandas(df.toPandas()), os.path.join(landing, name))
 
     # --- 1. INGEST: two arrivals, cleaned + versioned ---------------------
+    def drain() -> None:
+        stream = spark.readStream.schema(docs.schema).parquet(landing)
+        cleaned = stream_clean_documents(stream, scrub_pii=True)
+        q = snapshot_stream_sink(cleaned, root, ckpt).trigger(availableNow=True).start()
+        assert q.awaitTermination(300), "ingest drain exceeded its 300 s budget"
+
     land("arrival-1.parquet", docs.filter(F.col("doc_id") % 2 == 0))
-    stream = spark.readStream.schema(docs.schema).parquet(landing)
-    cleaned = stream_clean_documents(stream, scrub_pii=True)
-    q = snapshot_stream_sink(cleaned, root, ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    drain()
     land("arrival-2.parquet", docs.filter(F.col("doc_id") % 2 == 1))
-    stream = spark.readStream.schema(docs.schema).parquet(landing)
-    cleaned = stream_clean_documents(stream, scrub_pii=True)
-    q = snapshot_stream_sink(cleaned, root, ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    drain()
     pinned = snapshot_versions(root)[-1]
     n_ingested = snapshot_read(spark, root, pinned).count()
 

@@ -742,3 +742,32 @@ def test_train_pipeline_demo_end_to_end(spark, sf_dir, tmp_path):
     assert stats["versions"][-1] > stats["pinned_version"]
     latest = snapshot_read(spark, str(tmp_path / "corpus"))
     assert latest.count() == stats["ingested_clean"]
+
+
+def test_pagerank_deep_checkpoint_schedule_is_invisible(spark, sf_dir):
+    """The checkpoint schedule is an execution detail: a deep run
+    (iterations > checkpoint_interval, exercising the persist/
+    materialize/release path) must produce BIT-IDENTICAL units to the
+    same iterations run shallow, and must release its persisted frames
+    (edges + interval checkpoints) — at most the returned result's own
+    checkpoint may remain cached."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb.pipeline import graph
+    from pysparkdb.queries.base import tables
+
+    nodes = tables(spark, sf_dir)["documents"].select("doc_id")
+    n = nodes.count()
+    edges = graph.synthetic_link_graph(nodes, n, 3)
+    shallow = {
+        r.doc_id: r.units
+        for r in graph.pagerank(nodes, edges, n, 3, iterations=12,
+                                checkpoint_interval=12).collect()
+    }
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    deep_df = graph.pagerank(nodes, edges, n, 3, iterations=12,
+                             checkpoint_interval=5)
+    deep = {r.doc_id: r.units for r in deep_df.collect()}
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert deep == shallow
+    assert after - before <= 1, (before, after)  # only the result checkpoint

@@ -360,3 +360,14 @@ def test_profile_is_single_scan(spark, sf_dir):
     p = plan("op_profile", spark, sf_dir, mode="simple")
     assert p.count("FileScan parquet") == 1, p
     assert "Expand" in p, p
+
+
+def test_zscore_events_join_is_broadcast(spark, sf_dir):
+    """ev_zscore_outliers' scale contract: the event stream must meet the
+    stats frame through a broadcast hash join (events as the stream side
+    of an INNER join) — never a shuffle of the stream by type, which the
+    outer-first formulation would silently cause (Spark cannot broadcast-
+    build the preserved side of a left outer join)."""
+    p = plan("ev_zscore_outliers", spark, sf_dir, mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
