@@ -35,10 +35,19 @@ def as_of_join(
     right_on: str,
     left_ts: str,
     right_ts: str,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts`` ≤ ``left_ts`` within the same key (backward as-of, left
     outer: unmatched left rows keep null right columns).
+
+    ``tolerance_s`` bounds staleness (pandas merge_asof / feature-store
+    semantics): a match older than ``left_ts − tolerance_s`` is discarded
+    (inclusive boundary), the left row keeping null right columns. The
+    bound is applied AFTER the window pass — one post-window column
+    comparison, no change to the single-shuffle cost model. Timestamps
+    compare as fractional epoch doubles: micro-precision epochs fit well
+    under 2^53, so the difference and the boundary equality are exact.
 
     Output columns: all of ``left``'s, then all of ``right``'s (callers
     ensure the names don't collide, as with any join followed by select).
@@ -77,9 +86,14 @@ def as_of_join(
         .orderBy("_t", "_is_left")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
+    out = (
         tagged_l.unionByName(tagged_r)
         .withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
         .filter(F.col("_is_left") == 1)
-        .select("_lrow.*", "_match.*")
     )
+    if tolerance_s is not None:
+        fresh = (
+            F.col("_t").cast("double") - F.col("_match")[right_ts].cast("double")
+        ) <= float(tolerance_s)
+        out = out.withColumn("_match", F.when(fresh, F.col("_match")))
+    return out.select("_lrow.*", "_match.*")

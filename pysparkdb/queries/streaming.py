@@ -483,3 +483,58 @@ def ev_zscore_outliers(spark, sf_dir):
             bigint(F.coalesce(F.col("_n_out"), F.lit(0))).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "ev_asof_tolerance",
+    """
+    WITH p AS (
+      SELECT user_id, ts AS pts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT e.event_id, p.pts, p.purchase_value,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY p.pts DESC) AS rn
+      FROM events e JOIN p
+        ON e.user_id = p.user_id
+       AND p.pts <= e.ts
+       AND p.pts >= e.ts - INTERVAL 2 HOUR
+      WHERE e.event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, m.pts AS purchase_ts, m.purchase_value
+    FROM events e
+    LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON e.event_id = m.event_id
+    WHERE e.event_type = 'click'
+    """,
+    "events", "asof_join", "tolerance",
+)
+def ev_asof_tolerance(spark, sf_dir):
+    """Attribution join: each click attached to the SAME user's most
+    recent purchase within the last 2 hours — the tolerance-bounded
+    (staleness-capped) as-of join of feature stores and attribution
+    windows (pandas merge_asof tolerance semantics). Clicks whose latest
+    purchase is older than the window keep null purchase columns. Same
+    single-shuffle union-marker/window plan as ev_asof plus one
+    post-window freshness comparison; the oracle replays it as a
+    brute-force bounded range join + per-click argmax, both bounds
+    inclusive in both engines."""
+    from pysparkdb.operators.asof import as_of_join
+
+    e = tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = as_of_join(
+        clicks, purchases,
+        left_on="user_id", right_on="p_user",
+        left_ts="ts", right_ts="pts",
+        tolerance_s=7200,
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("pts").alias("purchase_ts"), "purchase_value",
+    )

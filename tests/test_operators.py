@@ -204,3 +204,28 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         assert salted == plain, how
     with pytest.raises(ValueError, match="salted join"):
         O.salted_join(li, o, ["l_orderkey"], "full")
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    """tolerance_s keeps a match at exactly the bound (inclusive) and
+    nulls one just beyond it, leaving the left row present (left outer)."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb.operators import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 1000), (2, 10, 5000), (3, 20, 1000)], "eid long, k long, es long"
+    ).withColumn("t", F.timestamp_seconds("es")).drop("es")
+    right = spark.createDataFrame(
+        [(10, 900, "fresh"), (20, 0, "stale")], "rk long, rs long, tag string"
+    ).withColumn("rt", F.timestamp_seconds("rs")).drop("rs")
+    out = {
+        r.eid: r.tag
+        for r in as_of_join(
+            left, right, "k", "rk", "t", "rt", tolerance_s=100
+        ).collect()
+    }
+    assert out[1] == "fresh"   # gap 100 == tolerance → inclusive keep
+    assert out[2] is None      # gap 4100 > tolerance → nulled match
+    assert out[3] is None      # gap 1000 > tolerance
+    assert len(out) == 3       # left outer: every left row survives
