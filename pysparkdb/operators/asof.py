@@ -36,22 +36,32 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
-    ``right_ts`` ≤ ``left_ts`` within the same key (backward as-of, left
-    outer: unmatched left rows keep null right columns).
+    ``right_ts`` ≤ ``left_ts`` within the same key (``direction=
+    "backward"``, the default) or the smallest ``right_ts`` ≥ ``left_ts``
+    (``"forward"`` — the next-event lookup of conversion attribution).
+    Left outer either way: unmatched left rows keep null right columns.
 
     ``tolerance_s`` bounds staleness (pandas merge_asof / feature-store
-    semantics): a match older than ``left_ts − tolerance_s`` is discarded
-    (inclusive boundary), the left row keeping null right columns. The
-    bound is applied AFTER the window pass — one post-window column
-    comparison, no change to the single-shuffle cost model. Timestamps
-    compare as fractional epoch doubles: micro-precision epochs fit well
-    under 2^53, so the difference and the boundary equality are exact.
+    semantics): a match farther than ``tolerance_s`` from ``left_ts`` in
+    the chosen direction is discarded (inclusive boundary), the left row
+    keeping null right columns. The bound is applied AFTER the window
+    pass — one post-window column comparison, no change to the
+    single-shuffle cost model. Timestamps compare as fractional epoch
+    doubles: micro-precision epochs fit well under 2^53, so the
+    difference and the boundary equality are exact.
+
+    Forward is backward time-reversed: the same union-marker/window plan
+    with the sort order flipped (right rows still sort before same-ts
+    left rows, so an equal-timestamp match stays visible inclusively).
 
     Output columns: all of ``left``'s, then all of ``right``'s (callers
     ensure the names don't collide, as with any join followed by select).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     l_struct = T.StructType(left.schema.fields)
     r_struct = T.StructType(right.schema.fields)
 
@@ -79,11 +89,13 @@ def as_of_join(
     )
 
     # (ts, marker) order puts a right row before left rows at the same ts
-    # → inclusive as-of. last(ignorenulls) carries the newest right payload
-    # forward through each key partition.
+    # → inclusive as-of. last(ignorenulls) carries the nearest right
+    # payload through each key partition: ascending ts for backward
+    # (newest past row), descending for forward (nearest future row).
+    ts_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_is_left")
+        .orderBy(ts_order, "_is_left")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = (
@@ -92,8 +104,10 @@ def as_of_join(
         .filter(F.col("_is_left") == 1)
     )
     if tolerance_s is not None:
-        fresh = (
-            F.col("_t").cast("double") - F.col("_match")[right_ts].cast("double")
-        ) <= float(tolerance_s)
-        out = out.withColumn("_match", F.when(fresh, F.col("_match")))
+        gap = F.col("_t").cast("double") - F.col("_match")[right_ts].cast("double")
+        if direction == "forward":
+            gap = -gap
+        out = out.withColumn(
+            "_match", F.when(gap <= float(tolerance_s), F.col("_match"))
+        )
     return out.select("_lrow.*", "_match.*")

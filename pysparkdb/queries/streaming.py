@@ -538,3 +538,56 @@ def ev_asof_tolerance(spark, sf_dir):
         "event_id", "user_id",
         F.col("pts").alias("purchase_ts"), "purchase_value",
     )
+
+
+@register(
+    "ev_conversion_lag",
+    """
+    WITH p AS (
+      SELECT user_id, ts AS pts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT e.event_id, p.pts, p.purchase_value,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY p.pts ASC) AS rn
+      FROM events e JOIN p
+        ON e.user_id = p.user_id
+       AND p.pts >= e.ts
+       AND p.pts <= e.ts + INTERVAL 2 HOUR
+      WHERE e.event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, m.pts AS next_purchase_ts, m.purchase_value
+    FROM events e
+    LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON e.event_id = m.event_id
+    WHERE e.event_type = 'click'
+    """,
+    "events", "asof_join", "tolerance", "forward",
+)
+def ev_conversion_lag(spark, sf_dir):
+    """Conversion attribution, forward direction: each click attached to
+    the SAME user's NEXT purchase within the following 2 hours —
+    as_of_join(direction="forward", tolerance_s=7200), the time-reversed
+    twin of ev_asof_tolerance (same single-shuffle union-marker/window
+    plan with the sort flipped). Clicks with no purchase inside the
+    window keep null columns; the oracle replays the bounded forward
+    range join + per-click argmin."""
+    from pysparkdb.operators.asof import as_of_join
+
+    e = tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = as_of_join(
+        clicks, purchases,
+        left_on="user_id", right_on="p_user",
+        left_ts="ts", right_ts="pts",
+        tolerance_s=7200, direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("pts").alias("next_purchase_ts"), "purchase_value",
+    )

@@ -229,3 +229,36 @@ def test_asof_tolerance_bounds_staleness(spark):
     assert out[2] is None      # gap 4100 > tolerance → nulled match
     assert out[3] is None      # gap 1000 > tolerance
     assert len(out) == 3       # left outer: every left row survives
+
+
+def test_asof_forward_picks_next_and_bounds(spark):
+    """Forward as-of: the nearest FUTURE right row wins, an equal
+    timestamp is inclusive, tolerance caps the look-ahead, and backward
+    results are unaffected by the flipped order."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb.operators import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 350), (3, 20, 100)], "eid long, k long, es long"
+    ).withColumn("t", F.timestamp_seconds("es")).drop("es")
+    right = spark.createDataFrame(
+        [(10, 100, "same-ts"), (10, 400, "later"), (20, 900, "far")],
+        "rk long, rs long, tag string",
+    ).withColumn("rt", F.timestamp_seconds("rs")).drop("rs")
+    fwd = {
+        r.eid: r.tag
+        for r in as_of_join(
+            left, right, "k", "rk", "t", "rt",
+            tolerance_s=100, direction="forward",
+        ).collect()
+    }
+    assert fwd[1] == "same-ts"  # rt == t is inclusive
+    assert fwd[2] == "later"    # gap 50 <= tolerance
+    assert fwd[3] is None       # next is 800s away > tolerance
+    assert len(fwd) == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        as_of_join(left, right, "k", "rk", "t", "rt", direction="nearest")
