@@ -527,3 +527,80 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
     assert out.returncode == 0, out.stderr[-800:]
     assert "[1]" in out.stdout
     assert "regions_v1: 5 rows" in out.stdout
+
+
+def test_json_malformed_rows_permissive_vs_failfast(spark, tmp_path):
+    """Ingestion robustness: a landing file with malformed JSON lines.
+    PERMISSIVE mode (the ingest default) quarantines bad lines into
+    _corrupt_record instead of failing the job — the row-level
+    quality-gate semantics a 100 TB ingest needs (one bad crawler record
+    must not kill a shard); FAILFAST surfaces them as an error for
+    strict pipelines."""
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    p = tmp_path / "landing.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .collect()
+    )
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.doc_id for r in good} == {1, 2}
+    assert len(bad) == 2  # the non-JSON line and the type-mismatched one
+
+    import pytest as _pytest
+
+    strict = (
+        spark.read.schema(
+            T.StructType(schema.fields[:2])
+        ).option("mode", "FAILFAST").json(str(p))
+    )
+    with _pytest.raises(Exception, match="FAILFAST|Malformed"):
+        strict.collect()
+
+
+def test_binaryfile_ingest_feeds_multimodal_pipeline(spark, tmp_path):
+    """Multimodal ingestion from RAW FILES: spark.read.format('binaryFile')
+    loads payload bytes + file metadata, which feeds the binary-column
+    pipeline directly (image_ahash over the fake decode) — closing the
+    loop from files-on-disk to perceptual dedup without a bespoke
+    reader. Two identical payloads must collide on the hash; the
+    distinct third must not."""
+    from pysparkdb.pipeline import multimodal
+
+    (tmp_path / "a.bin").write_bytes(b"PAYLOAD-ONE-" + bytes(range(64)))
+    (tmp_path / "b.bin").write_bytes(b"PAYLOAD-ONE-" + bytes(range(64)))
+    (tmp_path / "c.bin").write_bytes(b"ZZZZ-OTHER-" + bytes(reversed(range(64))))
+    raw = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .select(
+            F.abs(F.xxhash64("path")).alias("doc_id"),
+            F.col("path"),
+            F.col("content").alias("payload"),
+        )
+    )
+    hashed = multimodal.image_ahash(raw, fake=True)  # emits (doc_id, ahash)
+    joined = hashed.join(raw.select("doc_id", "path"), "doc_id").collect()
+    by_hash = {}
+    for r in joined:
+        by_hash.setdefault(r.ahash, []).append(r.path)
+    groups = sorted(len(v) for v in by_hash.values())
+    assert groups == [1, 2], by_hash
