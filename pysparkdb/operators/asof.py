@@ -56,12 +56,18 @@ def as_of_join(
     Forward is backward time-reversed: the same union-marker/window plan
     with the sort order flipped (right rows still sort before same-ts
     left rows, so an equal-timestamp match stays visible inclusively).
+    ``"nearest"`` evaluates both candidates in the SAME pass (two Window
+    operators over one exchange — both specs share the key partitioning)
+    and keeps the closer one post-tolerance; ties go backward, matching
+    the default direction's at-or-before bias.
 
     Output columns: all of ``left``'s, then all of ``right``'s (callers
     ensure the names don't collide, as with any join followed by select).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     l_struct = T.StructType(left.schema.fields)
     r_struct = T.StructType(right.schema.fields)
 
@@ -90,24 +96,51 @@ def as_of_join(
 
     # (ts, marker) order puts a right row before left rows at the same ts
     # → inclusive as-of. last(ignorenulls) carries the nearest right
-    # payload through each key partition: ascending ts for backward
-    # (newest past row), descending for forward (nearest future row).
-    ts_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
-    w = (
+    # payload through each key partition: ascending ts for the backward
+    # candidate (newest past row), descending for the forward one
+    # (nearest future row). Both window specs share the key partitioning,
+    # so even when `nearest` evaluates both, Catalyst plans ONE exchange
+    # (two Window operators, two sorts, zero extra shuffles — never a
+    # self-join, which would multiply duplicate left rows).
+    w_back = (
         Window.partitionBy("_k")
-        .orderBy(ts_order, "_is_left")
+        .orderBy(F.col("_t").asc(), "_is_left")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = (
-        tagged_l.unionByName(tagged_r)
-        .withColumn("_match", F.last("_rrow", ignorenulls=True).over(w))
-        .filter(F.col("_is_left") == 1)
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    if tolerance_s is not None:
-        gap = F.col("_t").cast("double") - F.col("_match")[right_ts].cast("double")
-        if direction == "forward":
-            gap = -gap
-        out = out.withColumn(
-            "_match", F.when(gap <= float(tolerance_s), F.col("_match"))
+    unioned = tagged_l.unionByName(tagged_r)
+    if direction != "forward":
+        unioned = unioned.withColumn(
+            "_mb", F.last("_rrow", ignorenulls=True).over(w_back)
         )
-    return out.select("_lrow.*", "_match.*")
+    if direction != "backward":
+        unioned = unioned.withColumn(
+            "_mf", F.last("_rrow", ignorenulls=True).over(w_fwd)
+        )
+    out = unioned.filter(F.col("_is_left") == 1)
+
+    lt = F.col("_t").cast("double")
+
+    def _bounded(col, gap):
+        if tolerance_s is None:
+            return col
+        return F.when(gap <= float(tolerance_s), col)
+
+    if direction == "backward":
+        match = _bounded(F.col("_mb"), lt - F.col("_mb")[right_ts].cast("double"))
+    elif direction == "forward":
+        match = _bounded(F.col("_mf"), F.col("_mf")[right_ts].cast("double") - lt)
+    else:  # nearest: the closer bounded candidate; ties → backward
+        mb = _bounded(F.col("_mb"), lt - F.col("_mb")[right_ts].cast("double"))
+        mf = _bounded(F.col("_mf"), F.col("_mf")[right_ts].cast("double") - lt)
+        bgap = lt - mb[right_ts].cast("double")
+        fgap = mf[right_ts].cast("double") - lt
+        match = (
+            F.when(mb.isNotNull() & (mf.isNull() | (bgap <= fgap)), mb)
+            .otherwise(mf)
+        )
+    return out.withColumn("_match", match).select("_lrow.*", "_match.*")

@@ -261,4 +261,33 @@ def test_asof_forward_picks_next_and_bounds(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="direction"):
-        as_of_join(left, right, "k", "rk", "t", "rt", direction="nearest")
+        as_of_join(left, right, "k", "rk", "t", "rt", direction="sideways")
+
+
+def test_asof_nearest_picks_closer_side_one_exchange(spark):
+    """Nearest direction: closer candidate wins, exact tie goes backward,
+    tolerance bounds both sides — and the dual-window evaluation plans
+    over ONE exchange (never a self-join)."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb.operators import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 210), (3, 10, 1000), (4, 20, 500)],
+        "eid long, k long, es long",
+    ).withColumn("t", F.timestamp_seconds("es")).drop("es")
+    right = spark.createDataFrame(
+        [(10, 90, "past"), (10, 220, "future"), (20, 400, "tie-past"),
+         (20, 600, "tie-future")],
+        "rk long, rs long, tag string",
+    ).withColumn("rt", F.timestamp_seconds("rs")).drop("rs")
+    df = as_of_join(left, right, "k", "rk", "t", "rt",
+                    direction="nearest", tolerance_s=150)
+    out = {r.eid: r.tag for r in df.collect()}
+    assert out[1] == "past"        # 10s back vs 120s fwd → back
+    assert out[2] == "future"      # 120s back vs 10s fwd → fwd
+    assert out[3] is None          # 780s/∞ both beyond tolerance
+    assert out[4] == "tie-past"    # 100s each way → backward bias
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan  # data + AQE read, no join
+    assert "Join" not in plan, plan
