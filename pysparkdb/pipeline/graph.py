@@ -271,3 +271,88 @@ def bfs_oracle_sql(max_depth: int, out_degree: int = 3, source_pred: str = "doc_
     )
     SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
     FROM walk GROUP BY node"""
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 4,
+) -> DataFrame:
+    """Deterministic semi-synchronous label propagation (community
+    detection): every node starts as its own label; each round it adopts
+    the most frequent label among its IN-neighbors, ties broken by the
+    smallest label, no in-edges → keep the current label. The mode-vote
+    makes this genuinely different from connected components (which
+    min-floods regardless of frequency) — LPA communities respect edge
+    density, the grouping used for near-dup site clusters and topic
+    hubs.
+
+    Determinism: counts and label ids are integers, the (count DESC,
+    label ASC) vote is a total order, and the round count is fixed — so
+    the unrolled-CTE DuckDB oracle matches exactly, no convergence
+    nondeterminism. Each round is one edges⋈labels join + a grouped vote
+    + a window argmax + the carry join; the label frame is consumed twice
+    per round (vote + carry), so each round ends in a lazy localCheckpoint
+    — the BFS discipline, without per-round blocking jobs.
+    """
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("lab")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        votes = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("lab").asc())
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("dst"), F.col("lab").alias("wlab"))
+        )
+        labels = (
+            labels.join(winner, labels["doc_id"] == winner["dst"], "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("wlab"), F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("doc_id", F.col("lab").alias("community"))
+
+
+def lpa_oracle_sql(iterations: int = 4, out_degree: int = 3) -> str:
+    """Unrolled-CTE replay of the exact vote schedule, portable to both
+    engines (same edge derivation as the pagerank/BFS oracles)."""
+    js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(1, out_degree + 1))
+    parts = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        (
+            "edges AS (SELECT doc_id AS src, MOD(doc_id * doc_id + j * 13, nn.n) AS dst"
+            f" FROM documents CROSS JOIN nn CROSS JOIN ({js}) js)"
+        ),
+        "l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""v{i} AS (
+      SELECT e.dst AS node, l.lab, COUNT(*) AS c
+      FROM edges e JOIN l{i - 1} l ON e.src = l.node GROUP BY e.dst, l.lab),
+    w{i} AS (
+      SELECT node, lab,
+             row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+      FROM v{i}),
+    l{i} AS (
+      SELECT p.node, COALESCE(w.lab, p.lab) AS lab
+      FROM l{i - 1} p
+      LEFT JOIN (SELECT node, lab FROM w{i} WHERE rn = 1) w ON p.node = w.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS doc_id, CAST(lab AS BIGINT) AS community
+    FROM l{iterations}"""
+    )

@@ -1579,3 +1579,25 @@ def emb_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(
         tables(spark, sf_dir)["embeddings"], query_filter=F.col("vec_id") < 50
     )
+
+
+@register(
+    "graph_lpa",
+    graph.lpa_oracle_sql(iterations=4, out_degree=3),
+    "pipeline", "graph", "iterative", "community",
+)
+def graph_lpa(spark, sf_dir):
+    """Label-propagation communities over the synthetic link graph
+    (pipeline.graph.label_propagation, 4 deterministic rounds): each node
+    adopts its in-neighbors' most frequent label, ties to the smallest —
+    the density-respecting grouping that connected components' min-flood
+    ignores, used for near-dup site clusters and topic hubs. Exact
+    unrolled-CTE oracle (integer votes, total-order tie-break, fixed
+    rounds); per-round lazy localCheckpoint keeps the plan linear."""
+    d = tables(spark, sf_dir)["documents"]
+    nodes = d.select("doc_id")
+    n = nodes.count()  # |V|, a metastore stat at scale
+    edges = graph.synthetic_link_graph(nodes, n, out_degree=3)
+    return graph.label_propagation(nodes, edges, iterations=4).select(
+        "doc_id", F.col("community").cast("long").alias("community")
+    )
