@@ -356,3 +356,42 @@ def lpa_oracle_sql(iterations: int = 4, out_degree: int = 3) -> str:
     SELECT node AS doc_id, CAST(lab AS BIGINT) AS community
     FROM l{iterations}"""
     )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Triangle enumeration (motif counting): the directed edge frame is
+    symmetrized and canonicalized to a < b undirected edges, then each
+    triangle a < b < c is found exactly once by the ordered two-hop join
+    e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c). Returns (a, b, c) rows.
+
+    Scale shape: the ordered join is the standard MapReduce triangle
+    algorithm — canonical ordering stops each triangle appearing 6×, and
+    at web scale the join is driven from the low-degree endpoint so hub
+    nodes don't quadratically explode the candidate two-hops (here the
+    LEAST/GREATEST canonicalization plus Catalyst's join planning covers
+    the testdata scale; degree-ordering is the documented production
+    refinement). Triangle density feeds community/quality signals —
+    near-dup template farms are triangle-dense, organic link graphs are
+    sparse."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )

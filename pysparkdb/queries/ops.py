@@ -1435,3 +1435,51 @@ def op_window_range_frame(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("rolling_1h"),
         bigint(F.count(F.lit(1)).over(w)).alias("n_1h"),
     )
+
+
+@register(
+    "op_winsorize",
+    """
+    WITH st AS (
+      SELECT l_returnflag,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS p05,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, st.p05), st.p95)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS clipped_sum,
+           MIN(LEAST(GREATEST(l.l_extendedprice, st.p05), st.p95)) AS clipped_min,
+           MAX(LEAST(GREATEST(l.l_extendedprice, st.p05), st.p95)) AS clipped_max
+    FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    "ops", "aggregate", "winsorize",
+)
+def op_winsorize(spark, sf_dir):
+    """Winsorization: clip each group's values to its [p5, p95] band —
+    the outlier-taming normalization feature pipelines apply before
+    scale-sensitive statistics. Two passes, both narrow: exact per-group
+    percentiles (cross-engine-identical linear interpolation, the
+    op_percentile contract), broadcast back onto the fact scan, clip
+    with LEAST/GREATEST (pure codegen), aggregate the clipped column
+    through the exact decimal sum. At 100 TB the percentile pass swaps
+    for approx_percentile (op_approx_percentile is the certified sketch
+    path) and the clip stays map-side."""
+    l = tables(spark, sf_dir)["lineitem"]
+    st = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return (
+        l.join(F.broadcast(st), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n"),
+            F.sum(clipped.cast("decimal(25,6)")).cast("double").alias("clipped_sum"),
+            F.min(clipped).alias("clipped_min"),
+            F.max(clipped).alias("clipped_max"),
+        )
+    )

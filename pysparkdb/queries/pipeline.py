@@ -1601,3 +1601,34 @@ def graph_lpa(spark, sf_dir):
     return graph.label_propagation(nodes, edges, iterations=4).select(
         "doc_id", F.col("community").cast("long").alias("community")
     )
+
+
+@register(
+    "graph_triangles",
+    """
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw AS (SELECT doc_id AS src, MOD(doc_id * doc_id + j * 13, nn.n) AS dst
+            FROM documents CROSS JOIN nn
+            CROSS JOIN (SELECT 1 AS j UNION ALL SELECT 2 AS j
+                        UNION ALL SELECT 3 AS j) js),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM raw WHERE src <> dst)
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "pipeline", "graph", "motif",
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the synthetic link graph
+    (pipeline.graph.triangles): canonical a<b<c ordered two-hop join, so
+    each triangle appears exactly once — the motif count behind
+    template-farm detection (near-dup link farms are triangle-dense).
+    Fully portable SQL oracle: the same symmetrize → canonicalize →
+    ordered self-join pipeline in both engines."""
+    d = tables(spark, sf_dir)["documents"]
+    nodes = d.select("doc_id")
+    n = nodes.count()  # |V|, a metastore stat at scale
+    edges = graph.synthetic_link_graph(nodes, n, out_degree=3)
+    return graph.triangles(edges)

@@ -591,3 +591,74 @@ def ev_conversion_lag(spark, sf_dir):
         "event_id", "user_id",
         F.col("pts").alias("next_purchase_ts"), "purchase_value",
     )
+
+
+@register(
+    "ev_resample_ffill",
+    """
+    WITH b AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE user_id < 5 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP)
+               AS hour
+      FROM b
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS hourly_value
+      FROM events WHERE user_id < 5 GROUP BY user_id, hour
+    )
+    SELECT g.user_id, g.hour,
+           CASE WHEN h.hourly_value IS NULL THEN FALSE ELSE TRUE END AS observed,
+           last_value(h.hourly_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
+    "events", "timeseries", "resample",
+)
+def ev_resample_ffill(spark, sf_dir):
+    """Time-series regularization: resample each user's event stream onto
+    an hourly grid between their first and last event and FORWARD-FILL
+    gaps with the last observed hourly total — the feature-engineering
+    step every irregular event stream needs before windowed models.
+    Shape: per-user bounds (one agg), sequence()-exploded grid (map-side
+    fan-out, no shuffle beyond the bounds agg), hourly totals (one agg),
+    a grid⋈hourly left join, and one last(ignorenulls) window — the
+    same forward-carry primitive as the as-of join, on a regular grid.
+    The first grid hour is always observed (the grid starts AT the first
+    event), so the fill is total. Hourly totals use the exact decimal
+    sum so the fill values hash-match; the grid itself is
+    engine-portable but generate_series/sequence spell differently, so
+    the oracle is DuckDB-dialect."""
+    e = tables(spark, sf_dir)["events"].filter(F.col("user_id") < 5)
+    b = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(dsum(F.col("value")).alias("hourly_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id", "hour",
+            F.col("hourly_value").isNotNull().alias("observed"),
+            F.last("hourly_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

@@ -30,6 +30,7 @@ NOT_ANSI_PORTABLE = {
     "text_fingerprint",    # same
     "ev_json",             # json_extract_string
     "ev_sliding",          # unnest([...]) window-start materialization
+    "ev_resample_ffill",   # unnest(generate_series()) grid vs Spark sequence()
     "ev_asof",             # DuckDB-native ASOF JOIN syntax
     "ev_range_join",       # epoch_us() is DuckDB-only
     "mm_binary_meta",      # encode(text) 1-arg form
