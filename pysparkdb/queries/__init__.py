@@ -63,7 +63,8 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # graph_pagerank, graph_bfs, op_profile, op_window_range_frame,
 # ev_rollup_cascade, ev_zscore_outliers, emb_hard_negatives,
 # ev_asof_tolerance, ev_conversion_lag, graph_lpa, graph_triangles,
-# ev_resample_ffill, op_winsorize — rotate these in as round-6 rows bank.
+# ev_resample_ffill, op_winsorize, op_unpivot — rotate these in as round-6
+# rows bank.
 DRIVER_WINDOW: tuple[str, ...] = (
     # reshaped round 6: self-certifying approx sketches
     "op_approx_percentile", "op_approx_distinct",

@@ -1483,3 +1483,45 @@ def op_winsorize(spark, sf_dir):
             F.max(clipped).alias("clipped_max"),
         )
     )
+
+
+@register(
+    "op_unpivot",
+    """
+    SELECT l_orderkey AS okey, l_linenumber AS line,
+           'quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    "ops", "reshape", "unpivot",
+)
+def op_unpivot(spark, sf_dir):
+    """UNPIVOT/melt — wide-to-long reshaping, the inverse of op_pivot:
+    three measure columns become (metric, val) rows via the built-in
+    unpivot() (Spark plans one Expand over a single scan — the oracle's
+    UNION-ALL formulation, portable to both engines, would rescan per
+    measure). Per-row doubles reshape without arithmetic, so no rounding
+    is needed."""
+    l = tables(spark, sf_dir)["lineitem"].filter(F.col("l_orderkey") < 100)
+    return (
+        l.select("l_orderkey", "l_linenumber",
+                 F.col("l_quantity").alias("quantity"),
+                 F.col("l_extendedprice").alias("extendedprice"),
+                 F.col("l_discount").alias("discount"))
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["quantity", "extendedprice", "discount"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("line"),
+            "metric", "val",
+        )
+    )
