@@ -124,6 +124,12 @@ def as_of_join(
     out = unioned.filter(F.col("_is_left") == 1)
 
     lt = F.col("_t").cast("double")
+    # A NULL left timestamp precedes/follows nothing — no direction may
+    # match it. Backward gets this for free (NULLS FIRST puts the row
+    # before every right row); forward's descending sort puts NULLs last,
+    # where the carry would hand them the MINIMUM-ts right row, so the
+    # guard must be explicit.
+    has_t = F.col("_t").isNotNull()
 
     def _bounded(col, gap):
         if tolerance_s is None:
@@ -143,4 +149,6 @@ def as_of_join(
             F.when(mb.isNotNull() & (mf.isNull() | (bgap <= fgap)), mb)
             .otherwise(mf)
         )
-    return out.withColumn("_match", match).select("_lrow.*", "_match.*")
+    return out.withColumn(
+        "_match", F.when(has_t, match)
+    ).select("_lrow.*", "_match.*")

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOTAL_UNITS = 1_000_000_000_000  # 1e12 — fixed-point mass
@@ -67,6 +67,20 @@ def synthetic_link_graph(docs: DataFrame, n_nodes: int, out_degree: int = 3) -> 
     return docs.select(F.col("doc_id").alias("src"), js).select(
         "src",
         ((F.col("src") * F.col("src") + F.col("j") * 13) % F.lit(n_nodes)).alias("dst"),
+    )
+
+
+
+def _edges_cte(out_degree: int) -> str:
+    """Shared nn/edges CTE fragment for every oracle over the synthetic
+    graph — ONE definition of the edge derivation, kept in lockstep with
+    synthetic_link_graph (a drifted copy would silently break Spark/DuckDB
+    parity for whichever oracle kept the old formula)."""
+    js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(1, out_degree + 1))
+    return (
+        "nn AS (SELECT COUNT(*) AS n FROM documents),\n"
+        "    edges AS (SELECT doc_id AS src, MOD(doc_id * doc_id + j * 13, nn.n) AS dst"
+        f" FROM documents CROSS JOIN nn CROSS JOIN ({js}) js)"
     )
 
 
@@ -162,13 +176,8 @@ def pagerank_oracle_sql(iterations: int = 10, out_degree: int = 3, damping_pct: 
     Spark SQL — the text is dialect-portable). Chained CTEs unroll the
     iterations; recursive CTEs cannot aggregate in the recursive member."""
     teleport = f"CAST(FLOOR({(100 - damping_pct) * TOTAL_UNITS / 100:.1f} / nn.n) AS BIGINT)"
-    js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(1, out_degree + 1))
     parts = [
-        "nn AS (SELECT COUNT(*) AS n FROM documents)",
-        (
-            "edges AS (SELECT doc_id AS src, MOD(doc_id * doc_id + j * 13, nn.n) AS dst"
-            f" FROM documents CROSS JOIN nn CROSS JOIN ({js}) js)"
-        ),
+        _edges_cte(out_degree),
         (
             f"r0 AS (SELECT doc_id, CAST(FLOOR({float(TOTAL_UNITS)} / nn.n) AS BIGINT)"
             " AS units FROM documents CROSS JOIN nn)"
@@ -256,17 +265,13 @@ def bfs_oracle_sql(max_depth: int, out_degree: int = 3, source_pred: str = "doc_
     enumerates walks (no visited-set dedup — not expressible in the
     recursive member) and the outer MIN collapses them to hop counts;
     the depth cap bounds the 3^d walk fan-out."""
-    js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(1, out_degree + 1))
     return f"""
-    WITH RECURSIVE walk(node, dist) AS (
+    WITH RECURSIVE {_edges_cte(out_degree)},
+    walk(node, dist) AS (
       SELECT doc_id, 0 FROM documents WHERE {source_pred}
       UNION ALL
-      SELECT MOD(e.src * e.src + e.j * 13, e.n), w.dist + 1
-      FROM (SELECT d.doc_id AS src, js.j, nn.n
-            FROM documents d
-            CROSS JOIN (SELECT COUNT(*) AS n FROM documents) nn
-            CROSS JOIN ({js}) js) e
-      JOIN walk w ON e.src = w.node
+      SELECT e.dst, w.dist + 1
+      FROM edges e JOIN walk w ON e.src = w.node
       WHERE w.dist < {max_depth}
     )
     SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS hops
@@ -304,8 +309,6 @@ def label_propagation(
             .groupBy(F.col("dst"), F.col("lab"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        from pyspark.sql import Window
-
         w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("lab").asc())
         winner = (
             votes.withColumn("_rn", F.row_number().over(w))
@@ -326,13 +329,8 @@ def label_propagation(
 def lpa_oracle_sql(iterations: int = 4, out_degree: int = 3) -> str:
     """Unrolled-CTE replay of the exact vote schedule, portable to both
     engines (same edge derivation as the pagerank/BFS oracles)."""
-    js = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(1, out_degree + 1))
     parts = [
-        "nn AS (SELECT COUNT(*) AS n FROM documents)",
-        (
-            "edges AS (SELECT doc_id AS src, MOD(doc_id * doc_id + j * 13, nn.n) AS dst"
-            f" FROM documents CROSS JOIN nn CROSS JOIN ({js}) js)"
-        ),
+        _edges_cte(out_degree),
         "l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents)",
     ]
     for i in range(1, iterations + 1):
@@ -395,3 +393,16 @@ def triangles(edges: DataFrame) -> DataFrame:
             F.col("e2.b").alias("c"),
         )
     )
+
+
+def triangles_oracle_sql(out_degree: int = 3) -> str:
+    """Portable oracle for triangles(): same symmetrize → canonicalize →
+    ordered self-join over the shared edges CTE."""
+    return f"""
+    WITH {_edges_cte(out_degree)},
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges WHERE src <> dst)
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""

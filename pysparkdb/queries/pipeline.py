@@ -1605,19 +1605,7 @@ def graph_lpa(spark, sf_dir):
 
 @register(
     "graph_triangles",
-    """
-    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-    raw AS (SELECT doc_id AS src, MOD(doc_id * doc_id + j * 13, nn.n) AS dst
-            FROM documents CROSS JOIN nn
-            CROSS JOIN (SELECT 1 AS j UNION ALL SELECT 2 AS j
-                        UNION ALL SELECT 3 AS j) js),
-    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-            FROM raw WHERE src <> dst)
-    SELECT e1.a AS a, e1.b AS b, e2.b AS c
-    FROM und e1
-    JOIN und e2 ON e1.b = e2.a
-    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-    """,
+    graph.triangles_oracle_sql(out_degree=3),
     "pipeline", "graph", "motif",
 )
 def graph_triangles(spark, sf_dir):

@@ -291,3 +291,29 @@ def test_asof_nearest_picks_closer_side_one_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan  # data + AQE read, no join
     assert "Join" not in plan, plan
+
+
+def test_asof_null_left_ts_never_matches_any_direction(spark):
+    """A NULL left timestamp precedes/follows nothing: every direction
+    must yield null right columns (forward's descending sort would
+    otherwise hand NULL-ts rows the minimum-ts right row)."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb.operators import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, None), (2, 10, 250)], "eid long, k long, es long"
+    ).withColumn("t", F.timestamp_seconds("es")).drop("es")
+    right = spark.createDataFrame(
+        [(10, 90, "early"), (10, 220, "late")], "rk long, rs long, tag string"
+    ).withColumn("rt", F.timestamp_seconds("rs")).drop("rs")
+    for direction in ("backward", "forward", "nearest"):
+        out = {
+            r.eid: r.tag
+            for r in as_of_join(
+                left, right, "k", "rk", "t", "rt", direction=direction
+            ).collect()
+        }
+        assert out[1] is None, direction
+        assert out[2] == ("late" if direction != "forward" else None), direction
+        assert len(out) == 2, direction
