@@ -56,39 +56,39 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # e2e TPC-H/SSB/events corpus banked green in rounds 3, 4 AND 5 and sits
 # outside it this round). Rotate this list every round as sweeps bank.
 #
-# ROUND-7 ROTATION QUEUE (registered late in round 6, window already full of
-# never-swept forms): text_unigram_logprob, text_bm25, text_pii_scrub,
-# text_dup_chunks, dedup_incremental, mm_image_dedup, op_cube, ev_funnel,
-# ev_retention, op_upsert, op_scd2, op_weighted_sample, text_fuzzy_join,
-# graph_pagerank, graph_bfs, op_profile, op_window_range_frame,
-# ev_rollup_cascade, ev_zscore_outliers, emb_hard_negatives,
-# ev_asof_tolerance, ev_conversion_lag, graph_lpa, graph_triangles,
-# ev_resample_ffill, op_winsorize, op_unpivot — rotate these in as round-6
-# rows bank.
+# ROUND-7 WINDOW: the 27 queries registered late in round 6 that have never
+# had a driver CORRECTNESS row (all green in the local oracle suite), three
+# of which were additionally reshaped this round for ADVICE determinism
+# fixes (ev_asof_tolerance / ev_conversion_lag purchase pre-aggregation,
+# op_weighted_sample n_chars>0 guard), plus new round-7 registrations,
+# topped up with the oldest banked rows (round-2 bank) to 50.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # reshaped round 6: self-certifying approx sketches
-    "op_approx_percentile", "op_approx_distinct",
-    # new round 6: original-form partsupp queries, join-order variants,
-    # synthetic co-located join
-    "q2_orig", "q11_orig", "q16_orig", "q20_orig",
-    "q5_jo1", "q5_jo2", "q9_orig", "q9_jo2", "q_co_join", "q_co_join3",
-    "ssb_gen1", "ssb_gen2", "ssb_gen3", "ssb_gen4", "ssb_gen5",
-    "dedup_decontaminate", "text_repetition", "op_window_analytics",
-    # new round 6 (late): duplicate clustering + text indexing + mixing/packing
-    "dedup_cluster", "text_inverted_index", "text_tfidf",
-    "text_domain_mix", "text_pack", "emb_quantize", "pipeline_clean_near",
-    # modified round 6: broadcast removal / q21 reuse pin (dedup_embedding
-    # and ann_topk vacated — the pair-scoring revert restored their banked
-    # r1/r2 form exactly)
-    "dedup_ngram_jaccard", "q21",
-    # reshaped round 5 (self-certifying certificates), never swept in that form
-    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
-    "mm_resize", "mm_audio_features",
-    # never swept at all
-    "op_rollup", "op_grouping_sets", "op_pivot", "op_sessionize",
-    "op_collect_set", "op_hash_sample", "op_histogram", "op_min_max_by",
-    "op_window_lead_lag", "op_string_funcs", "op_date_trunc",
-    "text_chunk", "text_stratified_sample", "emb_norm_stats", "mm_chunk_audio",
+    # never driver-swept (round-6 late registrations) — graph suite
+    "graph_pagerank", "graph_bfs", "graph_lpa", "graph_triangles",
+    # warehouse maintenance
+    "op_cube", "op_upsert", "op_scd2", "op_profile",
+    # reshaped round 7 (ADVICE determinism fixes)
+    "op_weighted_sample", "ev_asof_tolerance", "ev_conversion_lag",
+    # events analytics
+    "ev_funnel", "ev_retention", "ev_rollup_cascade", "ev_zscore_outliers",
+    "ev_resample_ffill",
+    # ops late additions
+    "op_winsorize", "op_unpivot", "op_window_range_frame",
+    # text late additions
+    "text_bm25", "text_unigram_logprob", "text_pii_scrub", "text_dup_chunks",
+    "text_fuzzy_join",
+    # dedup / multimodal / embeddings late additions
+    "dedup_incremental", "mm_image_dedup", "emb_hard_negatives",
+    # new round 7 (registered this round; replaces oldest-banked top-ups
+    # as they land)
+    "ssb_t1_1", "ssb_t1_2", "ssb_t1_3", "ssb_t2_1", "ssb_t2_2", "ssb_t2_3",
+    "ssb_t3_1", "ssb_t3_2", "ssb_t3_3", "ssb_t3_4", "ssb_t4_1", "ssb_t4_2",
+    "ssb_t4_3",
+    "op_winsorize_approx", "pipeline_snapshot_curation",
+    # top-up: oldest banked evidence (round-2 rows, unchanged form since)
+    "ann_topk", "dedup_embedding", "dedup_exact", "mm_binary_meta",
+    "op_agg_scalar", "op_case_in_like", "op_count_distinct",
+    "op_join_multikey",
 )
 
 
@@ -100,7 +100,7 @@ def load_all() -> dict[str, QuerySpec]:
     re-orders it so the driver's 50-query prefix window lands on the queries
     that need fresh verification evidence (see DRIVER_WINDOW above).
     """
-    from pysparkdb.queries import tpch, ssb, streaming, ops, pipeline  # noqa: F401
+    from pysparkdb.queries import tpch, ssb, ssb_typed, streaming, ops, pipeline  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"DRIVER_WINDOW names not registered: {missing}"

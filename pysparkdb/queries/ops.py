@@ -1269,6 +1269,7 @@ def op_scd2(spark, sf_dir):
              CAST(MOD(doc_id * 2654435761, 2147483648) + 1 AS DOUBLE)
              / CAST(n_chars AS DOUBLE) AS priority
       FROM documents
+      WHERE n_chars > 0
     )
     SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
     FROM keyed ORDER BY priority, doc_id LIMIT 50
@@ -1286,8 +1287,10 @@ def op_weighted_sample(spark, sf_dir):
     conversion; the priority is ONE IEEE double division, bit-identical
     everywhere. Scale shape: the scan computes priorities map-side and
     top-k plans as TakeOrderedAndProject — per-partition heaps + a k-row
-    driver merge, never a global sort."""
-    d = tables(spark, sf_dir)["documents"]
+    driver merge, never a global sort. Rows with n_chars <= 0 or NULL are
+    excluded up front — a NULL priority would order differently in Spark
+    (NULLS FIRST) vs DuckDB (NULLS LAST) and zero weight is undefined."""
+    d = tables(spark, sf_dir)["documents"].filter(F.col("n_chars") > 0)
     u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648) + 1
     keyed = d.select(
         "doc_id", "lang", "n_chars",
@@ -1481,6 +1484,72 @@ def op_winsorize(spark, sf_dir):
             F.sum(clipped.cast("decimal(25,6)")).cast("double").alias("clipped_sum"),
             F.min(clipped).alias("clipped_min"),
             F.max(clipped).alias("clipped_max"),
+        )
+    )
+
+
+@register(
+    "op_winsorize_approx",
+    """
+    WITH st AS (
+      SELECT l_returnflag,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS p05,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, st.p05), st.p95)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS clipped_sum,
+           TRUE AS p05_ok, TRUE AS p95_ok, TRUE AS sum_ok
+    FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    "ops", "aggregate", "winsorize", "sketch",
+)
+def op_winsorize_approx(spark, sf_dir):
+    """The 100 TB winsorization path, certified: clip bounds come from
+    approx_percentile (fixed-size mergeable GK sketch — one pass, no
+    per-group value buffering) instead of exact percentile(). op_winsorize
+    documents this swap as its scale story; this query makes the swap
+    itself oracle-covered, the op_approx_percentile self-certification
+    pattern: sketches are engine-specific so the approx values can never
+    hash-match DuckDB — instead the Spark side computes BOTH bound sets in
+    one aggregate pass, emits the EXACT clipped aggregates (DuckDB
+    replays those) plus three certificate booleans the oracle asserts
+    TRUE: relative error of each approx bound ≤ 1% and relative error of
+    the approx-clipped sum ≤ 1%. GK accuracy 10000 → rank error ≈ n/10⁴
+    (a handful of rows per group at the test SFs, proportionally tighter
+    at scale since the bound certifies RELATIVE error), far inside the 1%
+    band, yet the band still fails loudly if the sketch ever degrades.
+    Plan: one scan for both percentile pairs (same groupBy), broadcast
+    bounds onto the fact scan, both clip aggregates in one second pass —
+    the exact twin's two-pass shape with the first pass sketch-sized."""
+    l = tables(spark, sf_dir)["lineitem"]
+    st = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.05, 10000)").alias("p05a"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("p95a"),
+    )
+    clip_e = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    clip_a = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05a")), F.col("p95a"))
+    rel = lambda a, b: F.abs(a / b - 1)  # noqa: E731 — bounds are > 0 (prices)
+    return (
+        l.join(F.broadcast(st), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n"),
+            F.sum(clip_e.cast("decimal(25,6)")).cast("double").alias("clipped_sum"),
+            F.sum(clip_a.cast("decimal(25,6)")).cast("double").alias("_approx_sum"),
+            F.min(rel(F.col("p05a"), F.col("p05"))).alias("_e05"),
+            F.min(rel(F.col("p95a"), F.col("p95"))).alias("_e95"),
+        )
+        .select(
+            "l_returnflag", "n", "clipped_sum",
+            (F.col("_e05") <= 0.01).alias("p05_ok"),
+            (F.col("_e95") <= 0.01).alias("p95_ok"),
+            (F.abs(F.col("_approx_sum") / F.col("clipped_sum") - 1) <= 0.01).alias("sum_ok"),
         )
     )
 

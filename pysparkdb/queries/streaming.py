@@ -489,8 +489,9 @@ def ev_zscore_outliers(spark, sf_dir):
     "ev_asof_tolerance",
     """
     WITH p AS (
-      SELECT user_id, ts AS pts, value AS purchase_value
+      SELECT user_id, ts AS pts, arg_max(value, event_id) AS purchase_value
       FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
     ),
     m AS (
       SELECT e.event_id, p.pts, p.purchase_value,
@@ -518,15 +519,19 @@ def ev_asof_tolerance(spark, sf_dir):
     single-shuffle union-marker/window plan as ev_asof plus one
     post-window freshness comparison; the oracle replays it as a
     brute-force bounded range join + per-click argmax, both bounds
-    inclusive in both engines."""
+    inclusive in both engines. The purchase side is pre-aggregated to
+    ONE row per (user, ts) — max_by(value, event_id) — honoring
+    as_of_join's right-side-uniqueness precondition; without it,
+    same-timestamp duplicate purchases would make the winner unspecified
+    in both engines."""
     from pysparkdb.operators.asof import as_of_join
 
     e = tables(spark, sf_dir)["events"]
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("pts"),
-        F.col("value").alias("purchase_value"),
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
     )
     joined = as_of_join(
         clicks, purchases,
@@ -544,8 +549,9 @@ def ev_asof_tolerance(spark, sf_dir):
     "ev_conversion_lag",
     """
     WITH p AS (
-      SELECT user_id, ts AS pts, value AS purchase_value
+      SELECT user_id, ts AS pts, arg_max(value, event_id) AS purchase_value
       FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
     ),
     m AS (
       SELECT e.event_id, p.pts, p.purchase_value,
@@ -571,15 +577,17 @@ def ev_conversion_lag(spark, sf_dir):
     twin of ev_asof_tolerance (same single-shuffle union-marker/window
     plan with the sort flipped). Clicks with no purchase inside the
     window keep null columns; the oracle replays the bounded forward
-    range join + per-click argmin."""
+    range join + per-click argmin. Purchase side pre-aggregated to one
+    row per (user, ts) via max_by(value, event_id) — see
+    ev_asof_tolerance for the determinism rationale."""
     from pysparkdb.operators.asof import as_of_join
 
     e = tables(spark, sf_dir)["events"]
     clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("pts"),
-        F.col("value").alias("purchase_value"),
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
     )
     joined = as_of_join(
         clicks, purchases,

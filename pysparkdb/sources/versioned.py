@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,8 +52,9 @@ def snapshot_versions(root: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(mdir):
-        if name.startswith("v") and name.endswith(".json"):
-            out.append(int(name[1:-5]))
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:  # skip editor artifacts / tmp files rather than brick the root
+            out.append(int(m.group(1)))
     return sorted(out)
 
 

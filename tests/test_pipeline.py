@@ -9,7 +9,6 @@ from tests.oracle import compare, duckdb_conn
 
 ALL = load_all()
 ORACLED = [s for s in ALL.values() if ("pipeline" in s.tags or "events" in s.tags) and s.oracle]
-ROWS_ONLY = [s for s in ALL.values() if ("pipeline" in s.tags or "events" in s.tags) and not s.oracle]
 
 
 @pytest.fixture(scope="module")
@@ -24,10 +23,13 @@ def test_pipeline_oracle(spark, sf_dir, con, spec):
     compare(spec.fn(spark, sf_dir), con, spec.oracle)
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY, ids=[s.name for s in ROWS_ONLY])
-def test_rows_only_runs(spark, sf_dir, spec):
-    rows = spec.fn(spark, sf_dir).collect()
-    assert rows is not None  # deterministic execution; content checked below
+def test_no_oracle_less_registrations():
+    """Goal state: EVERY registered query carries a DuckDB oracle — a new
+    oracle-less registration fails loudly here (the weaker rows-only driver
+    check is reserved for genuinely non-SQL-expressible ops, of which the
+    registry currently has none)."""
+    rows_only = [s.name for s in ALL.values() if not s.oracle]
+    assert not rows_only, f"oracle-less queries registered: {rows_only}"
 
 
 def test_minhash_recall_vs_exact(spark, sf_dir):

@@ -21,9 +21,12 @@ def con(sf_dir):
 
 
 def test_all_13_flights_present():
-    originals = [s for s in SPECS if "generated" not in s.tags]
+    originals = [s for s in SPECS
+                 if "generated" not in s.tags and "typed" not in s.tags]
+    typed = [s for s in SPECS if "typed" in s.tags]
     assert len(originals) == 13  # 1.1-1.3, 2.1-2.3, 3.1-3.4, 4.1-4.3
-    assert len(SPECS) == 18      # + the 5 generated/ corpus variants
+    assert len(typed) == 13      # typed/ corpus: same flights, cast discipline
+    assert len(SPECS) == 31      # + the 5 generated/ corpus variants
 
 
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
