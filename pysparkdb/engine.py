@@ -10,10 +10,33 @@ handle per table for the operator-builder API (pysparkdb.operators).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pysparkdb.catalog import Catalog
 from pysparkdb.session import apply_engine_confs, get_spark
+
+# Serializes SQL-text RESOLUTION (not execution) across threads. Temp views
+# are session-global, so the predicate-transfer pass's swap-resolve-restore
+# would otherwise race a concurrent sql() resolving against the reduced
+# views (the reference runs N concurrent queries against one server —
+# fpdb-calcite MultiQueryTest — so the facade must too). Resolution is
+# milliseconds; execution of the returned DataFrames proceeds fully in
+# parallel, so the lock costs nothing at scale. Module-level on purpose:
+# two Engine facades over the same SparkSession share the view namespace,
+# so they must share the lock.
+_RESOLVE_LOCK = threading.RLock()
+
+# predicate_transfer="auto" enables the pre-pass only when the largest
+# joined table's optimizer-estimated bytes exceed this per-core budget —
+# the measured crossover (SCALE.md "Measured crossover", scripts/
+# pred_transfer_crossover.py): the pass first wins between 9.6M and 19.2M
+# replicated lineitem rows on 8 cores ≈ 170-345 MB of plan-stat bytes, so
+# ~21-43 MB/core; 40 MB/core sits at the conservative end (auto stays off
+# until the win is clear). Plan-stat bytes cost no Spark job to read —
+# the reference's stats.json role.
+_AUTO_BYTES_PER_CORE = 40 << 20
 
 
 class Engine:
@@ -32,25 +55,41 @@ class Engine:
         self.catalog = Catalog(self.spark, data_dir).register_all(validate=validate)
         return self
 
-    def sql(self, query: str, predicate_transfer: bool = False) -> DataFrame:
+    def sql(self, query: str, predicate_transfer: bool | str = False) -> DataFrame:
         """SQL → DataFrame (Client::executeQuery analog; lazy, not collected).
 
-        ``predicate_transfer=True`` is the engine-level auto mode of the
-        reference's CIDR-2024 pre-pass (PrePToPTransformerForPredTrans.cpp,
-        enabled by its exec.conf PRED_TRANS flag): the join graph is
-        extracted from the query's own analyzed plan (JoinOriginTracer
-        analog), every attached table is semi-join-reduced across it, and
-        the SAME query text is re-resolved against the reduced relations.
-        Purity invariant: semi joins only remove rows that cannot survive
-        the query's own joins, so results are identical (engine-level test
-        in tests/test_plans.py). Worth turning on for multi-hop-selective
+        ``predicate_transfer=True`` applies the reference's CIDR-2024
+        pre-pass (PrePToPTransformerForPredTrans.cpp, enabled by its
+        exec.conf PRED_TRANS flag): the join graph is extracted from the
+        query's own analyzed plan (JoinOriginTracer analog), every
+        attached table is semi-join-reduced across it, and the SAME query
+        text is re-resolved against the reduced relations. Purity
+        invariant: semi joins only remove rows that cannot survive the
+        query's own joins, so results are identical (engine-level test in
+        tests/test_plans.py). Worth turning on for multi-hop-selective
         join queries; the pass costs one broadcast semi join per edge —
-        see SCALE.md for the measured crossover."""
-        df = self.spark.sql(query)
+        see SCALE.md for the measured crossover.
+
+        ``predicate_transfer="auto"`` makes that call cost-based: the pass
+        runs only when the largest joined table's plan-stat size clears
+        the measured per-core crossover (``_AUTO_BYTES_PER_CORE`` ×
+        defaultParallelism), so small/interactive queries keep the plain
+        plan and shuffle-dominated fact queries get the reduction — the
+        third mode the reference lacks (its PRED_TRANS flag is all-or-
+        nothing per server config).
+
+        Thread-safe: concurrent ``sql()`` calls (either mode, any Engine
+        over this session) are safe — resolution is serialized under
+        ``_RESOLVE_LOCK`` so the transfer pass's view swap can never leak
+        into another call's analysis; execution parallelism is untouched
+        (the lock is released before any job runs)."""
+        with _RESOLVE_LOCK:
+            df = self.spark.sql(query)
         if not predicate_transfer:
             return df
         assert self.catalog is not None, "call attach(data_dir) first"
         from pysparkdb.plans.predicate_transfer import (
+            _plan_bytes,
             extract_join_edges,
             predicate_transfer as _transfer,
         )
@@ -58,18 +97,25 @@ class Engine:
         edges = extract_join_edges(df, self.catalog.tables)
         if not edges:
             return df
-        reduced = _transfer(dict(self.catalog.tables), edges)
+        edge_tables = {e.left for e in edges} | {e.right for e in edges}
+        sizes = {n: _plan_bytes(self.catalog.tables[n]) for n in edge_tables}
+        if predicate_transfer == "auto":
+            cores = self.spark.sparkContext.defaultParallelism
+            if max(sizes.values()) < _AUTO_BYTES_PER_CORE * cores:
+                return df  # below the measured crossover: plain plan wins
+        reduced = _transfer(dict(self.catalog.tables), edges, sizes=sizes)
         # Re-resolve the same text against the reduced relations: temp views
         # are swapped only while spark.sql() analyzes the string (resolution
         # happens at creation; the returned DataFrame keeps its plan), then
-        # restored.
-        try:
-            for name, rdf in reduced.items():
-                rdf.createOrReplaceTempView(name)
-            return self.spark.sql(query)
-        finally:
-            for name, odf in self.catalog.tables.items():
-                odf.createOrReplaceTempView(name)
+        # restored — atomically w.r.t. every other sql() resolution.
+        with _RESOLVE_LOCK:
+            try:
+                for name, rdf in reduced.items():
+                    rdf.createOrReplaceTempView(name)
+                return self.spark.sql(query)
+            finally:
+                for name, odf in self.catalog.tables.items():
+                    odf.createOrReplaceTempView(name)
 
     def table(self, name: str) -> DataFrame:
         assert self.catalog is not None, "call attach(data_dir) first"

@@ -3,10 +3,12 @@
 Images/audio/video are carried as `binary` columns with a metadata struct;
 decode / feature-extraction runs as Arrow-batched pandas functions over
 mapInPandas — the schema, partitioning, UDF signature and batch shape are
-real and tested. The actual codec calls are STUBBED (this container has no
-image/audio libraries): `decode_image` raises NotImplementedError unless the
-deterministic fake decoder is requested, exactly as flagged in the build
-brief.
+real and tested. The actual codec calls are soft dependencies (this
+container ships no image/audio libraries): each entry point probes for the
+real library at call time (`_codec`) and uses it when present; with no
+library and ``fake=False`` it raises NotImplementedError, exactly as
+flagged in the build brief. ``fake=True`` always runs the deterministic
+stand-in — the test contract — through the identical Arrow plumbing.
 
 At 100 TB: binary payloads dominate partition sizing — repartition by
 byte-budget (maxRecordsPerFile / maxPartitionBytes), never by row count, and
@@ -16,6 +18,7 @@ keep metadata in sidecar columns so filters prune without touching bytes.
 from __future__ import annotations
 
 import hashlib
+import importlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -39,6 +42,20 @@ BINARY_WITH_META = T.StructType(
         T.StructField("meta", MEDIA_META),
     ]
 )
+
+
+def _codec(*modules: str):
+    """Soft-dependency probe: first importable module from ``modules``, or
+    None. Called on the DRIVER at plan time to pick the real codec path
+    when the library exists (executors share the container image, so a
+    driver-side probe is authoritative); the real decode then imports
+    inside the mapInPandas closure on each executor."""
+    for m in modules:
+        try:
+            return importlib.import_module(m)
+        except ImportError:
+            continue
+    return None
 
 
 def to_binary_column(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -81,23 +98,45 @@ def extract_metadata(df: DataFrame) -> DataFrame:
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary payloads to fixed-size feature vectors.
 
-    STUB: no image libraries in this container. ``fake=True`` runs a
-    deterministic stand-in (first-16-bytes histogram) through the identical
-    mapInPandas plumbing — schema, batching and partitioning are the real
-    thing; only the codec call is fake. ``fake=False`` raises.
+    Soft codec dependency: with ``fake=False`` the call probes for PIL and,
+    when present, decodes for real (grayscale 16-bin histogram features);
+    without it, raises. ``fake=True`` runs the deterministic stand-in
+    (first-16-bytes histogram) through the identical mapInPandas plumbing —
+    schema, batching and partitioning are the real thing either way.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips — not available in this "
-            "container; call with fake=True for the deterministic stand-in"
-        )
-
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
+
+    if not fake:
+        if _codec("PIL.Image") is None:
+            raise NotImplementedError(
+                "image decode requires PIL/libvips — not available in this "
+                "container; call with fake=True for the deterministic "
+                "stand-in (the real path activates automatically once the "
+                "library is installed)"
+            )
+
+        def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            for pdf in batches:
+                feats = []
+                for p in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(p))).convert("L")
+                    h, _ = np.histogram(
+                        np.asarray(img), bins=16, range=(0, 256)
+                    )
+                    feats.append((h / max(h.sum(), 1)).tolist())
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+        return df.mapInPandas(real_decode, schema=out_schema)
 
     def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,17 +153,13 @@ def resize_image(df: DataFrame, width: int = 4, height: int = 4,
                  fake: bool = False) -> DataFrame:
     """Resize binary image payloads to width×height pixel grids.
 
-    STUB (same contract as decode_image): ``fake=True`` produces a
-    deterministic byte-sampled grid through the real mapInPandas plumbing —
-    output schema carries the typed (width, height, pixels) shape a real
-    resampler would emit; ``fake=False`` raises.
+    Soft codec dependency (same contract as decode_image): ``fake=False``
+    probes for PIL and, when present, resamples for real (grayscale
+    nearest-neighbor to width×height); without it, raises. ``fake=True``
+    produces a deterministic byte-sampled grid through the real mapInPandas
+    plumbing — output schema carries the same typed (width, height, pixels)
+    shape either way.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires PIL/libvips — not available in this "
-            "container; call with fake=True for the deterministic stand-in"
-        )
-
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -134,6 +169,39 @@ def resize_image(df: DataFrame, width: int = 4, height: int = 4,
         ]
     )
     npx = width * height
+
+    if not fake:
+        if _codec("PIL.Image") is None:
+            raise NotImplementedError(
+                "image resize requires PIL/libvips — not available in this "
+                "container; call with fake=True for the deterministic "
+                "stand-in (the real path activates automatically once the "
+                "library is installed)"
+            )
+
+        def real_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            for pdf in batches:
+                pixels = []
+                for p in pdf["payload"]:
+                    img = (
+                        Image.open(io.BytesIO(bytes(p)))
+                        .convert("L")
+                        .resize((width, height), Image.NEAREST)
+                    )
+                    pixels.append(
+                        (np.asarray(img, dtype=np.float64).ravel() / 255.0).tolist()
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "width": width,
+                     "height": height, "pixels": pixels}
+                )
+
+        return df.mapInPandas(real_resize, schema=out_schema)
 
     def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,16 +228,12 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     """Audio feature extraction (RMS energy, zero-crossing count) from
     binary payloads.
 
-    STUB (no audio libs in this container): ``fake=True`` treats the bytes
-    as signed 8-bit samples through the real mapInPandas plumbing —
-    deterministic, numpy-vectorized per Arrow batch; ``fake=False`` raises.
+    Soft codec dependency: ``fake=False`` probes for soundfile and, when
+    present, decodes for real (RMS + zero-crossings over the decoded
+    mono float samples); without it, raises. ``fake=True`` treats the
+    bytes as signed 8-bit samples through the real mapInPandas plumbing —
+    deterministic, numpy-vectorized per Arrow batch.
     """
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires soundfile/librosa — not available in "
-            "this container; call with fake=True for the deterministic stand-in"
-        )
-
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -177,6 +241,38 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
             T.StructField("zero_crossings", T.LongType()),
         ]
     )
+
+    if not fake:
+        if _codec("soundfile") is None:
+            raise NotImplementedError(
+                "audio decode requires soundfile/librosa — not available in "
+                "this container; call with fake=True for the deterministic "
+                "stand-in (the real path activates automatically once the "
+                "library is installed)"
+            )
+
+        def real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import numpy as np
+            import soundfile as sf
+
+            for pdf in batches:
+                rms, zc = [], []
+                for p in pdf["payload"]:
+                    x, _sr = sf.read(io.BytesIO(bytes(p)), dtype="float64")
+                    if x.ndim > 1:  # downmix to mono
+                        x = x.mean(axis=1)
+                    if x.size == 0:
+                        rms.append(0.0); zc.append(0)
+                        continue
+                    rms.append(float(np.sqrt(np.mean(x * x))))
+                    zc.append(int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "rms": rms, "zero_crossings": zc}
+                )
+
+        return df.mapInPandas(real_features, schema=out_schema)
 
     def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -198,16 +294,56 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
 def sample_frames(df: DataFrame, num_frames: int = 3, fake: bool = False) -> DataFrame:
     """Sample N frames from binary video payloads — 1→N row fan-out.
 
-    STUB: ``fake=True`` slices the payload into num_frames equal chunks
-    through the real mapInPandas plumbing (the batch shape that matters at
-    scale: one input row yields several output rows, so downstream
-    partition sizing must budget for the fan-out); ``fake=False`` raises.
+    Soft codec dependency: ``fake=False`` probes for PyAV and, when
+    present, samples num_frames evenly-spaced decoded frames (raw RGB
+    bytes); without it, raises. ``fake=True`` slices the payload into
+    num_frames equal chunks through the real mapInPandas plumbing (the
+    batch shape that matters at scale: one input row yields several output
+    rows, so downstream partition sizing must budget for the fan-out).
     """
     if not fake:
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg/pyav — not available in "
-            "this container; call with fake=True for the deterministic stand-in"
+        if _codec("av") is None:
+            raise NotImplementedError(
+                "video frame sampling requires ffmpeg/pyav — not available "
+                "in this container; call with fake=True for the "
+                "deterministic stand-in (the real path activates "
+                "automatically once the library is installed)"
+            )
+
+        real_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("frame_idx", T.IntegerType()),
+                T.StructField("frame", T.BinaryType()),
+            ]
         )
+
+        def real_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import av
+
+            for pdf in batches:
+                ids, idxs, frames = [], [], []
+                for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                    with av.open(io.BytesIO(bytes(p))) as container:
+                        decoded = list(container.decode(video=0))
+                    if not decoded:
+                        continue
+                    step = max(len(decoded) // num_frames, 1)
+                    for i in range(min(num_frames, len(decoded))):
+                        ids.append(did)
+                        idxs.append(i)
+                        frames.append(
+                            decoded[min(i * step, len(decoded) - 1)]
+                            .to_ndarray(format="rgb24")
+                            .tobytes()
+                        )
+                yield pd.DataFrame(
+                    {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+                )
+
+        return df.mapInPandas(real_sample, schema=real_schema)
 
     out_schema = T.StructType(
         [
@@ -243,20 +379,16 @@ def chunk_audio(
     with per-window RMS — the framing step before any spectral feature
     (the audio twin of text.chunk_text). 1→N row fan-out.
 
-    STUB (no audio libs in this container; same contract as decode_audio):
-    ``fake=True`` treats the bytes as signed 8-bit samples through the
-    real mapInPandas plumbing, numpy-vectorized per Arrow batch;
-    ``fake=False`` raises. Window starts are 0, hop, 2·hop, … — every
-    payload yields at least one (possibly short) window, and partition
-    sizing must budget for the len/hop fan-out like sample_frames.
+    Soft codec dependency (same contract as decode_audio): ``fake=False``
+    probes for soundfile and, when present, windows the DECODED mono
+    samples (window_bytes/hop_bytes then count samples, start_byte the
+    sample offset); without it, raises. ``fake=True`` treats the bytes as
+    signed 8-bit samples through the real mapInPandas plumbing,
+    numpy-vectorized per Arrow batch. Window starts are 0, hop, 2·hop, … —
+    every payload yields at least one (possibly short) window, and
+    partition sizing must budget for the len/hop fan-out like
+    sample_frames.
     """
-    if not fake:
-        raise NotImplementedError(
-            "audio framing requires a decoder (soundfile/librosa) — not "
-            "available in this container; call with fake=True for the "
-            "deterministic stand-in"
-        )
-
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -266,6 +398,46 @@ def chunk_audio(
             T.StructField("rms", T.DoubleType()),
         ]
     )
+
+    if not fake:
+        if _codec("soundfile") is None:
+            raise NotImplementedError(
+                "audio framing requires a decoder (soundfile/librosa) — not "
+                "available in this container; call with fake=True for the "
+                "deterministic stand-in (the real path activates "
+                "automatically once the library is installed)"
+            )
+
+        def real_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import numpy as np
+            import soundfile as sf
+
+            for pdf in batches:
+                ids, wids, starts, sizes, rms = [], [], [], [], []
+                for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                    x, _sr = sf.read(io.BytesIO(bytes(p)), dtype="float64")
+                    if x.ndim > 1:
+                        x = x.mean(axis=1)
+                    n = max(x.size, 1)
+                    w = 0
+                    for start in range(0, n, hop_bytes):
+                        seg = x[start : start + window_bytes]
+                        ids.append(did); wids.append(w); starts.append(start)
+                        sizes.append(int(seg.size))
+                        rms.append(
+                            float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
+                        )
+                        w += 1
+                        if start + window_bytes >= n:
+                            break
+                yield pd.DataFrame(
+                    {"doc_id": ids, "window_id": wids, "start_byte": starts,
+                     "n_bytes": sizes, "rms": rms}
+                )
+
+        return df.mapInPandas(real_chunks, schema=out_schema)
 
     def fake_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -305,16 +477,12 @@ def image_ahash(df: DataFrame, npx: int = 64, fake: bool = False) -> DataFrame:
     nearest-neighbor rule as resize_image — real mapInPandas plumbing,
     numpy-vectorized per batch — and thresholds the raw byte values
     against their exact mean (integer sums in float64; mean = sum/64 is
-    exact, so the bits are engine-reproducible); ``fake=False`` raises
-    until a real decoder is wired. Returns (doc_id, ahash) with ahash a
-    ``npx``-char '0'/'1' string (a packed int64 would lose the top bit to
-    the sign at npx=64).
+    exact, so the bits are engine-reproducible); ``fake=False`` probes
+    for PIL and runs the REAL aHash when present (grayscale resample to
+    √npx × √npx, threshold vs mean), raising only when no codec exists.
+    Returns (doc_id, ahash) with ahash a ``npx``-char '0'/'1' string (a
+    packed int64 would lose the top bit to the sign at npx=64).
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips — not available in this "
-            "container; call with fake=True for the deterministic stand-in"
-        )
     import numpy as np
 
     out_schema = T.StructType(
@@ -323,6 +491,38 @@ def image_ahash(df: DataFrame, npx: int = 64, fake: bool = False) -> DataFrame:
             T.StructField("ahash", T.StringType()),
         ]
     )
+
+    if not fake:
+        if _codec("PIL.Image") is None:
+            raise NotImplementedError(
+                "image decode requires PIL/libvips — not available in this "
+                "container; call with fake=True for the deterministic "
+                "stand-in (the real path activates automatically once the "
+                "library is installed)"
+            )
+        side = int(npx ** 0.5)
+        grid = (side, side) if side * side == npx else (npx, 1)
+
+        def real_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            for pdf in batches:
+                hashes = []
+                for p in pdf["payload"]:
+                    img = (
+                        Image.open(io.BytesIO(bytes(p)))
+                        .convert("L")
+                        .resize(grid, Image.LANCZOS)
+                    )
+                    b = np.asarray(img, dtype=np.float64).ravel()
+                    bits = b > b.mean()
+                    hashes.append("".join("1" if x else "0" for x in bits))
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+        return df.mapInPandas(real_hash, schema=out_schema)
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -65,7 +65,7 @@ def stage(spark, k: int) -> str:
     return str(d)
 
 
-def median_time(eng, pt: bool, reps: int = 3) -> float:
+def median_time(eng, pt, reps: int = 3) -> float:
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -91,9 +91,14 @@ def main() -> None:
         eng = Engine(spark).attach(d, validate=False)
         base = median_time(eng, pt=False)
         pt = median_time(eng, pt=True)
+        # cost-based third mode: should track min(baseline, transfer) at
+        # every scale — off below the crossover, on above it
+        auto = median_time(eng, pt="auto")
         rows = eng.sql(QUERY).count()
         print(f"k={k:3d} fact_rows~{600_000 * k:>9,}  baseline={base:6.2f}s  "
-              f"transfer={pt:6.2f}s  ratio={pt / base:4.2f}  result_rows={rows}")
+              f"transfer={pt:6.2f}s  auto={auto:6.2f}s  "
+              f"ratio={pt / base:4.2f}  auto_ratio={auto / min(base, pt):4.2f}  "
+              f"result_rows={rows}")
 
 
 if __name__ == "__main__":

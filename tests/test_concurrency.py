@@ -1,0 +1,92 @@
+"""Multi-query concurrency — the MultiQueryTest analog.
+
+The reference plans and executes several queries against one server
+concurrently (fpdb-calcite/java/test/.../MultiQueryTest.java: N threads,
+one CalciteServer; fpdb-main serves concurrent clients). A SparkSession is
+likewise one shared server: these tests drive N registered queries and N
+Engine.sql() calls — including the predicate-transfer mode, whose temp-view
+swap is the one piece of global session state the facade mutates — from
+concurrent threads and assert every result is byte-identical to its
+single-threaded oracle/baseline.
+
+Scheduler note: jobs from different threads interleave under Spark's
+scheduler either way; per-thread `spark.scheduler.pool` local properties
+are set the way a FAIR-mode deployment would (in local FIFO mode they are
+accepted and ignored), so the test exercises the exact call pattern a
+concurrent server uses.
+"""
+
+from concurrent.futures import ThreadPoolExecutor
+
+from pysparkdb.queries import load_all
+from tests.oracle import duckdb_conn, rows_to_multiset
+
+# Four queries spanning the engine's surfaces: TPC-H aggregate join, SSB
+# typed integer flight, events window function, pipeline dedup groupBy.
+CONCURRENT = ("q6", "ssb_t2_1", "op_window_rank", "dedup_exact")
+
+
+def _expected(spark, sf_dir, names):
+    """Single-threaded DuckDB-oracle results per query (the ground truth
+    the concurrent runs must reproduce)."""
+    out = {}
+    con = duckdb_conn(sf_dir)
+    try:
+        for n in names:
+            rel = con.sql(load_all()[n].oracle)
+            out[n] = rows_to_multiset(rel.fetchall(), rel.columns)
+    finally:
+        con.close()
+    return out
+
+
+def test_concurrent_registered_queries_match_oracles(spark, sf_dir):
+    specs = load_all()
+    expected = _expected(spark, sf_dir, CONCURRENT)
+
+    def run(name):
+        # the pool assignment a FAIR-scheduler deployment would make
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        try:
+            df = specs[name].fn(spark, sf_dir)
+            return name, rows_to_multiset(df.collect(), df.columns)
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=len(CONCURRENT)) as pool:
+        results = dict(pool.map(run, CONCURRENT))
+    for name in CONCURRENT:
+        assert results[name] == expected[name], f"{name} diverged under concurrency"
+
+
+def test_concurrent_engine_sql_with_predicate_transfer(spark, sf_dir):
+    """Half the threads run Engine.sql with predicate_transfer=True (the
+    mode that swaps temp views during resolution), half run the same text
+    plain, all concurrently on one session. Every call must return the
+    single-threaded answer — the racy-view-swap failure mode is a plain
+    call resolving against another call's reduced views (fewer rows)."""
+    from pysparkdb import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir, validate=False)
+    q = """
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem, orders, customer, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+        GROUP BY n_name
+    """
+    baseline = sorted(map(tuple, eng.sql(q).collect()))
+
+    def run(i):
+        df = eng.sql(q, predicate_transfer=(i % 2 == 0))
+        return sorted(map(tuple, df.collect()))
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(run, range(6)))
+    for i, r in enumerate(results):
+        mode = "transfer" if i % 2 == 0 else "plain"
+        assert r == baseline, f"call {i} ({mode}) diverged under concurrency"
+    # views restored for everyone afterwards
+    assert sorted(map(tuple, eng.sql(q).collect())) == baseline

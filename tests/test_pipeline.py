@@ -187,8 +187,15 @@ def test_multimodal_decode_stub(spark, sf_dir):
     from pysparkdb.queries.base import tables
 
     packed = multimodal.to_binary_column(tables(spark, sf_dir)["documents"])
-    with pytest.raises(NotImplementedError, match="image decode"):
-        multimodal.decode_image(packed)
+    if multimodal._codec("PIL.Image") is None:
+        # this container ships no codec: the probe must miss and the real
+        # path must raise, pointing at the fake contract
+        with pytest.raises(NotImplementedError, match="image decode"):
+            multimodal.decode_image(packed)
+    else:
+        # a codec is present (future container): the real path must plan
+        # through the same plumbing and yield the declared schema
+        assert multimodal.decode_image(packed).columns == ["doc_id", "features"]
     feats = multimodal.decode_image(packed, fake=True)
     row = feats.first()
     assert len(row.features) == 16

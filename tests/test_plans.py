@@ -248,6 +248,33 @@ class TestEnginePredicateTransfer:
         # views restored: a plain re-run sees the unreduced tables again
         assert "LeftSemi" not in explain_str(eng.sql(q), "simple")
 
+    def test_sql_auto_mode_is_cost_based(self, spark, sf_dir, monkeypatch):
+        """predicate_transfer="auto": below the measured per-core crossover
+        the pass must NOT run (test tables are far under it — the plan is
+        the plain one), and once the threshold is cleared (forced to 0)
+        the same call applies the reduction, with identical results."""
+        import pysparkdb.engine as engine_mod
+        from pysparkdb import Engine
+        from pysparkdb.plans.pushdown import explain_str
+
+        eng = Engine(spark)
+        eng.attach(sf_dir, validate=False)
+        q = """
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem, orders, customer, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+            GROUP BY n_name
+        """
+        baseline = sorted(map(tuple, eng.sql(q).collect()))
+        off = eng.sql(q, predicate_transfer="auto")
+        assert "LeftSemi" not in explain_str(off, "simple")
+        monkeypatch.setattr(engine_mod, "_AUTO_BYTES_PER_CORE", 0)
+        on = eng.sql(q, predicate_transfer="auto")
+        assert "LeftSemi" in explain_str(on, "simple")
+        assert sorted(map(tuple, on.collect())) == baseline
+
 
 class TestHybridCacheE2E:
     def test_q6_hybrid_second_run_hits_cache(self, spark, sf_dir):
