@@ -489,7 +489,7 @@ def ev_zscore_outliers(spark, sf_dir):
     "ev_asof_tolerance",
     """
     WITH p AS (
-      SELECT user_id, ts AS pts, arg_max(value, event_id) AS purchase_value
+      SELECT user_id, ts AS pts, max_by(value, event_id) AS purchase_value
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, ts
     ),
@@ -549,7 +549,7 @@ def ev_asof_tolerance(spark, sf_dir):
     "ev_conversion_lag",
     """
     WITH p AS (
-      SELECT user_id, ts AS pts, arg_max(value, event_id) AS purchase_value
+      SELECT user_id, ts AS pts, max_by(value, event_id) AS purchase_value
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, ts
     ),

@@ -67,6 +67,9 @@ NOT_ANSI_PORTABLE = {
     "pipeline_clean_near", # duck list-comprehension shingles + recursive-CTE closure
     "text_unigram_logprob", # string_split tokenization
     "text_bm25",           # string_split tokenization
+    "pipeline_snapshot_curation",  # duck shingle comprehensions + recursive
+                                   # CTE; the Spark side RUNS the pipeline,
+                                   # the oracle only derives its counts
 }
 
 SPECS = [
