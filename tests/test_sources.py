@@ -448,6 +448,24 @@ class TestSnapshotVersioning:
         with _pytest.raises(ValueError, match="not in"):
             snapshot_read(spark, root, 7)
 
+    def test_stray_manifest_files_are_ignored(self, spark, sf_dir, tmp_path):
+        """Editor artifacts / tmp files in _manifests/ must not brick the
+        root: only names matching v<digits>.json parse as versions."""
+        import os
+
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_read, snapshot_versions,
+        )
+
+        root = str(tmp_path / "snap")
+        snapshot_append(tables(spark, sf_dir)["region"], root)
+        mdir = os.path.join(root, "_manifests")
+        for stray in ("vX.json", "v1.json.swp", "v2.json~", ".DS_Store"):
+            with open(os.path.join(mdir, stray), "w") as f:
+                f.write("not a manifest")
+        assert snapshot_versions(root) == [1]
+        assert snapshot_read(spark, root).count() == 5
+
 
 def test_snapshot_compact_zorder_restores_pruning(spark, sf_dir, tmp_path):
     """OPTIMIZE-ZORDER composition: appends land unclustered; a zordered
