@@ -693,6 +693,50 @@ def op_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "op_freq_items",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+    SELECT lang, n, TRUE AS captured
+    FROM c CROSS JOIN t
+    WHERE n / total >= 0.2
+    """,
+    "ops", "aggregate", "sketch", "frequency",
+)
+def op_freq_items(spark, sf_dir):
+    """Heavy hitters via the frequent-items sketch — the third member of
+    the certified sketch family (HLL op_approx_distinct, GK
+    op_approx_percentile): `df.stat.freqItems` runs Karp/Misra-Gries
+    single-pass counting (public Spark implementation of "A Simple
+    Algorithm for Finding Frequent Elements in Streams and Bags"), whose
+    guarantee is NO FALSE NEGATIVES — every value with frequency ≥ the
+    support threshold is returned (false positives allowed). At 100 TB
+    that's the only affordable shape for "which domains/langs/templates
+    dominate the corpus": one map-side pass with a fixed 1/support-size
+    state, merged associatively, no value-keyed shuffle of the raw rows.
+
+    Self-certifying form: the sketch's output is driver-side and
+    order-unstable, so the query emits the EXACT heavy hitters (DuckDB
+    replays them relationally) plus a `captured` boolean asserting each
+    true hitter appeared in the sketch result — a hash match certifies
+    the exact computation AND the sketch's no-false-negative contract.
+    The sketch row it checks against is a bounded driver value (≤
+    1/support items), the op_approx-family's sanctioned scalar."""
+    d = tables(spark, sf_dir)["documents"]
+    support = 0.2
+    sketch_row = d.stat.freqItems(["lang"], support=support).collect()[0]
+    sketch_items = [x for x in sketch_row[0] if x is not None]
+    counts = d.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n") / F.col("total") >= support)
+        .select("lang", "n", F.col("lang").isin(sketch_items).alias("captured"))
+    )
+
+
+@register(
     "op_rollup",
     f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS flag,

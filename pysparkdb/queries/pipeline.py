@@ -1729,10 +1729,23 @@ def pipeline_snapshot_curation(spark, sf_dir):
             ).start()
             assert q.awaitTermination(300), "ingest drain exceeded 300 s"
 
-        land("arrival-1.parquet", docs.filter(F.col("doc_id") % 2 == 0))
-        drain()
-        land("arrival-2.parquet", docs.filter(F.col("doc_id") % 2 == 1))
-        drain()
+        # Size the dedup state store to the STREAM's volume, not the
+        # analytic session default: shuffle.partitions dictates the number
+        # of per-drain state-store instances (open/snapshot/commit cost is
+        # per instance per micro-batch), and an sf-scale document stream
+        # needs far fewer than a fact-table join. A real 100 TB ingest
+        # sizes this up per deployment — the point is that state-partition
+        # count is a per-ingest knob, tuned here exactly as a production
+        # stream would, then restored for the analytic stages.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            land("arrival-1.parquet", docs.filter(F.col("doc_id") % 2 == 0))
+            drain()
+            land("arrival-2.parquet", docs.filter(F.col("doc_id") % 2 == 1))
+            drain()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         pinned = snapshot_versions(root)[-1]
         n_ingested = snapshot_read(spark, root, pinned).count()
 

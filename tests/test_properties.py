@@ -118,6 +118,60 @@ def test_asof_join_equals_argmax(spark, left, right):
 
 
 @given(
+    left=st.lists(st.tuples(KEYS, TS), min_size=1, max_size=12),
+    right=st.lists(st.tuples(KEYS, TS, VALS), min_size=0, max_size=12),
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(**_SETTINGS)
+def test_asof_directions_and_tolerance_equal_bruteforce(
+    spark, left, right, tol, direction
+):
+    """Every (direction, tolerance) combination must agree with the
+    brute-force per-row argmin/argmax over the bounded candidate set —
+    including inclusive boundaries (gap == tolerance matches), equal-ts
+    matches, empty right sides, and nearest's backward tie-break."""
+    seen = {}
+    for k, t, v in right:
+        seen[(k, t)] = v  # right-side (key, ts) uniqueness precondition
+    right_rows = [(k, t, v) for (k, t), v in seen.items()]
+
+    l = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    r = spark.createDataFrame(right_rows or [], "rk long, rt long, v long")
+    got = {
+        (x.lid, x.rt, x.v)
+        for x in as_of_join(
+            l, r, "k", "rk", "t", "rt", tolerance_s=tol, direction=direction
+        ).collect()
+    }
+
+    def bounded(gap):
+        return tol is None or gap <= tol
+
+    expect = set()
+    for i, (k, t) in enumerate(left):
+        back = [(rt, v) for (rk, rt, v) in right_rows
+                if rk == k and rt <= t and bounded(t - rt)]
+        fwd = [(rt, v) for (rk, rt, v) in right_rows
+               if rk == k and rt >= t and bounded(rt - t)]
+        if direction == "backward":
+            pick = max(back) if back else None
+        elif direction == "forward":
+            pick = min(fwd) if fwd else None
+        else:  # nearest: closer gap wins, ties -> backward
+            b = max(back) if back else None
+            f = min(fwd) if fwd else None
+            if b is not None and (f is None or (t - b[0]) <= (f[0] - t)):
+                pick = b
+            else:
+                pick = f
+        expect.add((i, *(pick or (None, None))))
+    assert got == expect
+
+
+@given(
     pairs=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=(1 << 12) - 1),
