@@ -613,6 +613,58 @@ def text_chunk(spark, sf_dir):
 
 
 @register(
+    "text_domain_cap",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 20 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_checksum
+    FROM ranked GROUP BY source
+    """,
+    "pipeline", "text", "sampling", "curation",
+)
+def text_domain_cap(spark, sf_dir):
+    """Per-domain document cap — the template-domination guard of corpus
+    curation (a handful of boilerplate-heavy domains must not dominate
+    the training mix): keep at most N=20 documents per source, selected
+    by a DETERMINISTIC per-domain ranking (md5(doc_id) order, doc_id
+    tie-break) so the kept set is a pure function of the corpus —
+    reproducible across engines/runs/partitionings, like every sampler
+    here. The kept_checksum (sum of kept doc_ids) certifies exact
+    MEMBERSHIP, not just counts.
+
+    Scale shape: one shuffle by source + per-group top-N. Domain keys are
+    Zipf-skewed at corpus scale; the window's rank stops scanning a
+    group's sorted run after the cap only logically — the physical sort
+    still ranks every row, so a 100 TB run pre-trims with the cheap
+    threshold form first (keep if md5-prefix < cap/|domain| estimate, the
+    text_stratified_sample idiom) and applies the exact window to the
+    survivors; AQE handles the residual skew. N is exact either way."""
+    from pyspark.sql import Window
+
+    d = tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+    kept = F.when(F.col("rn") <= 20, 1).otherwise(0)
+    kept_id = F.when(F.col("rn") <= 20, F.col("doc_id")).otherwise(F.lit(0))
+    return ranked.groupBy("source").agg(
+        bigint(F.count(F.lit(1))).alias("n_total"),
+        bigint(F.sum(kept)).alias("n_kept"),
+        bigint(F.sum(kept_id)).alias("kept_checksum"),
+    )
+
+
+@register(
     "text_stratified_sample",
     """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
