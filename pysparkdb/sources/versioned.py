@@ -36,6 +36,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -129,6 +130,57 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
     if not m["files"]:
         raise ValueError(f"version {version} is empty")
     return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data feed between two committed versions: every key present
+    in exactly one of the two snapshots, tagged ``_change ∈ {'insert',
+    'delete'}`` (a key in `to` but not `from` is an insert; the reverse a
+    delete), carrying the payload row from the version that HAS it. The
+    reader-side CDC surface of the snapshot log — what an incremental
+    downstream (index refresh, dedup-history update, training-set delta
+    shipping) consumes instead of re-reading the full corpus.
+
+    Shape: file-level short-circuit first — manifests are explicit file
+    lists, so files common to both versions (append-only history, the
+    usual case) contribute NOTHING to the diff and are never scanned; the
+    full-outer key join runs only over each side's private files. After a
+    compaction (which rewrites the file list) the private sets degrade to
+    the full snapshots and the join does the work; keys are assumed
+    unique per snapshot (the ingest path dedups — callers with duplicate
+    keys should diff on the full key). One shuffle by key either way."""
+    fa = set(_read_manifest(root, from_version)["files"])
+    fb = set(_read_manifest(root, to_version)["files"])
+    only_a, only_b = sorted(fa - fb), sorted(fb - fa)
+
+    def _read(files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+    a, b = _read(only_a), _read(only_b)
+    if a is None and b is None:  # identical file lists → empty diff
+        base = snapshot_read(spark, root, to_version)
+        return base.limit(0).withColumn("_change", F.lit(""))
+    if a is None:
+        return b.withColumn("_change", F.lit("insert"))
+    if b is None:
+        return a.withColumn("_change", F.lit("delete"))
+    a_keys = a.select(*key_cols).withColumn("_in_a", F.lit(True))
+    b_tag = b.join(a_keys, key_cols, "left_anti").withColumn(
+        "_change", F.lit("insert")
+    )
+    b_keys = b.select(*key_cols).withColumn("_in_b", F.lit(True))
+    a_tag = a.join(b_keys, key_cols, "left_anti").withColumn(
+        "_change", F.lit("delete")
+    )
+    return b_tag.unionByName(a_tag)
 
 
 def snapshot_compact(

@@ -28,6 +28,21 @@ class TestJoinStrategies:
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
+    def test_ssb_typed_keeps_star_shape(self, spark, sf_dir):
+        """The typed corpus declares the date dim FIRST in its join tree;
+        Catalyst must still plan the star shape — all dims broadcast, the
+        single shuffle join reserved for lineitem ⋈ orders (the two
+        fact-scale sides), dim equality filters pushed to the scans."""
+        from pysparkdb.plans.pushdown import pushed_filters
+
+        df = SPECS["ssb_t2_1"].fn(spark, sf_dir)
+        p = explain_str(df)
+        assert p.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        pushed = " ".join(pushed_filters(df))
+        assert "EqualTo(p_type,PROMO)" in pushed
+        assert "EqualTo(r_name,AMERICA)" in pushed
+
     def test_tpch_q5_no_cartesian(self, spark, sf_dir):
         p = plan("q5", spark, sf_dir)
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

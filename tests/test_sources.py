@@ -448,6 +448,31 @@ class TestSnapshotVersioning:
         with _pytest.raises(ValueError, match="not in"):
             snapshot_read(spark, root, 7)
 
+    def test_snapshot_diff_cdc_between_versions(self, spark, sf_dir, tmp_path):
+        """Reader-side CDC: the diff of two versions is exactly the key
+        delta, tagged insert/delete; append-only diffs never scan shared
+        files (they are common to both manifests), and the self-diff is
+        empty."""
+        from pyspark.sql import functions as F
+
+        from pysparkdb.sources.versioned import snapshot_append, snapshot_diff
+
+        nation = tables(spark, sf_dir)["nation"]
+        root = str(tmp_path / "snap")
+        snapshot_append(nation.filter(F.col("n_nationkey") < 10), root)   # v1
+        snapshot_append(nation.filter(F.col("n_nationkey").between(10, 14)), root)  # v2
+
+        d12 = snapshot_diff(spark, root, 1, 2, ["n_nationkey"])
+        rows = {(r.n_nationkey, r._change) for r in d12.collect()}
+        assert rows == {(k, "insert") for k in range(10, 15)}
+        # reverse direction: the same keys read as deletes
+        d21 = snapshot_diff(spark, root, 2, 1, ["n_nationkey"])
+        assert {(r.n_nationkey, r._change) for r in d21.collect()} == {
+            (k, "delete") for k in range(10, 15)
+        }
+        # self-diff: identical manifests short-circuit to an empty frame
+        assert snapshot_diff(spark, root, 2, 2, ["n_nationkey"]).count() == 0
+
     def test_stray_manifest_files_are_ignored(self, spark, sf_dir, tmp_path):
         """Editor artifacts / tmp files in _manifests/ must not brick the
         root: only names matching v<digits>.json parse as versions."""
