@@ -88,6 +88,49 @@ def cosine_pairs(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame, vec_col: str = "embedding", threshold: float = 0.95,
+    dim: int = 64, nbits: int = 8, tables: int = 8, seed: int = 42,
+) -> DataFrame:
+    """Bucketed embedding near-dup: sign-LSH candidate pairs (same bucket
+    in ANY table) verified by exact cosine > ``threshold`` — the scale
+    path beside brute-force ``cosine_pairs`` (which is O(n²) by design as
+    the oracle baseline). Near-identical directions agree on every
+    hyperplane sign, so true near-dups collide in EVERY table while the
+    bucket join prunes unrelated pairs by ~(1/2)^nbits per table; the
+    verify join is exact, so precision is 1 by construction and the
+    output is a SUBSET of cosine_pairs at the same threshold.
+
+    At 100 TB: candidates are (id, id) rows off a bucket-keyed self-join
+    (never vector payloads — vectors re-join only for the verified
+    candidate set), and the bucket computation is one Arrow-batched
+    matmul per partition (hyperplane_buckets)."""
+    b = hyperplane_buckets(
+        df, dim=dim, vec_col=vec_col, nbits=nbits, tables=tables, seed=seed
+    )
+    a = b.select("tbl", "bucket", F.col("vec_id").alias("id_a"))
+    c = b.select("tbl", "bucket", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(c, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = with_norm(df, vec_col)
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    return (
+        cand.join(ea, "id_a").join(eb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") > threshold)
+    )
+
+
 def topk_neighbors(
     df: DataFrame,
     vec_col: str = "embedding",

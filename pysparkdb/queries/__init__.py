@@ -85,10 +85,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ssb_t3_1", "ssb_t3_2", "ssb_t3_3", "ssb_t3_4", "ssb_t4_1", "ssb_t4_2",
     "ssb_t4_3",
     "op_winsorize_approx", "pipeline_snapshot_curation", "op_freq_items",
-    "text_domain_cap", "pipeline_incremental_refresh",
+    "text_domain_cap", "pipeline_incremental_refresh", "dedup_embedding_lsh",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
     "ann_topk", "dedup_embedding", "dedup_exact", "mm_binary_meta",
-    "op_agg_scalar",
 )
 
 

@@ -206,6 +206,57 @@ def dedup_embedding(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_lsh",
+    # Self-certifying (the dedup_simhash pattern): seeded hyperplanes are
+    # not reproducible in DuckDB, but the planted ground truth IS — the
+    # oracle pins the clone-pair count (one per corpus vector); the
+    # booleans certify the bucketed path found exactly that set.
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clone_pairs,
+           TRUE AS precision_ok, TRUE AS recall_ok
+    FROM embeddings
+    """,
+    "pipeline", "dedup", "similarity", "lsh",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """The embedding near-dup SCALE path, certified: brute-force
+    dedup_embedding is the O(n²) oracle baseline; this is the bucketed
+    form a 100 TB corpus runs (similarity.lsh_near_dup_pairs: sign-LSH
+    same-bucket candidates → exact-cosine verify). Ground truth is
+    PLANTED inside the query (the synthetic_link_graph precedent): every
+    corpus vector gets a direction-identical clone — scaled ×1.01, so
+    byte-level exact dedup can NOT catch it (the re-encoded/renormalized
+    duplicate of real vector stores) while cosine is exactly 1. Clones
+    agree with their originals on every hyperplane sign, so each clone
+    pair collides in all 8 tables (recall is deterministically total),
+    corpus pairs top out at cosine ≈0.51 ≪ 0.95 (the verify join keeps
+    none), and the certificate set is exactly the n planted pairs:
+    precision_ok ⇔ verified pairs ⊆ planted, recall_ok ⇔ planted ⊆
+    found, both computed distributed (_pair_set_compare, no collect).
+
+    Scale shape: candidates are id-pairs off a bucket-keyed self-join
+    ((1/2)^8 random-pair survival per table); vectors re-join only for
+    verified candidates; the planted offset is a constant, not a count."""
+    e = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    off = 10**9
+    clones = e.select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+    )
+    corpus = e.unionByName(clones)
+    found = similarity.lsh_near_dup_pairs(corpus, threshold=0.95)
+    truth = e.select(
+        F.col("vec_id").alias("doc_a"), (F.col("vec_id") + off).alias("doc_b")
+    )
+    return _pair_set_compare(
+        found.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")),
+        truth,
+    ).withColumnRenamed("n_exact_pairs", "n_clone_pairs")
+
+
+@register(
     "ann_topk",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
