@@ -132,6 +132,68 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
     return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
 
 
+def snapshot_gc(
+    root: str, retain_versions: int | None = None
+) -> dict[str, list[str]]:
+    """Garbage-collect the snapshot root — the VACUUM analog. Two classes
+    of dead files, both identified purely from manifests (no data reads):
+
+    - **orphans**: ``data/`` files no manifest references (crashed writes
+      that never committed — snapshot_append documents them as inert);
+      always deleted.
+    - **expired**: with ``retain_versions=k``, manifests older than the
+      newest k are dropped and any file referenced ONLY by dropped
+      versions is deleted. Readers of retained versions are untouched
+      (their manifests still list every file they need); time travel
+      beyond the horizon is explicitly given up — the same contract as
+      Delta/Iceberg retention (public designs).
+
+    Returns {"orphans": [...], "expired": [...]} of deleted paths
+    (root-relative). Safe on a root with live readers of RETAINED
+    versions: deletion only ever touches files no retained manifest
+    references, and manifests are removed before their now-unreferenced
+    files."""
+    versions = snapshot_versions(root)
+    if not versions:
+        return {"orphans": [], "expired": []}
+    keep = versions if retain_versions is None else versions[-retain_versions:]
+    drop = [v for v in versions if v not in keep]
+
+    referenced_keep: set[str] = set()
+    for v in keep:
+        referenced_keep.update(_read_manifest(root, v)["files"])
+    referenced_drop: set[str] = set()
+    for v in drop:
+        referenced_drop.update(_read_manifest(root, v)["files"])
+
+    expired = sorted(referenced_drop - referenced_keep)
+    # manifests first: a crash mid-GC must never leave a manifest whose
+    # files are gone
+    for v in drop:
+        os.remove(_manifest_path(root, v))
+    for rel in expired:
+        try:
+            os.remove(os.path.join(root, rel))
+        except FileNotFoundError:
+            pass
+
+    orphans: list[str] = []
+    data_dir = os.path.join(root, _DATA_DIR)
+    if os.path.isdir(data_dir):
+        for dirpath, _dirs, files in os.walk(data_dir, topdown=False):
+            for name in files:
+                rel = os.path.relpath(os.path.join(dirpath, name), root)
+                if rel not in referenced_keep:
+                    os.remove(os.path.join(root, rel))
+                    orphans.append(rel)
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+    # expired files were removed above via the referenced_drop walk; the
+    # data-dir sweep reports only true orphans
+    orphans = [o for o in orphans if o not in set(expired)]
+    return {"orphans": orphans, "expired": expired}
+
+
 def snapshot_diff(
     spark: SparkSession,
     root: str,

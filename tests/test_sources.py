@@ -448,6 +448,43 @@ class TestSnapshotVersioning:
         with _pytest.raises(ValueError, match="not in"):
             snapshot_read(spark, root, 7)
 
+    def test_snapshot_gc_orphans_and_retention(self, spark, sf_dir, tmp_path):
+        """VACUUM contract: orphan batch dirs (crashed uncommitted writes)
+        are deleted; with a retention horizon, files referenced ONLY by
+        expired versions go while every retained version keeps reading
+        byte-identical results."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_compact, snapshot_gc,
+            snapshot_read, snapshot_versions,
+        )
+
+        nation = tables(spark, sf_dir)["nation"]
+        root = str(tmp_path / "snap")
+        snapshot_append(nation.filter(F.col("n_nationkey") < 10), root)   # v1
+        snapshot_append(nation.filter(F.col("n_nationkey") >= 10), root)  # v2
+        snapshot_compact(spark, root, target_files=1)                      # v3
+
+        # plant an orphan (crashed write that never committed)
+        orphan_dir = os.path.join(root, "data", "batch-9-deadbeef")
+        os.makedirs(orphan_dir)
+        with open(os.path.join(orphan_dir, "part-0.parquet"), "wb") as f:
+            f.write(b"junk")
+
+        before = snapshot_read(spark, root, 3).count()
+        out = snapshot_gc(root, retain_versions=1)  # keep only v3
+        assert any("batch-9-deadbeef" in p for p in out["orphans"])
+        # v1/v2's pre-compaction files are referenced by no retained
+        # manifest -> expired; v3 (compacted) still reads identically
+        assert out["expired"]
+        assert snapshot_versions(root) == [3]
+        assert snapshot_read(spark, root, 3).count() == before
+        # a second GC is a no-op (idempotent)
+        assert snapshot_gc(root) == {"orphans": [], "expired": []}
+
     def test_snapshot_diff_cdc_between_versions(self, spark, sf_dir, tmp_path):
         """Reader-side CDC: the diff of two versions is exactly the key
         delta, tagged insert/delete; append-only diffs never scan shared
