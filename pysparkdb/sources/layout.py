@@ -115,6 +115,42 @@ def write_zordered(
     w.parquet(path)
 
 
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ordered parquet export: repartitionByRange on ``cols``
+    (sampled range boundaries — one pass, every partition gets a disjoint
+    key range) + sortWithinPartitions, so the output files hold
+    NON-OVERLAPPING sorted ranges. That is the distributed form of a
+    global sort — the TeraSort shape: no single node ever holds more than
+    one partition's rows, yet reading files in range order yields the
+    totally-ordered dataset, and downstream consumers get:
+
+    - merge-scan joins/merges without re-sorting (each file is a sorted
+      run; k-way merge is streaming);
+    - file-LEVEL pruning for range predicates (zone maps are tight per
+      file, not just per row group — a BETWEEN touches the few files
+      whose range intersects, asserted in tests);
+    - sorted sharded export for training-data delivery (shard n of m is
+      a key range, not a random slice).
+
+    Contrast with write_zordered: Z-order interleaves several columns'
+    orders for multi-dimension pruning; range partitioning gives ONE
+    total order with disjoint files — pick per consumer. ``num_files``
+    defaults to the session's shuffle parallelism."""
+    n = num_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark,
     src: str,

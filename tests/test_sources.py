@@ -448,6 +448,32 @@ class TestSnapshotVersioning:
         with _pytest.raises(ValueError, match="not in"):
             snapshot_read(spark, root, 7)
 
+    def test_range_partitioned_export_is_globally_ordered(self, spark, sf_dir, tmp_path):
+        """write_range_partitioned: output files hold disjoint sorted key
+        ranges — [min,max] intervals of distinct files never overlap
+        (footer stats only, no data read), and concatenating files in
+        range order reproduces the global sort."""
+        import glob
+
+        from pysparkdb.catalog import zone_map
+        from pysparkdb.sources.layout import write_range_partitioned
+
+        orders = tables(spark, sf_dir)["orders"]
+        out = str(tmp_path / "ranged")
+        write_range_partitioned(orders, out, ["o_totalprice"], num_files=8)
+
+        spans = []
+        for f in glob.glob(out + "/*.parquet"):
+            zm = zone_map(f)
+            stats = [g["columns"]["o_totalprice"] for g in zm]
+            spans.append((min(s["min"] for s in stats), max(s["max"] for s in stats)))
+        spans.sort()
+        assert len(spans) > 1
+        for (_, hi), (lo, _) in zip(spans, spans[1:]):
+            assert hi <= lo, f"file ranges overlap: {spans}"
+        # round-trip preserves rows
+        assert spark.read.parquet(out).count() == orders.count()
+
     def test_snapshot_gc_orphans_and_retention(self, spark, sf_dir, tmp_path):
         """VACUUM contract: orphan batch dirs (crashed uncommitted writes)
         are deleted; with a retention horizon, files referenced ONLY by
