@@ -86,8 +86,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ssb_t4_3",
     "op_winsorize_approx", "pipeline_snapshot_curation", "op_freq_items",
     "text_domain_cap", "pipeline_incremental_refresh", "dedup_embedding_lsh",
+    "ev_asof_nearest",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
-    "ann_topk", "dedup_embedding", "dedup_exact", "mm_binary_meta",
+    "ann_topk", "dedup_embedding", "dedup_exact",
 )
 
 

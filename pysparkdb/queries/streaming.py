@@ -602,6 +602,65 @@ def ev_conversion_lag(spark, sf_dir):
 
 
 @register(
+    "ev_asof_nearest",
+    """
+    WITH p AS (
+      SELECT user_id, ts AS pts, max_by(value, event_id) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT e.event_id, p.pts, p.purchase_value,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(p.pts) - epoch_us(e.ts)),
+                        CASE WHEN p.pts <= e.ts THEN 0 ELSE 1 END) AS rn
+      FROM events e JOIN p
+        ON e.user_id = p.user_id
+       AND p.pts BETWEEN e.ts - INTERVAL 2 HOUR AND e.ts + INTERVAL 2 HOUR
+      WHERE e.event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, m.pts AS nearest_purchase_ts, m.purchase_value
+    FROM events e
+    LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON e.event_id = m.event_id
+    WHERE e.event_type = 'click'
+    """,
+    "events", "asof_join", "nearest",
+)
+def ev_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of: each click attached to the SAME user's
+    temporally CLOSEST purchase within ±2 hours, ties to the past — the
+    third as_of_join direction (pandas merge_asof direction='nearest'),
+    completing the registry's as-of surface beside backward
+    (ev_asof_tolerance) and forward (ev_conversion_lag). Both candidates
+    are evaluated in ONE exchange (two Window operators share the key
+    partitioning — never a self-join); the oracle replays the bounded
+    ±window range join with an abs-gap argmin and the same past-preferring
+    tie-break. Purchase side pre-aggregated per (user, ts) via
+    max_by(value, event_id) — the right-side-uniqueness precondition that
+    also makes equal-gap ties well-defined (one candidate per side)."""
+    from pysparkdb.operators.asof import as_of_join
+
+    e = tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    joined = as_of_join(
+        clicks, purchases,
+        left_on="user_id", right_on="p_user",
+        left_ts="ts", right_ts="pts",
+        tolerance_s=7200, direction="nearest",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("pts").alias("nearest_purchase_ts"), "purchase_value",
+    )
+
+
+@register(
     "ev_resample_ffill",
     """
     WITH b AS (

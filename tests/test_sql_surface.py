@@ -33,6 +33,7 @@ NOT_ANSI_PORTABLE = {
     "ev_resample_ffill",   # unnest(generate_series()) grid vs Spark sequence()
     "ev_asof",             # DuckDB-native ASOF JOIN syntax
     "ev_range_join",       # epoch_us() is DuckDB-only
+    "ev_asof_nearest",     # epoch_us() in the abs-gap argmin
     "mm_binary_meta",      # encode(text) 1-arg form
     "mm_frame_sample",     # unnest literal list
     "text_langid",         # list_filter lambda
