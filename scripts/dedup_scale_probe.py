@@ -1,0 +1,84 @@
+"""Dedup-family scale probe: measured throughput vs corpus size.
+
+SCALE.md argues the dedup operators are shuffle-shaped (digest/shingle
+keyed, banded candidates, capped fan-out) rather than pairwise — i.e.
+cost should grow ~linearly in corpus size, not quadratically. This script
+MEASURES that: the documents table is replicated k-fold with every token
+tagged per replica (`tok` → `tok_r<i>`), which preserves each replica's
+internal near-dup structure exactly while guaranteeing ZERO cross-replica
+shingle collisions — so the workload per document is constant and any
+super-linear growth is the engine's, not the data's. (Naive replication
+would instead create k-sized clone groups whose pair count grows k² —
+a different workload at every k.)
+
+Run:  python scripts/dedup_scale_probe.py [k ...]   (default 1 4 10)
+One line per (k, op): rows, wall seconds, and rows/s; the measured table
+lives in SCALE.md ("Measured dedup scaling").
+"""
+
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pysparkdb.pipeline import dedup  # noqa: E402
+from pysparkdb.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+
+
+def staged(spark, k: int):
+    """k-fold replicated documents, per-replica token tagging."""
+    d = spark.read.parquet(SRC).select("doc_id", "lang", "text")
+    parts = []
+    for i in range(k):
+        tag = F.lit(f"_r{i}")
+        parts.append(
+            d.select(
+                (F.col("doc_id") + i * 10**9).alias("doc_id"),
+                "lang",
+                F.array_join(
+                    F.transform(F.split("text", " "), lambda t: F.concat(t, tag)),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # materialize once so staging cost is not billed to the operators
+    return out.persist(), out.count()
+
+
+def timed(label, k, n, fn):
+    t0 = time.perf_counter()
+    rows = fn().count()
+    dt = time.perf_counter() - t0
+    print(f"k={k:3d} docs={n:>7,}  {label:22s} out_rows={rows:>8,}  "
+          f"{dt:6.2f}s  {n / dt:>10,.0f} docs/s")
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    spark = get_spark(
+        "dedup-scale-probe", master="local[32]",
+        extra_confs={"spark.ui.enabled": "false",
+                     "spark.driver.memory": "16g",
+                     "spark.sql.shuffle.partitions": "32"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for k in ks:
+        corpus, n = staged(spark, k)
+        timed("exact_duplicates", k, n, lambda: dedup.exact_duplicates(corpus))
+        timed("minhash_lsh_pairs", k, n,
+              lambda: dedup.minhash_lsh_pairs(corpus, threshold=0.5,
+                                              max_doc_freq=256))
+        timed("simhash_pairs", k, n, lambda: dedup.simhash_pairs(corpus))
+        corpus.unpersist()
+
+
+if __name__ == "__main__":
+    main()
