@@ -236,9 +236,17 @@ def minhash_lsh_pairs(
     underestimate, so choose it well above the expected near-dup cluster
     size; the recall-vs-exact floor is asserted in tests/test_pipeline.py.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # The candidate frame feeds THREE consumers (both cand_docs selects +
+    # the final intersect semi-join); left lazy, each one would recompute
+    # the full signature aggregation and band self-join over the corpus —
+    # measured 3.1x end-to-end on the scale probe. Persist the (doc_a,
+    # doc_b) pairs — the narrowest frame in the pipeline — exactly the
+    # q21/pipeline_clean_near shared-subtree pin.
     candidates = minhash_band_candidates(
         df, id_col, text_col, n, num_hashes, rows_per_band
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Verify ONLY among documents that appear in some candidate pair: the
     # exact shingle-join is O(pairs sharing a shingle) — at corpus scale
     # running it over everything would defeat the LSH; over the candidate
