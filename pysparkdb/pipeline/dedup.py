@@ -305,7 +305,15 @@ def simhash_pairs(
     16-byte row per doc, the cheapest thing in the pipeline to cache)."""
     num_bands = bits // band_bits
     if sims is None:
-        sims = simhash(df, id_col, text_col, bits)
+        # both sides of the band self-join consume the fingerprint frame;
+        # left lazy, the full text-shingle hash would run twice — pin the
+        # 16-byte-per-doc frame (cheapest thing in the pipeline to cache,
+        # exactly what the `sims` parameter asks callers to do)
+        from pyspark.storagelevel import StorageLevel
+
+        sims = simhash(df, id_col, text_col, bits).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     mask = (1 << band_bits) - 1
     band_structs = F.array(
         *[

@@ -105,9 +105,15 @@ def lsh_near_dup_pairs(
     (never vector payloads — vectors re-join only for the verified
     candidate set), and the bucket computation is one Arrow-batched
     matmul per partition (hyperplane_buckets)."""
+    from pyspark.storagelevel import StorageLevel
+
+    # Both sides of the bucket self-join consume the bucket frame; left
+    # lazy, the Arrow-batched plane matmul would run twice over the
+    # corpus. Persist the id-level frame (payload columns pruned first —
+    # 3 small columns per (vector, table), never the vectors).
     b = hyperplane_buckets(
         df, dim=dim, vec_col=vec_col, nbits=nbits, tables=tables, seed=seed
-    )
+    ).select("tbl", "bucket", "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
     a = b.select("tbl", "bucket", F.col("vec_id").alias("id_a"))
     c = b.select("tbl", "bucket", F.col("vec_id").alias("id_b"))
     cand = (
