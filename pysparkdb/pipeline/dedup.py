@@ -84,7 +84,16 @@ def ngram_jaccard_pairs(
     is small by construction (≤ total-occurrences / F entries) and
     broadcasts.
     """
-    sh = _shingled(df, id_col, text_col, n)
+    from pyspark.storagelevel import StorageLevel
+
+    # The shingle explode feeds up to four consumers (sizes, the stop-set
+    # scan, and both sides of the collision self-join); left lazy each
+    # re-tokenizes the corpus. Pin it spill-safe — at test scale it sits
+    # in memory; at 100 TB MEMORY_AND_DISK degrades to a disk-backed
+    # materialization, which still beats four full re-tokenizations (and
+    # a production run would checkpoint the shingle frame to parquet
+    # between stages, as pipeline_clean_near documents for survivors).
+    sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
     joinable = sh
     if max_doc_freq is not None:
