@@ -1019,12 +1019,19 @@ def text_tfidf(spark, sf_dir):
     arguments (measured: df=387 at sf0.01); the rounding absorbs it
     (agreement at 6dp asserted over every df value in
     tests/test_pipeline.py)."""
+    from pyspark.storagelevel import StorageLevel
+
     d = tables(spark, sf_dir)["documents"]
+    # tf feeds BOTH the df derivation and the scoring join; AQE's staged
+    # execution plans them as separate subtrees (no ReusedExchange), so
+    # left lazy the tokenize+count pipeline runs twice — pin the compact
+    # (doc, tok, tf) frame (distinct tokens per doc, far smaller than the
+    # token stream).
     tf = (
         d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(bigint(F.count(F.lit(1))).alias("tf"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df_ = tf.groupBy("tok").agg(bigint(F.count(F.lit(1))).alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
@@ -1284,6 +1291,9 @@ def text_unigram_logprob(spark, sf_dir):
     addends so the summation ORDER cannot flip the hash (the dsum idiom),
     and the mean rounds to 4dp."""
     d = tables(spark, sf_dir)["documents"]
+    # (measured: pinning the token stream here is flat — the vocab
+    # aggregation dominates both consumers — so unlike text_tfidf the
+    # frame stays lazy)
     tok = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
     vocab = tok.groupBy("tok").agg(bigint(F.count(F.lit(1))).alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("n"))
