@@ -69,6 +69,15 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             times[name].append(time.perf_counter() - t0)
+        # Several library paths pin shared subtrees (shingle explodes, LSH
+        # candidates, fingerprints) with MEMORY_AND_DISK persist; each
+        # invocation registers a fresh cache entry that only a clearCache
+        # or session exit releases. Dropping the cache at each sweep
+        # boundary bounds accumulation to one sweep's pins — the hygiene a
+        # long-lived query server applies between pipelines. (q6_hybrid's
+        # segment cache re-admits on its next run; each sweep still
+        # exercises the cold->warm transition it certifies.)
+        spark.catalog.clearCache()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

@@ -83,6 +83,13 @@ class Engine:
         ``_RESOLVE_LOCK`` so the transfer pass's view swap can never leak
         into another call's analysis; execution parallelism is untouched
         (the lock is released before any job runs)."""
+        if isinstance(predicate_transfer, str) and predicate_transfer != "auto":
+            # a typo'd mode string must not silently pay the full
+            # unconditional pass (the regression auto exists to prevent)
+            raise ValueError(
+                f"predicate_transfer must be True, False or 'auto', "
+                f"got {predicate_transfer!r}"
+            )
         with _RESOLVE_LOCK:
             df = self.spark.sql(query)
         if not predicate_transfer:

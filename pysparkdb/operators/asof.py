@@ -49,9 +49,10 @@ def as_of_join(
     the chosen direction is discarded (inclusive boundary), the left row
     keeping null right columns. The bound is applied AFTER the window
     pass — one post-window column comparison, no change to the
-    single-shuffle cost model. Timestamps compare as fractional epoch
-    doubles: micro-precision epochs fit well under 2^53, so the
-    difference and the boundary equality are exact.
+    single-shuffle cost model. Timestamp gaps compare as unix_micros
+    BIGINTs — exact integer differences, so the tolerance boundary and
+    nearest's gap comparison can never be flipped by a double's ~0.5 µs
+    ulp at epoch magnitude; numeric ts columns use the double path.
 
     Forward is backward time-reversed: the same union-marker/window plan
     with the sort order flipped (right rows still sort before same-ts
@@ -123,7 +124,22 @@ def as_of_join(
         )
     out = unioned.filter(F.col("_is_left") == 1)
 
-    lt = F.col("_t").cast("double")
+    # Gap arithmetic must be EXACT: double epoch-seconds carry a ~0.5 µs
+    # ulp at current epoch magnitudes, enough to misorder near-tied
+    # past/future candidates in `nearest` (or flip an inclusive tolerance
+    # boundary) relative to an integer-microsecond oracle. Timestamps
+    # therefore compare as unix_micros BIGINTs (exact integer differences);
+    # numeric ts columns keep the double path (test keys are small longs,
+    # exact in a double).
+    is_ts = isinstance(unioned.schema["_t"].dataType, T.TimestampType)
+
+    def ep(c):
+        return F.unix_micros(c) if is_ts else c.cast("double")
+
+    tol = None if tolerance_s is None else (
+        int(tolerance_s * 1_000_000) if is_ts else float(tolerance_s)
+    )
+    lt = ep(F.col("_t"))
     # A NULL left timestamp precedes/follows nothing — no direction may
     # match it. Backward gets this for free (NULLS FIRST puts the row
     # before every right row); forward's descending sort puts NULLs last,
@@ -132,19 +148,19 @@ def as_of_join(
     has_t = F.col("_t").isNotNull()
 
     def _bounded(col, gap):
-        if tolerance_s is None:
+        if tol is None:
             return col
-        return F.when(gap <= float(tolerance_s), col)
+        return F.when(gap <= F.lit(tol), col)
 
     if direction == "backward":
-        match = _bounded(F.col("_mb"), lt - F.col("_mb")[right_ts].cast("double"))
+        match = _bounded(F.col("_mb"), lt - ep(F.col("_mb")[right_ts]))
     elif direction == "forward":
-        match = _bounded(F.col("_mf"), F.col("_mf")[right_ts].cast("double") - lt)
+        match = _bounded(F.col("_mf"), ep(F.col("_mf")[right_ts]) - lt)
     else:  # nearest: the closer bounded candidate; ties → backward
-        mb = _bounded(F.col("_mb"), lt - F.col("_mb")[right_ts].cast("double"))
-        mf = _bounded(F.col("_mf"), F.col("_mf")[right_ts].cast("double") - lt)
-        bgap = lt - mb[right_ts].cast("double")
-        fgap = mf[right_ts].cast("double") - lt
+        mb = _bounded(F.col("_mb"), lt - ep(F.col("_mb")[right_ts]))
+        mf = _bounded(F.col("_mf"), ep(F.col("_mf")[right_ts]) - lt)
+        bgap = lt - ep(mb[right_ts])
+        fgap = ep(mf[right_ts]) - lt
         match = (
             F.when(mb.isNotNull() & (mf.isNull() | (bgap <= fgap)), mb)
             .otherwise(mf)

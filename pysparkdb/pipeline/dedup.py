@@ -93,6 +93,10 @@ def ngram_jaccard_pairs(
     # materialization, which still beats four full re-tokenizations (and
     # a production run would checkpoint the shingle frame to parquet
     # between stages, as pipeline_clean_near documents for survivors).
+    # Lifecycle: pins live until spark.catalog.clearCache() or session
+    # end — long-lived servers clear between pipelines (bench.py does so
+    # per sweep); the lazily-returned result cannot unpersist its own
+    # input.
     sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
     joinable = sh

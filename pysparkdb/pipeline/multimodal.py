@@ -329,13 +329,24 @@ def sample_frames(df: DataFrame, num_frames: int = 3, fake: bool = False) -> Dat
                     with av.open(io.BytesIO(bytes(p))) as container:
                         decoded = list(container.decode(video=0))
                     if not decoded:
+                        # undecodable/empty video: zero rows, the one
+                        # documented divergence from the fake path's
+                        # always-num_frames fan-out
                         continue
-                    step = max(len(decoded) // num_frames, 1)
-                    for i in range(min(num_frames, len(decoded))):
+                    n = len(decoded)
+                    # evenly spaced over [0, n): endpoints included when
+                    # num_frames > 1; short videos repeat frames so every
+                    # decodable doc emits EXACTLY num_frames rows (the
+                    # fan-out contract downstream partition sizing uses)
+                    for i in range(num_frames):
+                        src = (
+                            round(i * (n - 1) / (num_frames - 1))
+                            if num_frames > 1 else 0
+                        )
                         ids.append(did)
                         idxs.append(i)
                         frames.append(
-                            decoded[min(i * step, len(decoded) - 1)]
+                            decoded[min(src, n - 1)]
                             .to_ndarray(format="rgb24")
                             .tobytes()
                         )

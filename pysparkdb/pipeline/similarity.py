@@ -70,6 +70,14 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
+def _pair_cosine() -> Column:
+    """Scoring expression shared by the exact (cosine_pairs) and bucketed
+    (lsh_near_dup_pairs) paths over (va, na, vb, nb) columns — ONE
+    definition so 'the LSH output is a subset of cosine_pairs at the same
+    threshold' stays provable by construction."""
+    return (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine")
+
+
 def cosine_pairs(
     df: DataFrame, vec_col: str = "embedding", threshold: float = 0.4
 ) -> DataFrame:
@@ -80,10 +88,7 @@ def cosine_pairs(
     b = e.withColumnsRenamed({"vec_id": "id_b", "v": "vb", "nrm": "nb"})
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
+        .select("id_a", "id_b", _pair_cosine())
         .filter(F.col("cosine") > threshold)
     )
 
@@ -129,10 +134,7 @@ def lsh_near_dup_pairs(
                   F.col("nrm").alias("nb"))
     return (
         cand.join(ea, "id_a").join(eb, "id_b")
-        .select(
-            "id_a", "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
+        .select("id_a", "id_b", _pair_cosine())
         .filter(F.col("cosine") > threshold)
     )
 

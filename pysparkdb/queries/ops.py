@@ -700,7 +700,7 @@ def op_approx_distinct(spark, sf_dir):
     t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
     SELECT lang, n, TRUE AS captured
     FROM c CROSS JOIN t
-    WHERE n / total >= 0.2
+    WHERE n / total > 0.2
     """,
     "ops", "aggregate", "sketch", "frequency",
 )
@@ -722,7 +722,13 @@ def op_freq_items(spark, sf_dir):
     true hitter appeared in the sketch result — a hash match certifies
     the exact computation AND the sketch's no-false-negative contract.
     The sketch row it checks against is a bounded driver value (≤
-    1/support items), the op_approx-family's sanctioned scalar."""
+    1/support items), the op_approx-family's sanctioned scalar.
+
+    The exact-side filter is STRICTLY greater than the support: the
+    Misra-Gries guarantee covers frequency > support only (an item at
+    exactly support·n occurrences may legally be evicted), so >= would
+    certify something the sketch never promised and could flake on a
+    boundary-frequency value."""
     d = tables(spark, sf_dir)["documents"]
     support = 0.2
     sketch_row = d.stat.freqItems(["lang"], support=support).collect()[0]
@@ -731,7 +737,7 @@ def op_freq_items(spark, sf_dir):
     total = counts.agg(F.sum("n").cast("double").alias("total"))
     return (
         counts.join(F.broadcast(total))
-        .filter(F.col("n") / F.col("total") >= support)
+        .filter(F.col("n") / F.col("total") > support)
         .select("lang", "n", F.col("lang").isin(sketch_items).alias("captured"))
     )
 

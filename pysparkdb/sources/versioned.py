@@ -133,26 +133,37 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
 
 
 def snapshot_gc(
-    root: str, retain_versions: int | None = None
+    root: str, retain_versions: int | None = None,
+    orphan_grace_s: float = 600.0,
 ) -> dict[str, list[str]]:
     """Garbage-collect the snapshot root — the VACUUM analog. Two classes
     of dead files, both identified purely from manifests (no data reads):
 
     - **orphans**: ``data/`` files no manifest references (crashed writes
-      that never committed — snapshot_append documents them as inert);
-      always deleted.
+      that never committed — snapshot_append documents them as inert),
+      deleted only once OLDER than ``orphan_grace_s``: an in-flight
+      append stages its data files BEFORE committing the manifest, so an
+      unreferenced-but-young file may be a write in progress — deleting
+      it would corrupt the version about to commit. The grace window is
+      the same writer-race guard as Delta/Iceberg VACUUM retention
+      (public designs); set it above your longest plausible commit.
     - **expired**: with ``retain_versions=k``, manifests older than the
       newest k are dropped and any file referenced ONLY by dropped
       versions is deleted. Readers of retained versions are untouched
       (their manifests still list every file they need); time travel
       beyond the horizon is explicitly given up — the same contract as
-      Delta/Iceberg retention (public designs).
+      Delta/Iceberg retention.
 
     Returns {"orphans": [...], "expired": [...]} of deleted paths
     (root-relative). Safe on a root with live readers of RETAINED
     versions: deletion only ever touches files no retained manifest
     references, and manifests are removed before their now-unreferenced
     files."""
+    import time as _time
+    if retain_versions is not None and retain_versions < 1:
+        # versions[-0:] would silently keep EVERYTHING — the opposite of
+        # the requested horizon; at least the newest version must survive
+        raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
     versions = snapshot_versions(root)
     if not versions:
         return {"orphans": [], "expired": []}
@@ -178,14 +189,23 @@ def snapshot_gc(
             pass
 
     orphans: list[str] = []
+    now = _time.time()
     data_dir = os.path.join(root, _DATA_DIR)
     if os.path.isdir(data_dir):
         for dirpath, _dirs, files in os.walk(data_dir, topdown=False):
             for name in files:
-                rel = os.path.relpath(os.path.join(dirpath, name), root)
-                if rel not in referenced_keep:
-                    os.remove(os.path.join(root, rel))
-                    orphans.append(rel)
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, root)
+                if rel in referenced_keep:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except FileNotFoundError:
+                    continue
+                if age < orphan_grace_s:
+                    continue  # possibly an append mid-commit: leave it
+                os.remove(full)
+                orphans.append(rel)
             if not os.listdir(dirpath):
                 os.rmdir(dirpath)
     # expired files were removed above via the referenced_drop walk; the
@@ -234,12 +254,10 @@ def snapshot_diff(
         return b.withColumn("_change", F.lit("insert"))
     if b is None:
         return a.withColumn("_change", F.lit("delete"))
-    a_keys = a.select(*key_cols).withColumn("_in_a", F.lit(True))
-    b_tag = b.join(a_keys, key_cols, "left_anti").withColumn(
+    b_tag = b.join(a.select(*key_cols), key_cols, "left_anti").withColumn(
         "_change", F.lit("insert")
     )
-    b_keys = b.select(*key_cols).withColumn("_in_b", F.lit(True))
-    a_tag = a.join(b_keys, key_cols, "left_anti").withColumn(
+    a_tag = a.join(b.select(*key_cols), key_cols, "left_anti").withColumn(
         "_change", F.lit("delete")
     )
     return b_tag.unionByName(a_tag)

@@ -501,7 +501,10 @@ class TestSnapshotVersioning:
             f.write(b"junk")
 
         before = snapshot_read(spark, root, 3).count()
-        out = snapshot_gc(root, retain_versions=1)  # keep only v3
+        # a FRESH unreferenced file may be an append mid-commit: the
+        # default grace window must leave it alone
+        assert snapshot_gc(root)["orphans"] == []
+        out = snapshot_gc(root, retain_versions=1, orphan_grace_s=0)  # keep v3
         assert any("batch-9-deadbeef" in p for p in out["orphans"])
         # v1/v2's pre-compaction files are referenced by no retained
         # manifest -> expired; v3 (compacted) still reads identically
@@ -509,7 +512,11 @@ class TestSnapshotVersioning:
         assert snapshot_versions(root) == [3]
         assert snapshot_read(spark, root, 3).count() == before
         # a second GC is a no-op (idempotent)
-        assert snapshot_gc(root) == {"orphans": [], "expired": []}
+        assert snapshot_gc(root, orphan_grace_s=0) == {"orphans": [], "expired": []}
+        # degenerate horizon is rejected, not silently ignored
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="retain_versions"):
+            snapshot_gc(root, retain_versions=0)
 
     def test_snapshot_diff_cdc_between_versions(self, spark, sf_dir, tmp_path):
         """Reader-side CDC: the diff of two versions is exactly the key
