@@ -55,8 +55,21 @@ class Engine:
         self.catalog = Catalog(self.spark, data_dir).register_all(validate=validate)
         return self
 
-    def sql(self, query: str, predicate_transfer: bool | str = False) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        predicate_transfer: bool | str = False,
+        args: dict | list | None = None,
+    ) -> DataFrame:
         """SQL → DataFrame (Client::executeQuery analog; lazy, not collected).
+
+        ``args`` are bound parameters — named (``:name`` markers with a
+        dict) or positional (``?`` markers with a list) — resolved by
+        Spark's parameterized-SQL binder, NOT string interpolation: values
+        bind as typed literals after parsing, so a client-supplied string
+        can never splice into the query text (the injection-safety a
+        SQL-serving endpoint needs; beyond the reference, whose Calcite
+        front door takes only literal SQL).
 
         ``predicate_transfer=True`` applies the reference's CIDR-2024
         pre-pass (PrePToPTransformerForPredTrans.cpp, enabled by its
@@ -91,7 +104,7 @@ class Engine:
                 f"got {predicate_transfer!r}"
             )
         with _RESOLVE_LOCK:
-            df = self.spark.sql(query)
+            df = self.spark.sql(query, args=args) if args else self.spark.sql(query)
         if not predicate_transfer:
             return df
         assert self.catalog is not None, "call attach(data_dir) first"
@@ -119,7 +132,8 @@ class Engine:
             try:
                 for name, rdf in reduced.items():
                     rdf.createOrReplaceTempView(name)
-                return self.spark.sql(query)
+                return (self.spark.sql(query, args=args) if args
+                        else self.spark.sql(query))
             finally:
                 for name, odf in self.catalog.tables.items():
                     odf.createOrReplaceTempView(name)

@@ -218,6 +218,55 @@ class TestSegmentCache:
         mgr.clear()
 
 
+class TestEngineParameterizedSql:
+    def test_named_and_positional_args_bind_as_literals(self, spark, sf_dir):
+        """Engine.sql(args=...) binds through Spark's parameterized-SQL
+        binder: named and positional forms produce the literal-SQL
+        answer, and a hostile string value stays a VALUE (no splice)."""
+        from pysparkdb import Engine
+
+        eng = Engine(spark)
+        eng.attach(sf_dir, validate=False)
+        want = eng.sql(
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_regionkey = 1"
+        ).collect()
+        named = eng.sql(
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_regionkey = :rk",
+            args={"rk": 1},
+        ).collect()
+        positional = eng.sql(
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_regionkey = ?",
+            args=[1],
+        ).collect()
+        assert named == want and positional == want
+        hostile = eng.sql(
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation WHERE n_name = :nm",
+            args={"nm": "x' OR '1'='1"},
+        ).collect()
+        assert hostile[0].n == 0  # bound as a value, not spliced
+
+    def test_args_compose_with_predicate_transfer(self, spark, sf_dir):
+        from pysparkdb import Engine
+        from pysparkdb.plans.pushdown import explain_str
+
+        eng = Engine(spark)
+        eng.attach(sf_dir, validate=False)
+        q = """
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem, orders, customer, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = :region
+            GROUP BY n_name
+        """
+        plain = eng.sql(q, args={"region": "EUROPE"})
+        transferred = eng.sql(q, predicate_transfer=True, args={"region": "EUROPE"})
+        assert "LeftSemi" in explain_str(transferred, "simple")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, transferred.collect())
+        )
+
+
 class TestEnginePredicateTransfer:
     def test_sql_auto_mode_same_results_and_semi_reduced_plan(self, spark, sf_dir):
         """Engine.sql(..., predicate_transfer=True): the join graph comes
