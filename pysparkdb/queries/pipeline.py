@@ -1901,37 +1901,45 @@ def pipeline_snapshot_curation(spark, sf_dir):
     "pipeline_incremental_refresh",
     """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS incremental_matches
-    FROM documents GROUP BY lang
+    FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang
     """,
     "pipeline", "versioned", "incremental", "composite",
 )
 def pipeline_incremental_refresh(spark, sf_dir):
     """Incremental view maintenance over the snapshot log: refresh a
-    per-language corpus statistic from the VERSION DELTA instead of
+    per-language corpus statistic from VERSION DELTAS instead of
     re-reading the corpus — the nightly-stats pattern that makes 100 TB
-    maintenance affordable (the delta is one batch; the corpus is
-    everything). Mechanics: commit the corpus as two snapshot versions
-    (initial two-thirds, then the remainder), aggregate v1 once, read the
-    v1→v2 change feed (sources/versioned.py:snapshot_diff — file-level
-    short-circuit means ONLY the second batch's files are scanned, never
-    the v1 data), apply the insert/delete delta to the v1 aggregate, and
-    emit the refreshed counts plus an `incremental_matches` boolean
-    asserting they equal a full recompute over v2. The oracle re-derives
-    the counts relationally and asserts TRUE — a hash match certifies
-    both the statistic and the algebraic correctness of delta
-    application (counts are fully re-aggregable; the same shape carries
+    maintenance affordable (a delta is one batch; the corpus is
+    everything). Mechanics: three versions exercise BOTH delta signs —
+    v1 (initial two-thirds), v2 (append of the remainder: pure inserts;
+    snapshot_diff's file-level short-circuit scans ONLY the new batch),
+    v3 (snapshot_rewrite dropping every doc_id % 7 == 0: the retention /
+    right-to-erasure pass, whose diff is pure deletes). The v1 aggregate
+    is chained through both deltas and the result is emitted with an
+    `incremental_matches` boolean asserting it equals a full recompute
+    over v3. The oracle re-derives the final counts relationally (docs
+    with doc_id % 7 <> 0) and asserts TRUE — a hash match certifies the
+    statistic AND the algebraic correctness of delta application in both
+    directions (counts are fully re-aggregable; the same shape carries
     any commutative-monoid stat: token sums, per-domain quotas,
     quality-score moments).
 
     Scale shape: aggregate(v1) is the one-time base (itself refreshable);
-    each refresh then costs aggregate(delta) + a |langs|-row merge join —
-    independent of corpus size. Deletes exercise the negative path when a
-    compaction or retention pass rewrites files."""
+    each append refresh costs aggregate(one batch) + a |langs|-row merge.
+    The post-rewrite diff degrades to a full key compare (the manifests
+    share no files — documented in snapshot_diff), which is the honest
+    price of a corpus-wide erasure pass; day-to-day appends keep the
+    short-circuit."""
     import os
     import shutil
     import tempfile
 
-    from pysparkdb.sources.versioned import snapshot_append, snapshot_diff
+    from pysparkdb.sources.versioned import (
+        snapshot_append,
+        snapshot_diff,
+        snapshot_read,
+        snapshot_rewrite,
+    )
 
     docs = tables(spark, sf_dir)["documents"]
     workdir = tempfile.mkdtemp(prefix="increfresh-")
@@ -1939,38 +1947,39 @@ def pipeline_incremental_refresh(spark, sf_dir):
         root = os.path.join(workdir, "corpus")
         snapshot_append(docs.filter(F.col("doc_id") % 3 != 0), root)  # v1
         snapshot_append(docs.filter(F.col("doc_id") % 3 == 0), root)  # v2
-
-        from pysparkdb.sources.versioned import snapshot_read
-
-        base = (
-            snapshot_read(spark, root, 1)
-            .groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_base"))
+        snapshot_rewrite(  # v3: retention pass — deletes doc_id % 7 == 0
+            spark, root,
+            snapshot_read(spark, root, 2).filter(F.col("doc_id") % 7 != 0),
         )
-        delta = (
-            snapshot_diff(spark, root, 1, 2, ["doc_id"])
-            .groupBy("lang")
-            .agg(
-                F.sum(F.when(F.col("_change") == "insert", 1).otherwise(-1)).alias(
-                    "n_delta"
+
+        def counts(df, alias):
+            return df.groupBy("lang").agg(F.count(F.lit(1)).alias(alias))
+
+        def delta(v_from, v_to, alias):
+            return (
+                snapshot_diff(spark, root, v_from, v_to, ["doc_id"])
+                .groupBy("lang")
+                .agg(
+                    F.sum(
+                        F.when(F.col("_change") == "insert", 1).otherwise(-1)
+                    ).alias(alias)
                 )
             )
-        )
+
         refreshed = (
-            base.join(delta, "lang", "full")
+            counts(snapshot_read(spark, root, 1), "n_base")
+            .join(delta(1, 2, "d12"), "lang", "full")
+            .join(delta(2, 3, "d23"), "lang", "full")
             .select(
                 "lang",
                 (
                     F.coalesce(F.col("n_base"), F.lit(0))
-                    + F.coalesce(F.col("n_delta"), F.lit(0))
+                    + F.coalesce(F.col("d12"), F.lit(0))
+                    + F.coalesce(F.col("d23"), F.lit(0))
                 ).alias("n_refreshed"),
             )
         )
-        full = (
-            snapshot_read(spark, root, 2)
-            .groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("n_full"))
-        )
+        full = counts(snapshot_read(spark, root, 3), "n_full")
         out = (
             full.join(refreshed, "lang", "full")
             .select(

@@ -311,6 +311,31 @@ def snapshot_compact(
     return version
 
 
+def snapshot_rewrite(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Commit ``df`` as a FULL-REPLACEMENT version — the delete path of
+    the versioned store (retention sweeps, right-to-erasure, quality
+    re-gating): unlike snapshot_append (adds files) and snapshot_compact
+    (same rows, fewer files), the new manifest lists ONLY the rewritten
+    files, so rows absent from ``df`` are gone from this version onward.
+    History is untouched — earlier versions still read their original
+    files until snapshot_gc's retention horizon reclaims them (that pair
+    is the complete erasure story: rewrite removes from the live version,
+    GC removes the bytes). Readers see the change atomically at the
+    manifest rename; snapshot_diff against the parent yields the
+    insert/delete feed downstream increments consume."""
+    versions = snapshot_versions(root)
+    parent = versions[-1] if versions else None
+    version = (parent or 0) + 1
+    batch_dir = os.path.join(
+        root, _DATA_DIR, f"rewrite-{version}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("error").parquet(batch_dir)
+    written = _parquet_files(batch_dir)
+    files = [os.path.relpath(p, root) for p in written]
+    _commit(root, version, files, _footer_rows(written), parent)
+    return version
+
+
 def committed_epochs(root: str) -> set[int]:
     """Streaming epoch ids already committed to a manifest (see
     snapshot_stream_sink)."""

@@ -474,6 +474,30 @@ class TestSnapshotVersioning:
         # round-trip preserves rows
         assert spark.read.parquet(out).count() == orders.count()
 
+    def test_snapshot_rewrite_is_the_delete_path(self, spark, sf_dir, tmp_path):
+        """snapshot_rewrite commits a full-replacement version: dropped
+        rows vanish from the new version, history still reads intact, and
+        the diff against the parent is pure deletes."""
+        from pyspark.sql import functions as F
+
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_diff, snapshot_read, snapshot_rewrite,
+        )
+
+        nation = tables(spark, sf_dir)["nation"]
+        root = str(tmp_path / "snap")
+        snapshot_append(nation, root)  # v1: all 25
+        v2 = snapshot_rewrite(
+            spark, root,
+            snapshot_read(spark, root, 1).filter(F.col("n_nationkey") % 5 != 0),
+        )
+        assert v2 == 2
+        assert snapshot_read(spark, root, 2).count() == 20
+        assert snapshot_read(spark, root, 1).count() == 25  # history intact
+        d = snapshot_diff(spark, root, 1, 2, ["n_nationkey"])
+        rows = {(r.n_nationkey, r._change) for r in d.collect()}
+        assert rows == {(k, "delete") for k in (0, 5, 10, 15, 20)}
+
     def test_snapshot_gc_orphans_and_retention(self, spark, sf_dir, tmp_path):
         """VACUUM contract: orphan batch dirs (crashed uncommitted writes)
         are deleted; with a retention horizon, files referenced ONLY by
