@@ -187,8 +187,15 @@ class Catalog:
             if not isinstance(f.dataType, T.TimestampType):
                 continue
             if isinstance(actual.get(f.name), T.LongType):
+                # FLOOR division, not bare `div` (truncates toward zero):
+                # pre-1970 nanos would otherwise round up by 1µs and
+                # disagree with every floor-based consumer (the
+                # rangejoin.py bucket idiom)
                 df = df.withColumn(
-                    f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+                    f.name,
+                    F.timestamp_micros(
+                        F.expr(f"(`{f.name}` - pmod(`{f.name}`, 1000)) div 1000")
+                    ),
                 )
             elif isinstance(actual.get(f.name), T.TimestampNTZType):
                 df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))

@@ -34,7 +34,27 @@ def range_interval_join(
     qualifying pair differs by at most one bucket: the left row probes
     buckets {b, b+1} (explode ×2), the right row sits in its own bucket —
     an equi-join Catalyst can hash-partition.
+
+    Preconditions (validated): ``max_gap_us > 0`` (it is the bucket width —
+    zero would divide by zero, negative spans are meaningless) and
+    ``0 <= min_gap_us < max_gap_us`` — a NEGATIVE min_gap (pairs where the
+    right row may precede the left) needs a {b-1, b, b+1} probe set this
+    operator does not generate, so such pairs would be SILENTLY missing;
+    callers wanting ±gap semantics swap the sides instead. Reserved
+    working columns must not collide with caller columns.
     """
+    if max_gap_us <= 0:
+        raise ValueError(f"max_gap_us must be > 0 (bucket width), got {max_gap_us}")
+    if not 0 <= min_gap_us < max_gap_us:
+        raise ValueError(
+            f"min_gap_us must satisfy 0 <= min_gap_us < max_gap_us "
+            f"(negative gaps need a wider probe set; swap sides instead), "
+            f"got min_gap_us={min_gap_us}, max_gap_us={max_gap_us}"
+        )
+    reserved = {"_b", "_le", "_re", "gap_us"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"input columns collide with reserved names: {sorted(clash)}")
     # cast("timestamp") is a no-op on TIMESTAMP and, under the engine's UTC
     # session timezone, the identity on TIMESTAMP_NTZ wall-clock values —
     # unix_micros itself rejects NTZ input outright.

@@ -135,7 +135,11 @@ def sort(df: DataFrame, keys: Sequence[tuple[str, str]]) -> DataFrame:
     Spark range-partitions and merges — a distributed sort that survives
     100 TB inputs.
     """
-    cols = [F.col(k).desc() if d.lower().startswith("desc") else F.col(k).asc() for k, d in keys]
+    for _k, d in keys:
+        if d.lower() not in ("asc", "desc"):
+            # a typo'd direction must not silently sort ascending
+            raise ValueError(f"sort direction must be 'asc' or 'desc', got {d!r}")
+    cols = [F.col(k).desc() if d.lower() == "desc" else F.col(k).asc() for k, d in keys]
     return df.orderBy(*cols)
 
 

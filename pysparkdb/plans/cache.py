@@ -77,9 +77,14 @@ class SegmentCacheManager:
         self.hit_count = 0
         self.miss_count = 0
         # Belady oracle state: the known future request sequence and a
-        # cursor advanced on every project() call.
-        self._future = list(future or [])
+        # cursor advanced on every project() call. Column tuples are
+        # normalized exactly as project() normalizes its key (sorted), so
+        # a caller listing columns in request order still matches.
+        self._future = [(t, tuple(sorted(c))) for t, c in (future or [])]
         self._clock = 0
+        # entries that must survive the current admission (project_zip
+        # pins its partial-hit entry while admitting the miss side)
+        self._pinned: set[tuple[str, tuple[str, ...]]] = set()
 
     # -- policy scoring: lower score evicts first ---------------------------
     def _score(self, e: _Entry, key: tuple[str, tuple[str, ...]] | None = None) -> float:
@@ -90,9 +95,15 @@ class SegmentCacheManager:
         if self.policy == "lfus":
             return e.hits / max(e.size_bytes, 1)  # size-normalized frequency
         if self.policy == "belady":
-            # farthest-next-use evicts first → score = -distance to next use
+            # farthest-next-use evicts first → score = -distance to next
+            # use. An entry is "used" by a future request it SERVES: the
+            # exact key, or any subset request of the same table (those
+            # hit via _covering), matching project()'s actual hit logic.
+            assert key is not None
+            table, cols = key
             for i in range(self._clock, len(self._future)):
-                if self._future[i] == key:
+                ft, fc = self._future[i]
+                if ft == table and set(fc) <= set(cols):
                     return -float(i)
             return float("-inf")  # never used again → best victim
         return e.hits * max(e.size_bytes, 1)  # wlfu: frequency × recompute cost
@@ -114,10 +125,12 @@ class SegmentCacheManager:
         if entry is not None:
             entry.hits += 1
             entry.last_access = now
-            self.hit_count += 1
+            if not self._pinned:  # inside project_zip the outer call counted
+                self.hit_count += 1
             return entry.df.select(*columns)
 
-        self.miss_count += 1
+        if not self._pinned:
+            self.miss_count += 1
         proj = df.select(*columns)
         size = _plan_size_bytes(proj)
         if self._admit(size):
@@ -156,9 +169,10 @@ class SegmentCacheManager:
         """
         keys = [key] if isinstance(key, str) else list(key)
         want = [c for c in columns if c not in keys]
-        entry = self._best_partial(table, want, keys)
-        if entry is None:
+        found = self._best_partial(table, want, keys)
+        if found is None:
             return self.project(df, table, columns)
+        entry_key, entry = found
         hit_cols = [c for c in want if c in entry.columns]
         miss_cols = [c for c in want if c not in entry.columns]
         if not miss_cols:
@@ -166,15 +180,27 @@ class SegmentCacheManager:
 
         entry.hits += 1
         entry.last_access = time.monotonic()
+        # Stats: ONE request, one counter — the partial hit counts here;
+        # the nested project() suppresses its own counters while an entry
+        # is pinned (it is the same user request, and counting its miss
+        # side too would double-count and skew hit_ratio()).
         self.hit_count += 1
         hit_side = entry.df.select(*keys, *hit_cols)
-        miss_side = self.project(df, table, keys + miss_cols)
+        # Pin the partial-hit entry while the miss side is admitted: the
+        # admission's eviction loop must not select the very entry being
+        # zipped (that would silently turn the "cached hit side" into a
+        # full recompute of the evicted projection).
+        self._pinned.add(entry_key)
+        try:
+            miss_side = self.project(df, table, keys + miss_cols)
+        finally:
+            self._pinned.discard(entry_key)
         return hit_side.join(miss_side, on=keys).select(*columns)
 
     def _best_partial(
         self, table: str, want: list[str], keys: list[str]
-    ) -> _Entry | None:
-        """The cached entry covering the most requested columns — it must
+    ) -> tuple[tuple[str, tuple[str, ...]], _Entry] | None:
+        """The (key, entry) covering the most requested columns — it must
         also hold every ``keys`` column (no zip handle otherwise) and at
         least one wanted column, but not all of them (that is a plain
         hit)."""
@@ -184,7 +210,7 @@ class SegmentCacheManager:
                 continue
             cover = len(set(want) & set(cols))
             if cover > best_cover and not set(want) <= set(cols):
-                best, best_cover = e, cover
+                best, best_cover = ((t, cols), e), cover
         return best
 
     def _covering(self, table: str, columns: tuple[str, ...]) -> _Entry | None:
@@ -198,8 +224,11 @@ class SegmentCacheManager:
         if size > self.capacity:
             return False
         while self.used + size > self.capacity:
+            candidates = [k for k in self.entries if k not in self._pinned]
+            if not candidates:
+                return False  # only pinned entries left: don't admit
             victim_key = min(
-                self.entries, key=lambda k: self._score(self.entries[k], k)
+                candidates, key=lambda k: self._score(self.entries[k], k)
             )
             self._evict(victim_key)
         return True

@@ -77,9 +77,16 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
     The driver hands us a bare SparkSession; static confs (master, memory)
     are out of our control but all SQL confs above are runtime-settable.
     """
+    from pyspark.errors import AnalysisException
+
     for k, v in DEFAULT_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # static conf on a running session — keep the session's value
+        except AnalysisException as e:
+            # only the static-conf-on-running-session case is benign
+            # (CANNOT_MODIFY_CONFIG); a genuinely invalid value must not
+            # be silently dropped — correctness notes (UTC timezone, nanos
+            # handling) depend on these confs landing
+            if "CANNOT_MODIFY_CONFIG" not in str(e) and "Cannot modify" not in str(e):
+                raise
     return spark

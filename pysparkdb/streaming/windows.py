@@ -35,15 +35,23 @@ def _events_stream_schema(path: str) -> tuple[T.StructType, str]:
       under the engine's UTC session timezone).
     - timestamp with tz → plain TIMESTAMP, no conversion.
     Returns (schema, conversion) with conversion in {"nanos","ntz","none"}.
+    An EMPTY landing directory (stream set up before producers drop files)
+    defaults to "nanos" — the driver testdata's representation — because a
+    wrong "none" guess would fail the first micro-batch outright when
+    nanos files arrive (INT64 vs TIMESTAMP), while a wrong "nanos" guess
+    is equally detectable and the caller controlling its writers can pass
+    real files first; peeking a footer remains authoritative when one
+    exists.
     """
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    conv = "none"
+    conv = "nanos"
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if files:
+        conv = "none"
         ts_type = pq.read_schema(files[0]).field("ts").type
         if getattr(ts_type, "unit", None) == "ns" and ts_type.tz is None:
             conv = "nanos"
@@ -83,7 +91,11 @@ def read_events_stream(
         .parquet(path)
     )
     if conv == "nanos":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # floor division (catalog.py precedent): bare `div` truncates
+        # toward zero and misconverts pre-1970 nanos by 1µs
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
     if conv == "ntz":
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
@@ -144,6 +156,11 @@ def stateful_user_counter(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     operators Structured Streaming lacks natively (the reference has no
     analog at all). State is a 2-field struct per user; emits the updated
     running totals every batch.
+
+    ``timeout_ms > 0`` bounds state: a user idle for that long (processing
+    time) has their state row REMOVED at the next timeout sweep — the
+    knob that keeps an ever-growing user universe from growing the state
+    store without bound; 0 keeps state forever (exact running totals).
     """
 
     def update(
@@ -152,11 +169,18 @@ def stateful_user_counter(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if timeout_ms > 0 and state.hasTimedOut:
+            # idle horizon passed with no new events: evict the state row
+            # (no emission — totals were already emitted with each update)
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in batches:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_value": [total]}
         )
@@ -166,7 +190,11 @@ def stateful_user_counter(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
         outputStructType=_COUNTER_OUT,
         stateStructType=_COUNTER_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -288,7 +316,17 @@ def stream_clean_documents(
         .dropDuplicates(["fp"])
     )
     if history is not None:
-        hist_fp = history.select(normalized_fingerprint("text").alias("fp")).distinct()
+        # Prefer the STORED fingerprint when history carries one: a corpus
+        # ingested with scrub_pii=True stores scrubbed text but the
+        # PRE-scrub fp (scrubbing runs after fingerprinting, see below) —
+        # recomputing fp from its text would hash the redacted form and
+        # silently fail to match a re-arriving original.
+        if "fp" in history.columns:
+            hist_fp = history.select("fp").distinct()
+        else:
+            hist_fp = history.select(
+                normalized_fingerprint("text").alias("fp")
+            ).distinct()
         out = out.join(hist_fp, "fp", "left_anti")
     if scrub_pii:
         scrubbed, _counts = pii_scrub_cols("text")
