@@ -125,7 +125,14 @@ def chunk_text(
         .select(
             id_col,
             "chunk_id",
-            F.expr(f"substr({text_col}, CAST(chunk_id * {stride} + 1 AS INT), {size})").alias("chunk"),
+            # Column API, not an f-string expr: interpolating text_col
+            # would break for names needing quoting. The INT cast bound is
+            # the JVM's own string-length limit, so it cannot overflow.
+            F.substring(
+                F.col(text_col),
+                (F.col("chunk_id") * stride + 1).cast("int"),
+                F.lit(size),
+            ).alias("chunk"),
         )
     )
 
@@ -155,12 +162,19 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
         )
     )
     # word_shingles is DISTINCT by construction; bigram repetition needs raw
-    # counts, so derive non-distinct 2-grams from the token array directly
+    # counts, so derive non-distinct 2-grams from the token array directly.
+    # Size guard (the word_shingles idiom): a single-token document has NO
+    # bigrams — without it, sequence(1, 0) counts DOWN to [1, 0] and
+    # slice(t, 0, 2) throws at runtime; the empty array explodes to zero
+    # rows, matching the oracle (such docs carry no bigram stats row).
     t = tokens(text_col)
-    raw_bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
-    )
+    raw_bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     big = df.select(F.col(id_col).alias("did"), F.explode(raw_bigrams).alias("g"))
     bstats = (
         big.groupBy("did", "g")
@@ -193,11 +207,14 @@ def domain_mix(
     mixture rebalancing step of a training pipeline. Returns the kept
     rows of ``df``.
 
-    Acceptance is a pure function of the document key (first 4 md5 hex
-    digits as an integer in [0, 65536), kept iff below the domain's
-    threshold floor(min_tokens/domain_tokens * 65536)) — the same
-    reproducible-sampling idiom as op_hash_sample: identical sample
-    across engines, runs, and partitionings, composable under joins.
+    Acceptance is a pure function of the document key (first 8 md5 hex
+    digits as an integer in [0, 2^32), kept iff below the domain's
+    threshold floor(min_tokens/domain_tokens * 2^32), clamped to ≥ 1) —
+    the same reproducible-sampling idiom as op_hash_sample: identical
+    sample across engines, runs, and partitionings, composable under
+    joins. 32-bit granularity supports domain imbalance to ~4·10⁹:1; the
+    clamp guarantees even a pathologically dominant domain contributes a
+    sliver rather than silently vanishing from the mix.
 
     Shape: one groupBy on the domain key (token totals; domain
     cardinality is small by nature, so the stats frame broadcasts), a
@@ -215,13 +232,16 @@ def domain_mix(
         stats.crossJoin(F.broadcast(m))
         .select(
             domain_col,
-            F.floor(
-                F.col("min_tokens") / F.col("domain_tokens") * 65536
-            ).cast("long").alias("thr"),
+            F.greatest(
+                F.floor(
+                    F.col("min_tokens") / F.col("domain_tokens") * (1 << 32)
+                ).cast("long"),
+                F.lit(1),
+            ).alias("thr"),
         )
     )
     hexval = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
     return (
         df.join(F.broadcast(thresholds), domain_col)

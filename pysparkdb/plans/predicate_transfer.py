@@ -237,9 +237,16 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
     """
     plan = df._jdf.queryExecution().analyzed()
 
-    sig_to_name = {
-        frozenset(t.schema.fieldNames()): name for name, t in tables.items()
-    }
+    # Leaf relations are identified by their column-name signature; two
+    # attached tables with IDENTICAL schemas would collide (the dict keeps
+    # one, possibly attributing an edge to the wrong table and reducing by
+    # keys from a table not even in the query). Ambiguous signatures are
+    # therefore excluded outright — their joins simply don't transfer
+    # (under-reduction is always safe).
+    sigs: dict[frozenset, list[str]] = {}
+    for name, t in tables.items():
+        sigs.setdefault(frozenset(t.schema.fieldNames()), []).append(name)
+    sig_to_name = {s: ns[0] for s, ns in sigs.items() if len(ns) == 1}
     attr_origin: dict[int, tuple[str, str]] = {}  # exprId -> (table, column)
     equalities: list[tuple[int, int, int]] = []  # (join_node_id, lid, rid)
     join_seq = [0]
@@ -255,8 +262,15 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
                     a = out.apply(i)
                     attr_origin[a.exprId().id()] = (table, a.name())
         elif cls == "Join" and node.condition().isDefined():
-            join_seq[0] += 1
-            collect_eq(node.condition().get(), join_seq[0])
+            # INNER conditions only: semi-reducing the preserved side of an
+            # outer join (or the left of an anti join) would DROP its
+            # unmatched rows — the purity invariant "semi joins only remove
+            # rows that cannot survive the query's joins" holds just for
+            # inner equi-joins. Comma-list WHERE equalities (the Filter
+            # branch below) are inner by construction.
+            if str(node.joinType()).strip().lower() == "inner":
+                join_seq[0] += 1
+                collect_eq(node.condition().get(), join_seq[0])
         elif cls == "Filter":
             join_seq[0] += 1
             collect_eq(node.condition(), join_seq[0])
@@ -295,7 +309,12 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
             continue
         (lt, lc), (rt, rc) = sorted([lo, ro])  # canonical table order
         lks, rks = merged.setdefault((join_id, lt, rt), ([], []))
-        if lc not in lks or rc not in rks:
+        # Each column may appear ONCE per edge side: `lt.k = rt.a AND
+        # lt.k = rt.b` must not produce left_keys ('k','k') — _semi_reduce
+        # would alias two source columns to one name and corrupt the
+        # reduced schema. Dropping the extra conjunct only under-reduces,
+        # which is always safe (pure prefilter).
+        if (lc, rc) not in zip(lks, rks) and lc not in lks and rc not in rks:
             lks.append(lc)
             rks.append(rc)
     return [

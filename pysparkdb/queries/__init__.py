@@ -87,8 +87,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_winsorize_approx", "pipeline_snapshot_curation", "op_freq_items",
     "text_domain_cap", "pipeline_incremental_refresh", "dedup_embedding_lsh",
     "ev_asof_nearest",
+    # reshaped round 7: domain_mix sampling widened to 32-bit granularity
+    # (review fix), so its banked row measures the old form
+    "text_domain_mix",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
-    "ann_topk", "dedup_embedding", "dedup_exact",
+    "ann_topk", "dedup_embedding",
 )
 
 

@@ -1063,11 +1063,12 @@ def text_tfidf(spark, sf_dir):
               FROM d GROUP BY source),
     m AS (SELECT MIN(domain_tokens) AS min_tokens FROM stats),
     thr AS (SELECT source,
-                   CAST(FLOOR(min_tokens / domain_tokens * 65536) AS BIGINT) AS thr
+                   GREATEST(CAST(FLOOR(min_tokens / domain_tokens * 4294967296)
+                                 AS BIGINT), 1) AS thr
             FROM stats CROSS JOIN m),
     kept AS (SELECT d.source, d.nt
              FROM d JOIN thr USING (source)
-             WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+             WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) < thr)
     SELECT s.source AS source,
            s.n_docs AS n_docs_orig,

@@ -142,6 +142,10 @@ def write_range_partitioned(
     orders for multi-dimension pruning; range partitioning gives ONE
     total order with disjoint files — pick per consumer. ``num_files``
     defaults to the session's shuffle parallelism."""
+    if num_files is not None and num_files < 1:
+        # an underflowed dynamic computation must not silently fall back
+        # to the session default (the zorder_df validation convention)
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
     n = num_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     (
         df.repartitionByRange(n, *cols)

@@ -218,6 +218,73 @@ class TestSegmentCache:
         mgr.clear()
 
 
+class TestJoinEdgeExtractionSafety:
+    """The three silent-corruption hazards of plan-derived edges: outer
+    joins (reducing the preserved side drops rows), duplicated conjunct
+    columns (schema corruption in the reduced relation), and ambiguous
+    leaf signatures (edges attributed to the wrong table)."""
+
+    @pytest.fixture()
+    def lr(self, spark, tmp_path):
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z"), (4, "w")], "k long, a string"
+        ).write.parquet(str(tmp_path / "lt"))
+        spark.createDataFrame(
+            [(1, 10, 1, "b1")], "fk long, fk2 long, twin long, b string"
+        ).write.parquet(str(tmp_path / "rt"))
+        lt = spark.read.parquet(str(tmp_path / "lt"))
+        rt = spark.read.parquet(str(tmp_path / "rt"))
+        lt.createOrReplaceTempView("pt_lt")
+        rt.createOrReplaceTempView("pt_rt")
+        return lt, rt
+
+    def test_outer_join_conditions_do_not_transfer(self, spark, lr):
+        from pysparkdb.plans.predicate_transfer import extract_join_edges
+
+        lt, rt = lr
+        df = spark.sql(
+            "SELECT pt_lt.k, pt_rt.b FROM pt_lt LEFT JOIN pt_rt ON pt_lt.k = pt_rt.fk"
+        )
+        assert extract_join_edges(df, {"pt_lt": lt, "pt_rt": rt}) == []
+        # inner form still extracts
+        inner = spark.sql(
+            "SELECT pt_lt.k, pt_rt.b FROM pt_lt JOIN pt_rt ON pt_lt.k = pt_rt.fk"
+        )
+        assert len(extract_join_edges(inner, {"pt_lt": lt, "pt_rt": rt})) == 1
+
+    def test_duplicate_conjunct_columns_collapse(self, spark, lr):
+        from pysparkdb.plans.predicate_transfer import (
+            extract_join_edges, predicate_transfer,
+        )
+
+        lt, rt = lr
+        df = spark.sql(
+            "SELECT pt_lt.k FROM pt_lt JOIN pt_rt "
+            "ON pt_lt.k = pt_rt.fk AND pt_lt.k = pt_rt.fk2"
+        )
+        edges = extract_join_edges(df, {"pt_lt": lt, "pt_rt": rt})
+        assert len(edges) == 1
+        e = edges[0]
+        assert len(e.left_keys) == len(set(e.left_keys)) == 1
+        reduced = predicate_transfer({"pt_lt": lt, "pt_rt": rt}, edges)
+        # the reduced relation keeps a clean schema (no duplicated column)
+        assert reduced["pt_lt"].columns == lt.columns
+
+    def test_ambiguous_schema_signatures_are_excluded(self, spark, lr):
+        from pysparkdb.plans.predicate_transfer import extract_join_edges
+
+        lt, rt = lr
+        df = spark.sql(
+            "SELECT pt_lt.k, pt_rt.b FROM pt_lt JOIN pt_rt ON pt_lt.k = pt_rt.fk"
+        )
+        # a second attached table with lt's exact schema makes the leaf
+        # signature ambiguous: no edge may be attributed to either
+        twin = lt.limit(1)
+        assert extract_join_edges(
+            df, {"pt_lt": lt, "pt_rt": rt, "lt_twin": twin}
+        ) == []
+
+
 class TestEngineParameterizedSql:
     def test_named_and_positional_args_bind_as_literals(self, spark, sf_dir):
         """Engine.sql(args=...) binds through Spark's parameterized-SQL
