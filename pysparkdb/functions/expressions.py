@@ -110,12 +110,18 @@ def in_(col, values: Sequence) -> Column:
 
 
 def case_when(*branches: tuple[Column, Column | object], default=None) -> Column:
-    """CASE WHEN c1 THEN v1 [WHEN c2 THEN v2 ...] ELSE default END."""
+    """CASE WHEN c1 THEN v1 [WHEN c2 THEN v2 ...] ELSE default END.
+
+    THEN/ELSE are VALUE positions: bare strings are literals (`_v`, like
+    every other value position in this module — a bare-string column-name
+    coercion here was a footgun that either threw UNRESOLVED_COLUMN or
+    silently read a same-named column); pass F.col(...) to emit a column.
+    """
     (c0, v0), *rest = branches
-    expr = F.when(c0, _c(v0))
+    expr = F.when(c0, _v(v0))
     for c, v in rest:
-        expr = expr.when(c, _c(v))
-    return expr.otherwise(_c(default)) if default is not None else expr
+        expr = expr.when(c, _v(v))
+    return expr.otherwise(_v(default)) if default is not None else expr
 
 
 def is_null(col) -> Column:

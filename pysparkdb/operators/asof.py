@@ -131,10 +131,17 @@ def as_of_join(
     # therefore compare as unix_micros BIGINTs (exact integer differences);
     # numeric ts columns keep the double path (test keys are small longs,
     # exact in a double).
-    is_ts = isinstance(unioned.schema["_t"].dataType, T.TimestampType)
+    # TIMESTAMP_NTZ counts as a timestamp here: unix_micros rejects NTZ
+    # input directly, but under the engine's UTC session timezone the
+    # cast to TIMESTAMP is the identity on its wall-clock value — while
+    # the numeric fallback (cast to double) is an illegal cast for NTZ
+    # and would crash outright.
+    is_ts = isinstance(
+        unioned.schema["_t"].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
 
     def ep(c):
-        return F.unix_micros(c) if is_ts else c.cast("double")
+        return F.unix_micros(c.cast("timestamp")) if is_ts else c.cast("double")
 
     tol = None if tolerance_s is None else (
         int(tolerance_s * 1_000_000) if is_ts else float(tolerance_s)

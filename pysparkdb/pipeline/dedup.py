@@ -190,8 +190,17 @@ def minhash_band_candidates(
     collide in ≥1 band (may contain band-level duplicates — consumers are
     duplicate-insensitive by contract; dedup here would cost a full extra
     shuffle of the widest frame in the pipeline)."""
+    from pyspark.storagelevel import StorageLevel
+
     num_bands = num_hashes // rows_per_band
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # both sides of the band self-join below consume the signature frame;
+    # left lazy, the shingle explode + 32-lane aggregation runs twice
+    # (verified: 0 ReusedExchange in the executed plan) — pin the compact
+    # one-row-per-doc signatures (the simhash_pairs/minhash_lsh_pairs
+    # policy; same clearCache lifecycle)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sigs.select(
         "did",
         F.explode(
@@ -385,12 +394,24 @@ def cross_corpus_overlap(
     the single-corpus op it only ever under-reports jaccard. At 100 TB the
     bench side is typically tiny (eval suites) — its shingle set
     broadcasts and the whole check is one map-side pass over train."""
+    from pyspark.storagelevel import StorageLevel
+
+    # Pin both shingle explodes: each feeds up to three consumers (size
+    # counts, the combined stop-set scan, the collision join) — the
+    # ngram_jaccard_pairs multi-consumer policy; same clearCache lifecycle.
     sha = _shingled(train, id_col, text_col, n).select(
         F.col("did").alias("train_id"), F.col("sh").alias("sh_a")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     shb = _shingled(bench, id_col, text_col, n).select(
         F.col("did").alias("bench_id"), F.col("sh").alias("sh_b")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Set sizes count EVERY shingle (PRE-stop-filter, the
+    # ngram_jaccard_pairs contract): sizes taken after the filter would
+    # shrink |A|/|B| for shingles dropped from only one side of a pair
+    # and OVERESTIMATE jaccard — capping must only ever remove pairs.
+    na = sha.groupBy("train_id").agg(F.count(F.lit(1)).alias("na"))
+    nb = shb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("nb"))
+    join_a, join_b = sha, shb
     if max_doc_freq is not None:
         combined = sha.select(F.col("sh_a").alias("sh")).unionAll(
             shb.select(F.col("sh_b").alias("sh"))
@@ -401,16 +422,14 @@ def cross_corpus_overlap(
             .filter(F.col("df") > max_doc_freq)
             .select("sh")
         )
-        sha = sha.join(
+        join_a = sha.join(
             F.broadcast(stop), sha["sh_a"] == stop["sh"], "left_anti"
         )
-        shb = shb.join(
+        join_b = shb.join(
             F.broadcast(stop), shb["sh_b"] == stop["sh"], "left_anti"
         )
-    na = sha.groupBy("train_id").agg(F.count(F.lit(1)).alias("na"))
-    nb = shb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("nb"))
     common = (
-        sha.join(shb, F.col("sh_a") == F.col("sh_b"))
+        join_a.join(join_b, F.col("sh_a") == F.col("sh_b"))
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )

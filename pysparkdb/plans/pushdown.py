@@ -98,13 +98,36 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def read_schema(df: DataFrame) -> list[str]:
-    """Column names the scan actually reads (ReadSchema struct fields)."""
+    """TOP-LEVEL column names the scan actually reads (ReadSchema struct
+    fields). Angle-bracket-depth aware: nested struct fields
+    (``a:struct<b:int,c:int>,d:int``) must not leak inner names or
+    swallow trailing top-level columns the way a first-'>' regex did."""
     text = explain_str(df)
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema:\s*struct<([^>]*)>", text):
-        body = m.group(1)
-        cols.extend(f.split(":")[0].strip() for f in body.split(",") if f.strip())
-    return cols
+    for m in re.finditer(r"ReadSchema:\s*struct<", text):
+        depth, field, i = 1, [], m.end()
+        while i < len(text) and depth > 0 and text[i] != "\n":
+            ch = text[i]
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            if depth == 1 and ch == ",":
+                cols.append("".join(field))
+                field = []
+            elif depth >= 1:
+                field.append(ch)
+            i += 1
+        if field:
+            cols.append("".join(field))
+    out = []
+    for f in cols:
+        name = f.split(":", 1)[0].strip()
+        if name and not name.startswith("..."):  # explain truncation marker
+            out.append(name)
+    return out
 
 
 def codegen_stage_count(df: DataFrame) -> int:
@@ -124,7 +147,12 @@ def assert_pushdown(
     """
     if expect_filter_cols is not None:
         pf = " ".join(pushed_filters(df))
-        missing = [c for c in expect_filter_cols if c not in pf]
+        # delimiter-anchored match: a bare substring test would let a
+        # filter on `user_id` falsely satisfy an expectation on `id`
+        missing = [
+            c for c in expect_filter_cols
+            if not re.search(rf"[(,\s]{re.escape(c)}[,)\s]", pf)
+        ]
         if missing:
             raise AssertionError(
                 f"filters on {missing} not pushed to scan; pushed: {pf!r}"

@@ -169,6 +169,17 @@ def snapshot_gc(
         return {"orphans": [], "expired": []}
     keep = versions if retain_versions is None else versions[-retain_versions:]
     drop = [v for v in versions if v not in keep]
+    # The newest EPOCH-BEARING manifest is the streaming sink's replay
+    # guard (last_committed_epoch): if the retained tail were all
+    # epoch-less compactions, expiring it would let a crash-replayed
+    # micro-batch re-commit and duplicate rows. It is always retained,
+    # whatever the horizon.
+    for v in reversed(versions):
+        if _read_manifest(root, v).get("epoch") is not None:
+            if v in drop:
+                drop.remove(v)
+                keep = sorted(keep + [v])
+            break
 
     referenced_keep: set[str] = set()
     for v in keep:
@@ -193,7 +204,12 @@ def snapshot_gc(
     data_dir = os.path.join(root, _DATA_DIR)
     if os.path.isdir(data_dir):
         for dirpath, _dirs, files in os.walk(data_dir, topdown=False):
-            for name in files:
+            # sidecars (_SUCCESS, .crc) are never manifest-listed, so they
+            # must not be treated as orphans of a HEALTHY batch — they go
+            # only when their directory holds no live data file at all
+            data_files = [n for n in files if not n.startswith(("_", "."))]
+            sidecars = [n for n in files if n.startswith(("_", "."))]
+            for name in data_files:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, root)
                 if rel in referenced_keep:
@@ -206,11 +222,17 @@ def snapshot_gc(
                     continue  # possibly an append mid-commit: leave it
                 os.remove(full)
                 orphans.append(rel)
-            if not os.listdir(dirpath):
-                os.rmdir(dirpath)
-    # expired files were removed above via the referenced_drop walk; the
-    # data-dir sweep reports only true orphans
-    orphans = [o for o in orphans if o not in set(expired)]
+            remaining = [
+                n for n in os.listdir(dirpath) if not n.startswith(("_", "."))
+            ]
+            if not remaining:
+                for name in sidecars:
+                    try:
+                        os.remove(os.path.join(dirpath, name))
+                    except FileNotFoundError:
+                        pass
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
     return {"orphans": orphans, "expired": expired}
 
 

@@ -280,6 +280,34 @@ def test_chunk_audio_window_math(spark):
     assert abs(out[3][0].rms - 5.0) < 1e-12
 
 
+def test_cross_corpus_capping_only_removes_pairs(spark, sf_dir):
+    """The stop-shingle cap must UNDER-report: capped pairs are a subset
+    of uncapped pairs and each capped jaccard <= its uncapped value (set
+    sizes count every shingle, pre-filter — sizes taken post-filter would
+    inflate jaccard for shingles dropped from only one side of a pair)."""
+    from pysparkdb.pipeline import dedup
+    from pysparkdb.queries.base import tables
+    import pyspark.sql.functions as F
+
+    d = tables(spark, sf_dir)["documents"]
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_bench = digit.isin("0", "1")
+    train, bench = d.filter(~is_bench), d.filter(is_bench)
+    un = {
+        (r.train_id, r.bench_id): r.jaccard
+        for r in dedup.cross_corpus_overlap(train, bench, threshold=0.1).collect()
+    }
+    capped = {
+        (r.train_id, r.bench_id): r.jaccard
+        for r in dedup.cross_corpus_overlap(
+            train, bench, threshold=0.1, max_doc_freq=4
+        ).collect()
+    }
+    assert set(capped) <= set(un)
+    for pair, j in capped.items():
+        assert j <= un[pair] + 1e-12, f"{pair}: capped {j} > uncapped {un[pair]}"
+
+
 def test_cross_corpus_overlap_matches_restricted_self_join(spark, sf_dir):
     """Decontamination pairs == the full single-corpus jaccard pair set
     restricted to (train, bench) splits, in either orientation — the
