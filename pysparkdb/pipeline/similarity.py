@@ -195,6 +195,8 @@ def hyperplane_buckets(
     import pandas as pd
 
     def _bucket_fn(vs):
+        if len(vs) == 0:  # empty Arrow batch (the _cell_distances guard)
+            return pd.Series([], dtype=object)
         x = np.stack(vs.to_numpy())                      # n × dim
         bits = (x @ planes.T) > 0                        # n × (tables·nbits)
         b = bits.reshape(len(x), tables, nbits) @ weights  # n × tables
@@ -231,7 +233,15 @@ def lsh_topk_neighbors(
     evaluations; recall for genuinely-near neighbors (cos ≥ .8) is ≥ 95%
     by the (nbits, L) math, while far 'nearest' neighbors are inherently
     hard for any LSH — that is the documented trade."""
-    e = hyperplane_buckets(df, dim, vec_col, nbits, tables)
+    from pyspark.storagelevel import StorageLevel
+
+    # both the query and candidate sides derive from the bucket frame;
+    # the filtered query subtree differs, so no exchange reuse — pin it
+    # or the corpus-wide plane matmul runs twice (the lsh_near_dup_pairs
+    # policy; clearCache lifecycle)
+    e = hyperplane_buckets(df, dim, vec_col, nbits, tables).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     q = e if query_filter is None else e.filter(query_filter)
     return _bucket_join_topk(q, e, k)
 
@@ -289,7 +299,11 @@ def build_lsh_index(
     b.select("vec_id", "tbl", "bucket").write.mode("overwrite").partitionBy(
         "tbl"
     ).parquet(f"{path}/buckets.parquet")
-    b.select("vec_id", "v", "nrm").dropDuplicates(["vec_id"]).write.mode(
+    # vectors come straight from the corpus (vec_id is unique) — routing
+    # them through the bucket frame would re-run the plane matmul, explode
+    # rows ×tables, and pay a dedup shuffle for data already at hand
+    v = _as_double(F.col(vec_col))
+    df.select("vec_id", v.alias("v"), norm(v).alias("nrm")).write.mode(
         "overwrite"
     ).parquet(f"{path}/vectors.parquet")
     df.sparkSession.createDataFrame(
@@ -340,7 +354,14 @@ def train_ivf_centroids(
         .limit(sample_rows)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     x = np.array([r.v for r in rows])
+    if x.shape[1] != dim:
+        raise ValueError(f"vectors have dim {x.shape[1]}, expected {dim}")
+    # fewer sampled vectors than requested cells: every vector its own
+    # centroid (k-means with k >= n is exactly that), not a numpy crash
+    nlist = min(nlist, len(x))
     rng = np.random.RandomState(seed)
     centroids = x[rng.choice(len(x), size=nlist, replace=False)]
     for _ in range(iters):
@@ -394,9 +415,16 @@ def ivf_topk_neighbors(
     so recall per probed fraction beats data-oblivious hyperplanes on
     clustered corpora; probe cost is n·q·(nprobe/nlist) pair evaluations.
     """
+    from pyspark.storagelevel import StorageLevel
+
     centroids = train_ivf_centroids(df, dim, vec_col, nlist=nlist)
     e = _spread(with_norm(df, vec_col))
-    scored_cells = e.withColumn("_cd", _cell_distances(F.col("v"), centroids))
+    # consumed by both the candidate and query sides — pin, or the
+    # corpus-wide centroid-distance matmul runs twice (same rationale as
+    # lsh_topk_neighbors above)
+    scored_cells = e.withColumn(
+        "_cd", _cell_distances(F.col("v"), centroids)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = _nearest_cell(scored_cells)
     q = scored_cells if query_filter is None else scored_cells.filter(query_filter)
     return _probe_and_score(q, cand, k=k, nprobe=nprobe)

@@ -132,18 +132,23 @@ def main(argv: list[str] | None = None) -> int:
             run_statement(eng, s, timing=timing, transfer=transfer)
         return True
 
+    failed = [False]
+
     def safe_dispatch(stmt: str) -> bool:
-        # a typo must re-prompt, not kill the session (psql behavior)
+        # a typo must re-prompt, not kill the session (psql behavior);
+        # failures are still recorded so BATCH mode can exit nonzero
         try:
             return dispatch(stmt)
         except Exception as exc:  # noqa: BLE001
             print(f"error: {exc}", file=sys.stderr)
+            failed[0] = True
             return True
 
     for c in args.commands:
         safe_dispatch(c)
     if args.commands:
-        return 0
+        # -c batch mode: scripts/CI must see SQL failure (psql exits 1)
+        return 1 if failed[0] else 0
 
     buf: list[str] = []
     interactive = sys.stdin.isatty()
@@ -156,11 +161,10 @@ def main(argv: list[str] | None = None) -> int:
             if buf:
                 safe_dispatch("\n".join(buf))
             return 0
-        if line.strip().startswith("\\"):
-            # backslash command: abandon any partial statement, run it alone
-            if buf:
-                print("(discarded unfinished statement)", file=sys.stderr)
-                buf = []
+        if not buf and line.strip().startswith("\\"):
+            # backslash COMMAND only at statement start: mid-statement a
+            # backslash-leading line is SQL text (a string literal may
+            # legitimately continue onto such a line) and must buffer
             if not safe_dispatch(line.strip()):
                 return 0
             continue
