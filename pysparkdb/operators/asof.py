@@ -143,8 +143,11 @@ def as_of_join(
     def ep(c):
         return F.unix_micros(c.cast("timestamp")) if is_ts else c.cast("double")
 
+    # round(), not int(): truncation would turn a fractional tolerance
+    # like 2.3 s into 2_299_999 µs and exclude an exactly-at-tolerance
+    # match, violating the documented inclusive boundary.
     tol = None if tolerance_s is None else (
-        int(tolerance_s * 1_000_000) if is_ts else float(tolerance_s)
+        round(tolerance_s * 1_000_000) if is_ts else float(tolerance_s)
     )
     lt = ep(F.col("_t"))
     # A NULL left timestamp precedes/follows nothing — no direction may

@@ -1983,12 +1983,25 @@ def pipeline_incremental_refresh(spark, sf_dir):
         full = counts(snapshot_read(spark, root, 3), "n_full")
         out = (
             full.join(refreshed, "lang", "full")
+            # A lang that lost ALL its docs in the v3 rewrite appears only
+            # on the refreshed side (n_full NULL, n_refreshed 0); the
+            # oracle groups surviving docs and has no such row. Drop the
+            # refreshed-to-zero orphans, but KEEP a nonzero orphan — that
+            # is a real incremental/full mismatch the certificate must
+            # surface, as coalesce(n_full, 0) != n_refreshed.
+            .filter(
+                ~(
+                    F.col("n_full").isNull()
+                    & (F.coalesce(F.col("n_refreshed"), F.lit(0)) == 0)
+                )
+            )
             .select(
                 "lang",
                 bigint(F.col("n_full")).alias("n_docs"),
-                (F.col("n_full") == F.col("n_refreshed")).alias(
-                    "incremental_matches"
-                ),
+                (
+                    F.coalesce(F.col("n_full"), F.lit(0))
+                    == F.col("n_refreshed")
+                ).alias("incremental_matches"),
             )
             .collect()  # materialize before the scratch root is removed
         )

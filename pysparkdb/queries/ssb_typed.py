@@ -11,9 +11,11 @@ Gandiva kernels instead of float ones). Two observable differences from
 1. **integer arithmetic** — measures are cast to int BEFORE the arithmetic,
    so every aggregate is an exact integer sum (associative, bit-stable),
    not a float sum;
-2. **declared join order** — the typed files list ``"date"`` FIRST in the
-   FROM clause (original/ lists the fact table first), i.e. the date dim
-   drives the declared join tree.
+2. **declared join order** — flights 2–4 of the typed files list
+   ``"date"`` FIRST in the FROM clause (original/ lists the fact table
+   first), i.e. the date dim drives the declared join tree; flight 1 is
+   the exception (typed/1.1.sql opens ``from lineorder, "date"``, fact
+   first, like original/).
 
 This module re-expresses both properties on the driver's schema mapping
 (see queries/ssb.py for the full lineorder→lineitem⋈orders mapping):

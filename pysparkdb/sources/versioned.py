@@ -242,6 +242,7 @@ def snapshot_diff(
     from_version: int,
     to_version: int,
     key_cols: list[str],
+    detect_updates: bool = False,
 ) -> DataFrame:
     """Change-data feed between two committed versions: every key present
     in exactly one of the two snapshots, tagged ``_change ∈ {'insert',
@@ -250,6 +251,20 @@ def snapshot_diff(
     reader-side CDC surface of the snapshot log — what an incremental
     downstream (index refresh, dedup-history update, training-set delta
     shipping) consumes instead of re-reading the full corpus.
+
+    By default only MEMBERSHIP changes are surfaced: a key present in both
+    versions with a CHANGED payload (a rewrite that rescores or scrubs
+    rows under a stable key) appears in neither insert nor delete. Pass
+    ``detect_updates=True`` to also emit those rows, tagged ``'update'``
+    and carrying the `to`-version payload — the comparison is full-row
+    (null-safe struct equality over the non-key columns) and rides the
+    same key-shuffle join, so it adds no extra exchange. This stays sound
+    under the file-level short-circuit below: snapshot files are
+    immutable, so an in-place payload change can only come from a
+    rewritten file, which by construction sits in both versions' private
+    file sets and is therefore scanned. (Callers that prefer the
+    alternative contract can instead pass the full column list as
+    `key_cols`, turning payload changes into delete+insert pairs.)
 
     Shape: file-level short-circuit first — manifests are explicit file
     lists, so files common to both versions (append-only history, the
@@ -282,7 +297,25 @@ def snapshot_diff(
     a_tag = a.join(b.select(*key_cols), key_cols, "left_anti").withColumn(
         "_change", F.lit("delete")
     )
-    return b_tag.unionByName(a_tag)
+    out = b_tag.unionByName(a_tag)
+    if detect_updates:
+        payload = [c for c in b.columns if c not in key_cols]
+        if payload:
+            a_payload = a.select(
+                *key_cols, *[F.col(c).alias(f"_a_{c}") for c in payload]
+            )
+            upd = (
+                b.join(a_payload, key_cols, "inner")
+                .filter(
+                    ~F.struct(*[F.col(c) for c in payload]).eqNullSafe(
+                        F.struct(*[F.col(f"_a_{c}") for c in payload])
+                    )
+                )
+                .select(*b.columns)
+                .withColumn("_change", F.lit("update"))
+            )
+            out = out.unionByName(upd)
+    return out
 
 
 def snapshot_compact(

@@ -24,7 +24,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pysparkdb.catalog import DECLARED_SCHEMAS
 
-def _events_stream_schema(path: str) -> tuple[T.StructType, str]:
+def _events_stream_schema(
+    path: str, empty_dir_conv: str = "nanos"
+) -> tuple[T.StructType, str]:
     """Declared schema for the events file stream (readStream cannot infer).
 
     Writers vary in how they store ``ts``; one parquet footer under ``path``
@@ -36,19 +38,23 @@ def _events_stream_schema(path: str) -> tuple[T.StructType, str]:
     - timestamp with tz → plain TIMESTAMP, no conversion.
     Returns (schema, conversion) with conversion in {"nanos","ntz","none"}.
     An EMPTY landing directory (stream set up before producers drop files)
-    defaults to "nanos" — the driver testdata's representation — because a
-    wrong "none" guess would fail the first micro-batch outright when
-    nanos files arrive (INT64 vs TIMESTAMP), while a wrong "nanos" guess
-    is equally detectable and the caller controlling its writers can pass
-    real files first; peeking a footer remains authoritative when one
-    exists.
+    cannot be inferred — the assumption is the EXPLICIT `empty_dir_conv`
+    parameter (default "nanos", the driver testdata's representation;
+    read_events_stream forwards its own parameter so callers whose
+    producers write plain microsecond TIMESTAMP or NTZ files declare that
+    up front instead of failing their first micro-batch on a silent
+    guess). Peeking a footer remains authoritative when one exists.
     """
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    conv = "nanos"
+    if empty_dir_conv not in ("nanos", "ntz", "none"):
+        raise ValueError(
+            f"empty_dir_conv must be one of 'nanos'/'ntz'/'none', got {empty_dir_conv!r}"
+        )
+    conv = empty_dir_conv
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if files:
         conv = "none"
@@ -76,15 +82,20 @@ def _events_stream_schema(path: str) -> tuple[T.StructType, str]:
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+    empty_dir_conv: str = "nanos",
 ) -> DataFrame:
     """File-source stream of events parquet dropped into ``path``.
 
     In production this is the object-store landing zone; maxFilesPerTrigger
     bounds per-micro-batch work (1 = one file per micro-batch, which the
     late-data tests use to advance the watermark between files).
+    `empty_dir_conv` declares the expected ``ts`` representation when the
+    landing directory is still empty at setup (see _events_stream_schema).
     """
-    schema, conv = _events_stream_schema(path)
+    schema, conv = _events_stream_schema(path, empty_dir_conv=empty_dir_conv)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -231,6 +231,27 @@ def test_asof_tolerance_bounds_staleness(spark):
     assert len(out) == 3       # left outer: every left row survives
 
 
+def test_asof_fractional_tolerance_inclusive(spark):
+    """A fractional tolerance_s must round, not truncate, to microseconds:
+    2.3 s is exactly representable as 2_300_000 µs only via round()
+    (int() of 2.3*1e6 = 2_299_999 on binary floats), and the documented
+    inclusive boundary must keep a match at exactly that gap."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb.operators import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 2_300_000)], "eid long, k long, us long"
+    ).withColumn("t", F.timestamp_micros("us")).drop("us")
+    right = spark.createDataFrame(
+        [(10, 0, "boundary")], "rk long, rus long, tag string"
+    ).withColumn("rt", F.timestamp_micros("rus")).drop("rus")
+    out = as_of_join(
+        left, right, "k", "rk", "t", "rt", tolerance_s=2.3
+    ).collect()
+    assert out[0].tag == "boundary"  # gap == tolerance exactly → kept
+
+
 def test_asof_forward_picks_next_and_bounds(spark):
     """Forward as-of: the nearest FUTURE right row wins, an equal
     timestamp is inclusive, tolerance caps the look-ahead, and backward

@@ -567,6 +567,48 @@ class TestSnapshotVersioning:
         # self-diff: identical manifests short-circuit to an empty frame
         assert snapshot_diff(spark, root, 2, 2, ["n_nationkey"]).count() == 0
 
+    def test_snapshot_diff_detect_updates(self, spark, sf_dir, tmp_path):
+        """A rewrite that CHANGES a payload under a stable key is invisible
+        to the default membership diff but surfaces as _change='update'
+        (carrying the to-version payload) under detect_updates=True; pure
+        membership changes keep their insert/delete tags either way."""
+        from pyspark.sql import functions as F
+
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_diff, snapshot_read, snapshot_rewrite,
+        )
+
+        nation = tables(spark, sf_dir)["nation"]
+        root = str(tmp_path / "snap")
+        snapshot_append(nation.filter(F.col("n_nationkey") < 10), root)  # v1
+        # v2: drop key 0, rescore key 1's name, keep 2-9 byte-identical
+        v2 = (
+            snapshot_read(spark, root, 1)
+            .filter(F.col("n_nationkey") > 0)
+            .withColumn(
+                "n_name",
+                F.when(F.col("n_nationkey") == 1, F.lit("SCRUBBED"))
+                .otherwise(F.col("n_name")),
+            )
+        )
+        snapshot_rewrite(spark, root, v2)
+
+        # default: the in-place update is (documented) invisible
+        base = snapshot_diff(spark, root, 1, 2, ["n_nationkey"])
+        assert {(r.n_nationkey, r._change) for r in base.collect()} == {
+            (0, "delete")
+        }
+        # detect_updates: same delete, plus the update row with v2 payload
+        upd = snapshot_diff(
+            spark, root, 1, 2, ["n_nationkey"], detect_updates=True
+        )
+        rows = {(r.n_nationkey, r._change) for r in upd.collect()}
+        assert rows == {(0, "delete"), (1, "update")}
+        assert (
+            upd.filter(F.col("_change") == "update")
+            .select("n_name").collect()[0][0] == "SCRUBBED"
+        )
+
     def test_stray_manifest_files_are_ignored(self, spark, sf_dir, tmp_path):
         """Editor artifacts / tmp files in _manifests/ must not brick the
         root: only names matching v<digits>.json parse as versions."""
