@@ -38,13 +38,100 @@ _RESOLVE_LOCK = threading.RLock()
 # the reference's stats.json role.
 _AUTO_BYTES_PER_CORE = 40 << 20
 
+# The reference's execution-mode axis (fpdb-plan/include/fpdb/plan/Mode.h:
+# 13-18, selected by resources/config/exec.conf:4 `MODE=`): PULL_UP moves
+# raw data to compute and evaluates everything there; PUSHDOWN_ONLY ships
+# filter/project(/partial-agg) to the storage tier; CACHING_ONLY serves hot
+# segments from local memory and pulls misses up unpushed; HYBRID routes
+# cache hits around a pushdown scan of the misses
+# (PrePToS3PTransformer.cpp:309-461). Spark analog per mode:
+#   pullup   — scan-level pushdown confs OFF (every row group crosses the
+#              storage→compute boundary; filters evaluate in the executor,
+#              Spark's column pruning stays — Catalyst cannot un-prune),
+#              no cache.
+#   pushdown — the engine default (DEFAULT_CONFS): parquet filter/agg
+#              pushdown, runtime bloom filters, DPP.
+#   caching  — pushdown confs OFF + every attached-table scan routed
+#              through the SegmentCacheManager (hits are InMemoryRelation
+#              column segments; misses load unpushed and are admitted).
+#   hybrid   — pushdown confs ON + cache routing (miss side keeps the
+#              pushdown scan).
+# Like the reference's MODE, the switch is SESSION-scoped: Spark reads
+# these confs when a DataFrame is planned/executed, so the mode in force
+# at action time governs — set it, run, read results (exec.conf has the
+# same contract: one mode per server process).
+MODES = ("pullup", "pushdown", "caching", "hybrid")
+
+_PUSHDOWN_CONFS = (
+    "spark.sql.parquet.filterPushdown",
+    "spark.sql.parquet.aggregatePushDown",
+    "spark.sql.orc.filterPushdown",
+    "spark.sql.csv.filterPushdown.enabled",
+    "spark.sql.json.filterPushdown.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+)
+
 
 class Engine:
     def __init__(self, spark: SparkSession | None = None, data_dir: str | None = None):
         self.spark = apply_engine_confs(spark or get_spark())
         self.catalog: Catalog | None = None
+        self._mode = "pushdown"
+        self._segment_cache = None
         if data_dir is not None:
             self.attach(data_dir)
+
+    @property
+    def mode(self) -> str:
+        return self._mode
+
+    def set_mode(
+        self,
+        mode: str,
+        cache_capacity_bytes: int = 1 << 30,
+        cache_policy: str = "wlfu",
+    ) -> "Engine":
+        """Switch the execution mode (see MODES above). Returns self.
+
+        The segment cache survives pullup/pushdown interludes (routing is
+        simply bypassed) so a hybrid → pushdown → hybrid sequence keeps
+        its hot segments, matching the reference where the cache belongs
+        to the server, not the query."""
+        if mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+        enable = "true" if mode in ("pushdown", "hybrid") else "false"
+        for conf in _PUSHDOWN_CONFS:
+            self.spark.conf.set(conf, enable)
+        if mode in ("caching", "hybrid") and self._segment_cache is None:
+            from pysparkdb.plans.cache import SegmentCacheManager
+
+            self._segment_cache = SegmentCacheManager(
+                self.spark, capacity_bytes=cache_capacity_bytes, policy=cache_policy
+            )
+        self._mode = mode
+        return self
+
+    def _leaf_columns_by_table(self, df: DataFrame) -> dict[str, set]:
+        """Per attached table, the union of columns the optimized plan's
+        leaf scans actually read — the segment working set to route
+        through the cache. Plan-walk only (no job); leaves whose output
+        matches no attached table (inline data, derived frames) are left
+        alone."""
+        assert self.catalog is not None
+        table_cols = {n: set(t.columns) for n, t in self.catalog.tables.items()}
+        needed: dict[str, set] = {}
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            out = leaves.apply(i).output()
+            names = {out.apply(j).name() for j in range(out.size())}
+            if not names:
+                continue
+            for tname, cols in table_cols.items():
+                if names <= cols:
+                    needed.setdefault(tname, set()).update(names)
+                    break
+        return needed
 
     def attach(self, data_dir: str, validate: bool = True) -> "Engine":
         """Register every known table under ``data_dir`` as a temp view.
@@ -60,6 +147,7 @@ class Engine:
         query: str,
         predicate_transfer: bool | str = False,
         args: dict | list | None = None,
+        mode: str | None = None,
     ) -> DataFrame:
         """SQL → DataFrame (Client::executeQuery analog; lazy, not collected).
 
@@ -91,11 +179,24 @@ class Engine:
         third mode the reference lacks (its PRED_TRANS flag is all-or-
         nothing per server config).
 
+        ``mode`` switches the execution mode for THIS and subsequent calls
+        (``set_mode`` semantics — session-scoped, like the reference's
+        exec.conf MODE): in ``"caching"``/``"hybrid"`` the attached-table
+        scans are routed through the SegmentCacheManager (each table's
+        optimizer-pruned column working set becomes a cached segment;
+        repeat queries over ⊆ columns serve from memory), in ``"pullup"``
+        the scan-pushdown confs are disabled. Cache routing applies to the
+        plain resolution path; when ``predicate_transfer`` is also set the
+        transfer pass wins and routing is skipped (caching semi-join-
+        reduced relations would poison the segment keys).
+
         Thread-safe: concurrent ``sql()`` calls (either mode, any Engine
         over this session) are safe — resolution is serialized under
         ``_RESOLVE_LOCK`` so the transfer pass's view swap can never leak
         into another call's analysis; execution parallelism is untouched
         (the lock is released before any job runs)."""
+        if mode is not None and mode != self._mode:
+            self.set_mode(mode)
         if isinstance(predicate_transfer, str) and predicate_transfer != "auto":
             # a typo'd mode string must not silently pay the full
             # unconditional pass (the regression auto exists to prevent)
@@ -106,6 +207,8 @@ class Engine:
         with _RESOLVE_LOCK:
             df = self.spark.sql(query, args=args) if args else self.spark.sql(query)
         if not predicate_transfer:
+            if self._mode in ("caching", "hybrid") and self.catalog is not None:
+                return self._route_views_through_cache(df, query, args)
             return df
         assert self.catalog is not None, "call attach(data_dir) first"
         from pysparkdb.plans.predicate_transfer import (
@@ -131,6 +234,38 @@ class Engine:
         with _RESOLVE_LOCK:
             try:
                 for name, rdf in reduced.items():
+                    rdf.createOrReplaceTempView(name)
+                return (self.spark.sql(query, args=args) if args
+                        else self.spark.sql(query))
+            finally:
+                for name, odf in self.catalog.tables.items():
+                    odf.createOrReplaceTempView(name)
+
+    def _route_views_through_cache(
+        self, df: DataFrame, query: str, args: dict | list | None
+    ) -> DataFrame:
+        """CACHING_ONLY / HYBRID scan routing (CacheLoadPOp.cpp analog):
+        swap each attached table's view for its SegmentCacheManager
+        projection over the columns THIS query's optimized plan reads,
+        re-resolve the same text, restore the views — the predicate-
+        transfer view-swap pattern, under the same resolution lock. A
+        first-seen working set admits (miss: the load obeys the session's
+        pushdown confs — off in caching mode, on in hybrid); repeats and
+        subset requests serve from the InMemoryRelation."""
+        assert self._segment_cache is not None
+        needed = self._leaf_columns_by_table(df)
+        if not needed:
+            return df
+        data_dir = self.catalog.data_dir
+        routed = {
+            name: self._segment_cache.project(
+                self.catalog.tables[name], f"{name}@{data_dir}", sorted(cols)
+            )
+            for name, cols in needed.items()
+        }
+        with _RESOLVE_LOCK:
+            try:
+                for name, rdf in routed.items():
                     rdf.createOrReplaceTempView(name)
                 return (self.spark.sql(query, args=args) if args
                         else self.spark.sql(query))

@@ -56,42 +56,44 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # e2e TPC-H/SSB/events corpus banked green in rounds 3, 4 AND 5 and sits
 # outside it this round). Rotate this list every round as sweeps bank.
 #
-# ROUND-7 WINDOW: the 27 queries registered late in round 6 that have never
-# had a driver CORRECTNESS row (all green in the local oracle suite), three
-# of which were additionally reshaped this round for ADVICE determinism
-# fixes (ev_asof_tolerance / ev_conversion_lag purchase pre-aggregation,
-# op_weighted_sample n_chars>0 guard), plus new round-7 registrations,
-# topped up with the oldest banked rows (round-2 bank) to 50.
+# ROUND-8 WINDOW. Two post-r7-snapshot commits (3e7212b ANN self-join
+# pins; 2034133 NTZ as-of / capped-overlap / GC epoch) reshaped code whose
+# consumers' banked r6/r7 rows therefore certify a superseded form —
+# those queries re-enter first (VERDICT r7 #1), alongside round-8's new
+# registrations and the consumers of round-8's own advice fixes
+# (snapshot_diff update contract, as-of tolerance rounding,
+# incremental-refresh orphan guard). Topped up with the oldest banked
+# evidence (the round-2 bank) to 50; four r2 rows (text_quality,
+# text_rolling_hash, text_tokens, text_tokens_bpe) did not fit and roll
+# to the round-9 top-up.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # never driver-swept (round-6 late registrations) — graph suite
-    "graph_pagerank", "graph_bfs", "graph_lpa", "graph_triangles",
-    # warehouse maintenance
-    "op_cube", "op_upsert", "op_scd2", "op_profile",
-    # reshaped round 7 (ADVICE determinism fixes)
-    "op_weighted_sample", "ev_asof_tolerance", "ev_conversion_lag",
-    # events analytics
-    "ev_funnel", "ev_retention", "ev_rollup_cascade", "ev_zscore_outliers",
+    # new round 8: mode axis + cost-based predicate transfer
+    "q6_modes", "q5_auto",
+    # similarity.py reshaped by 3e7212b (lsh/ivf self-join pins, bucket
+    # guard, shared _spread/with_norm path)
+    "ann_lsh", "ann_ivf", "ann_topk", "dedup_embedding",
+    "dedup_embedding_lsh", "emb_hard_negatives",
+    # operators/asof.py reshaped by 2034133 (NTZ path) + r8 round() fix
+    "ev_asof", "ev_asof_nearest", "ev_asof_tolerance", "ev_conversion_lag",
     "ev_resample_ffill",
-    # ops late additions
-    "op_winsorize", "op_unpivot", "op_window_range_frame",
-    # text late additions
-    "text_bm25", "text_unigram_logprob", "text_pii_scrub", "text_dup_chunks",
-    "text_fuzzy_join",
-    # dedup / multimodal / embeddings late additions
-    "dedup_incremental", "mm_image_dedup", "emb_hard_negatives",
-    # new round 7 (registered this round; replaces oldest-banked top-ups
-    # as they land)
-    "ssb_t1_1", "ssb_t1_2", "ssb_t1_3", "ssb_t2_1", "ssb_t2_2", "ssb_t2_3",
-    "ssb_t3_1", "ssb_t3_2", "ssb_t3_3", "ssb_t3_4", "ssb_t4_1", "ssb_t4_2",
-    "ssb_t4_3",
-    "op_winsorize_approx", "pipeline_snapshot_curation", "op_freq_items",
-    "text_domain_cap", "pipeline_incremental_refresh", "dedup_embedding_lsh",
-    "ev_asof_nearest",
-    # reshaped round 7: domain_mix sampling widened to 32-bit granularity
-    # (review fix), so its banked row measures the old form
-    "text_domain_mix",
+    # pipeline/dedup.py reshaped by 2034133 (capped-overlap pre-stop
+    # sizes, minhash/shingle pins) — all its consumers
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_decontaminate", "dedup_cluster", "dedup_incremental",
+    "pipeline_clean_near", "text_fuzzy_join",
+    # sources/versioned.py reshaped by 2034133 (GC epoch/sidecar) and r8
+    # (snapshot_diff detect_updates; incremental-refresh orphan filter)
+    "pipeline_snapshot_curation", "pipeline_incremental_refresh",
+    # functions/expressions.py case_when literal handling (2034133)
+    "op_case_in_like",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
-    "ann_topk", "dedup_embedding",
+    "dedup_exact", "mm_binary_meta", "mm_frame_sample", "op_agg_scalar",
+    "op_count_distinct", "op_cross_join", "op_except", "op_expr_datefuncs",
+    "op_expr_isnull", "op_expr_substr_cast", "op_group_multi",
+    "op_intersect", "op_join_anti", "op_join_full", "op_join_multikey",
+    "op_join_right", "op_join_semi", "op_join_theta", "op_percentile",
+    "op_salted_agg", "op_union_merge", "op_variance", "op_window_rank",
+    "pipeline_clean", "text_fingerprint", "text_langid",
 )
 
 

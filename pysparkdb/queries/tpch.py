@@ -656,6 +656,70 @@ def q5_pred_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q5's text, shared by q5_auto so the cost-based mode runs the exact
+# registered query both sides of its crossover.
+_Q5_TEXT = f"""
+    SELECT n_name, {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+@register(
+    "q5_auto",
+    f"""
+    SELECT n_name, revenue,
+           TRUE AS auto_plain_below, TRUE AS auto_transfers_above
+    FROM ({_Q5_TEXT}) q5
+    ORDER BY revenue DESC
+    """,
+    "tpch", "join", "group", "predicate_transfer", "auto",
+)
+def q5_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predicate-transfer COST MODEL under driver evidence: TPC-H Q5
+    through ``Engine.sql(q, predicate_transfer="auto")`` at both sides of
+    the measured ``_AUTO_BYTES_PER_CORE`` crossover (engine.py:38,
+    SCALE.md "Measured crossover"). Below the threshold (test tables are
+    far under it) the plan must stay PLAIN — no LeftSemi reduction jobs;
+    with the threshold forced to zero the SAME call must apply the
+    transfer — LeftSemi joins present — and return identical rows. Both
+    plan inspections are folded into certificate booleans the oracle
+    asserts TRUE, and the returned rows come from the TRANSFERRED plan, so
+    the driver hash also re-proves the pass's purity on q5. The module
+    threshold is restored in a finally; registered queries run serially in
+    the driver/bench harness, so the brief global flip cannot leak into a
+    concurrent resolution."""
+    import pysparkdb.engine as engine_mod
+    from pysparkdb.engine import Engine
+    from pysparkdb.plans.pushdown import explain_str
+
+    eng = Engine(spark).attach(sf_dir, validate=False)
+    below = eng.sql(_Q5_TEXT, predicate_transfer="auto")
+    plain_below = "LeftSemi" not in explain_str(below, "simple")
+    saved = engine_mod._AUTO_BYTES_PER_CORE
+    try:
+        engine_mod._AUTO_BYTES_PER_CORE = 0
+        above = eng.sql(_Q5_TEXT, predicate_transfer="auto")
+    finally:
+        engine_mod._AUTO_BYTES_PER_CORE = saved
+    transfers_above = "LeftSemi" in explain_str(above, "simple")
+    return (
+        above.select("n_name", "revenue")
+        .withColumn("auto_plain_below", F.lit(plain_below))
+        .withColumn("auto_transfers_above", F.lit(transfers_above))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
 @register(
     "q22",
     f"""
@@ -1123,6 +1187,54 @@ def q6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
+
+
+@register(
+    "q6_modes",
+    f"""
+    SELECT m.scan_mode,
+           (SELECT {DSUM('l_extendedprice * l_discount')}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24) AS revenue
+    FROM (VALUES ('caching'), ('hybrid'), ('pullup'), ('pushdown'))
+         AS m(scan_mode)
+    """,
+    "tpch", "aggregate", "cache", "hybrid", "mode",
+)
+def q6_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline experiment as ONE query: TPC-H Q6 executed
+    under all four execution modes of the mode axis — PULL_UP /
+    PUSHDOWN_ONLY / CACHING_ONLY / HYBRID (fpdb-plan/include/fpdb/plan/
+    Mode.h:13-18, selected by exec.conf:4 MODE=; exercised by the
+    reference's HybridTest.cpp / CachingOnlyTest.cpp) — via
+    Engine.set_mode/sql(mode=...). One row per mode carrying that mode's
+    measured revenue; the oracle expects the SAME q6 scalar on every row,
+    so any mode producing a divergent answer hash-fails the driver check.
+    Each mode's scalar is materialized while its mode is in force (the
+    mode is session-scoped, like exec.conf MODE — a bounded 4-row
+    collect), and the session is restored to the engine default
+    afterwards."""
+    from pysparkdb.engine import MODES, Engine
+
+    eng = Engine(spark).attach(sf_dir, validate=False)
+    q = f"""
+        SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+    try:
+        rows = [
+            (m, eng.sql(q, mode=m).collect()[0][0]) for m in sorted(MODES)
+        ]
+    finally:
+        eng.set_mode("pushdown")
+    return spark.createDataFrame(rows, "scan_mode string, revenue double")
 
 
 # ---------------------------------------------------------------------------

@@ -412,6 +412,77 @@ class TestHybridCacheE2E:
         assert first == second
 
 
+class TestModeAxis:
+    """The reference's four-way execution-mode axis (fpdb-plan/include/
+    fpdb/plan/Mode.h:13-18, exec.conf:4 MODE=) as one Engine knob —
+    the HybridTest.cpp / CachingOnlyTest.cpp scenario: the same query
+    under PULL_UP / PUSHDOWN_ONLY / CACHING_ONLY / HYBRID returns
+    identical results while each mode's scan mechanics differ."""
+
+    Q = """
+        SELECT CAST(SUM(l_extendedprice * l_discount) AS DECIMAL(25,6)) AS revenue
+        FROM lineitem
+        WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+    """
+
+    def test_four_modes_identical_results(self, spark, sf_dir):
+        from pysparkdb.engine import MODES, Engine
+
+        eng = Engine(spark).attach(sf_dir, validate=False)
+        try:
+            results = {m: eng.sql(self.Q, mode=m).collect() for m in MODES}
+            base = results["pushdown"]
+            for m, rows in results.items():
+                assert rows == base, f"mode {m} diverged"
+        finally:
+            eng.set_mode("pushdown")
+
+    def test_mode_scan_mechanics(self, spark, sf_dir):
+        from pysparkdb.engine import Engine
+
+        eng = Engine(spark).attach(sf_dir, validate=False)
+        try:
+            # pullup: the parquet reader's filter pushdown is off (plan
+            # text still LISTS translated candidate filters — Spark prints
+            # them unconditionally — but the reader conf governs row-group
+            # skipping, which is the bytes-moved contract of the axis)
+            eng.sql(self.Q, mode="pullup")
+            assert spark.conf.get("spark.sql.parquet.filterPushdown") == "false"
+            assert eng.mode == "pullup"
+
+            # pushdown: confs restored, filters reach the scan
+            df = eng.sql(self.Q, mode="pushdown")
+            assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+            assert any("l_quantity" in f for f in pushed_filters(df))
+
+            # caching: the lineitem working set is served through an
+            # InMemoryRelation segment; a repeat query HITS it
+            df = eng.sql(self.Q, mode="caching")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+            df.collect()
+            hits_before = eng._segment_cache.hit_count
+            eng.sql(self.Q).collect()
+            assert eng._segment_cache.hit_count > hits_before
+
+            # hybrid: cache routing + pushdown confs both on; a SUBSET
+            # column request still serves from the cached segment
+            df = eng.sql(
+                "SELECT CAST(SUM(l_discount) AS DECIMAL(25,6)) AS d FROM lineitem "
+                "WHERE l_quantity < 24",
+                mode="hybrid",
+            )
+            assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+
+            # a bogus mode is rejected, not silently run as pushdown
+            with pytest.raises(ValueError, match="mode"):
+                eng.set_mode("turbo")
+        finally:
+            eng.set_mode("pushdown")
+
+
 class TestPushdown:
     def test_q6_filters_reach_scan(self, spark, sf_dir):
         l = tables(spark, sf_dir)["lineitem"]
