@@ -111,10 +111,24 @@ class Catalog:
         preferred, CSV (plain/gzip/bz2) co-equal, as in the reference's
         catalogs (resources/metadata/tpch-sf0.01/csv/schema.json declares
         the same tables over CSV)."""
+        from pysparkdb.sources.objectstore import (
+            hadoop_path_exists,
+            is_remote_path,
+        )
+
+        remote = is_remote_path(self.data_dir)
         for name in TABLE_NAMES:
             for ext in (".parquet", *_CSV_EXTS, ".orc", *_JSON_EXTS):
-                path = os.path.join(self.data_dir, name + ext)
-                if os.path.exists(path):
+                # remote data_dirs (s3a://bucket/prefix, gs://, hdfs://)
+                # probe through Hadoop's FileSystem API — os.path.exists
+                # would silently register nothing
+                path = self.data_dir.rstrip("/") + "/" + name + ext if remote \
+                    else os.path.join(self.data_dir, name + ext)
+                exists = (
+                    hadoop_path_exists(self.spark, path) if remote
+                    else os.path.exists(path)
+                )
+                if exists:
                     self.register(name, path, validate=validate)
                     break
         return self

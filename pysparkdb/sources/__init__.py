@@ -13,6 +13,13 @@ from pysparkdb.sources.files import (
     write_parquet,
 )
 from pysparkdb.sources.layout import compact_parquet, write_zordered
+from pysparkdb.sources.objectstore import (
+    configure_s3a,
+    hadoop_path_exists,
+    is_remote_path,
+    s3a_confs,
+    s3a_session_confs,
+)
 from pysparkdb.sources.versioned import (
     snapshot_append,
     snapshot_compact,
@@ -34,6 +41,11 @@ __all__ = [
     "write_parquet",
     "compact_parquet",
     "write_zordered",
+    "configure_s3a",
+    "hadoop_path_exists",
+    "is_remote_path",
+    "s3a_confs",
+    "s3a_session_confs",
     "snapshot_append",
     "snapshot_compact",
     "snapshot_read",

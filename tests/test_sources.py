@@ -783,3 +783,88 @@ def test_binaryfile_ingest_feeds_multimodal_pipeline(spark, tmp_path):
         by_hash.setdefault(r.ahash, []).append(r.path)
     groups = sorted(len(v) for v in by_hash.values())
     assert groups == [1, 2], by_hash
+
+
+class TestObjectStore:
+    """The s3a:// conf surface (VERDICT r7 #4). What runs in-sandbox: conf
+    construction, injection into a live session's Hadoop configuration,
+    and the Hadoop FileSystem existence probe (driven through file:// —
+    the same API object-store paths go through). What does NOT run here:
+    an actual S3/MinIO GET (needs the hadoop-aws jars and an endpoint) —
+    gated behind PYSPARKDB_S3_SMOKE=1, documented in README."""
+
+    def test_s3a_conf_construction(self):
+        from pysparkdb.sources import s3a_confs, s3a_session_confs
+
+        # MinIO-shaped: path-style defaults on, ssl follows the scheme,
+        # explicit keys select the simple provider
+        c = s3a_confs(endpoint="http://minio:9000", access_key="ak",
+                      secret_key="sk")
+        assert c["fs.s3a.endpoint"] == "http://minio:9000"
+        assert c["fs.s3a.path.style.access"] == "true"
+        assert c["fs.s3a.connection.ssl.enabled"] == "false"
+        assert c["fs.s3a.aws.credentials.provider"].endswith(
+            "SimpleAWSCredentialsProvider")
+        # public-bucket shape
+        anon = s3a_confs(anonymous=True)
+        assert anon["fs.s3a.aws.credentials.provider"].endswith(
+            "AnonymousAWSCredentialsProvider")
+        # session-build form carries the spark.hadoop. prefix
+        sc = s3a_session_confs(endpoint="https://s3.example.com")
+        assert sc["spark.hadoop.fs.s3a.endpoint"] == "https://s3.example.com"
+        assert sc["spark.hadoop.fs.s3a.connection.ssl.enabled"] == "true"
+        # explicit overrides win over endpoint-derived defaults
+        c2 = s3a_confs(endpoint="http://minio:9000", path_style_access=False,
+                       ssl_enabled=True)
+        assert c2["fs.s3a.path.style.access"] == "false"
+        assert c2["fs.s3a.connection.ssl.enabled"] == "true"
+
+    def test_configure_s3a_lands_in_hadoop_conf(self, spark):
+        from pysparkdb.sources import configure_s3a
+
+        configure_s3a(spark, endpoint="http://127.0.0.1:9000",
+                      access_key="ak", secret_key="sk",
+                      extra={"fs.s3a.impl.disable.cache": "true"})
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        assert hconf.get("fs.s3a.endpoint") == "http://127.0.0.1:9000"
+        assert hconf.get("fs.s3a.path.style.access") == "true"
+        assert hconf.get("fs.s3a.impl.disable.cache") == "true"
+
+    def test_hadoop_path_exists_and_remote_detection(self, spark, sf_dir):
+        from pysparkdb.sources import hadoop_path_exists, is_remote_path
+
+        assert is_remote_path("s3a://bucket/prefix")
+        assert is_remote_path("gs://bucket/x")
+        assert not is_remote_path("/root/testdata/sf0.01")
+        # the probe is the real Hadoop FileSystem API; file:// exercises
+        # the identical code path a configured s3a:// URI takes
+        assert hadoop_path_exists(spark, f"file://{sf_dir}/nation.parquet")
+        assert not hadoop_path_exists(spark, f"file://{sf_dir}/nope.parquet")
+        # plain local paths resolve through the default FS too
+        assert hadoop_path_exists(spark, f"{sf_dir}/nation.parquet")
+
+    @pytest.mark.skipif(
+        os.environ.get("PYSPARKDB_S3_SMOKE") != "1",
+        reason="live object-store smoke needs PYSPARKDB_S3_SMOKE=1 plus "
+               "PYSPARKDB_S3_ENDPOINT/BUCKET/ACCESS_KEY/SECRET_KEY and the "
+               "hadoop-aws jars on the session classpath",
+    )
+    def test_s3a_live_smoke(self, spark, sf_dir):
+        """Round-trip against a real S3-compatible endpoint: write the
+        nation table to s3a://$BUCKET/pysparkdb-smoke, attach a Catalog
+        over the remote prefix, and read it back through the same
+        declared-schema path local parquet uses."""
+        from pysparkdb.catalog import Catalog
+        from pysparkdb.sources import configure_s3a
+
+        configure_s3a(
+            spark,
+            endpoint=os.environ["PYSPARKDB_S3_ENDPOINT"],
+            access_key=os.environ["PYSPARKDB_S3_ACCESS_KEY"],
+            secret_key=os.environ["PYSPARKDB_S3_SECRET_KEY"],
+        )
+        prefix = f"s3a://{os.environ['PYSPARKDB_S3_BUCKET']}/pysparkdb-smoke"
+        nation = tables(spark, sf_dir)["nation"]
+        nation.write.mode("overwrite").parquet(f"{prefix}/nation.parquet")
+        cat = Catalog(spark, prefix).register_all(validate=False)
+        assert cat.tables["nation"].count() == nation.count()
