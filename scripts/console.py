@@ -15,6 +15,8 @@ Without -c, reads statements from stdin (terminated by ';' or EOF — usable
 both interactively and piped). Backslash commands:
     \\timing        toggle per-query wall time (default on)
     \\transfer      toggle the CIDR-2024 predicate-transfer pre-pass
+    \\mode [M]      show or set the execution mode (pullup / pushdown /
+                   caching / hybrid — the reference's exec.conf MODE axis)
     \\explain SQL   show the formatted physical plan instead of rows
     \\metrics SQL   run and print per-operator runtime metrics
                    (the reference's SHOW_OP_TIMES / SHOW_SCAN_METRICS)
@@ -95,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
         elif s == "\\transfer":
             transfer = not transfer
             print(f"predicate transfer {'on' if transfer else 'off'}")
+        elif s.startswith("\\mode"):
+            arg = s[len("\\mode"):].strip()
+            if arg:
+                eng.set_mode(arg)
+            print(f"mode {eng.mode}")
         elif s == "\\tables":
             assert eng.catalog is not None
             print(" ".join(sorted(eng.catalog.tables)))
