@@ -105,6 +105,9 @@ class Catalog:
     spark: SparkSession
     data_dir: str
     tables: dict[str, DataFrame] = field(default_factory=dict)
+    # registered file path per table — the identity key Engine's
+    # cache-mode routing uses to attribute plan leaves to tables
+    paths: dict[str, str] = field(default_factory=dict)
 
     def register_all(self, validate: bool = True) -> "Catalog":
         """Register every declared table found under ``data_dir`` — parquet
@@ -112,24 +115,30 @@ class Catalog:
         catalogs (resources/metadata/tpch-sf0.01/csv/schema.json declares
         the same tables over CSV)."""
         from pysparkdb.sources.objectstore import (
-            hadoop_path_exists,
+            hadoop_list_names,
             is_remote_path,
         )
 
-        remote = is_remote_path(self.data_dir)
+        # Remote data_dirs (s3a://bucket/prefix, gs://, hdfs://) resolve
+        # through ONE Hadoop directory listing — per-candidate existence
+        # probes would cost tables × extensions serial metadata RPCs at
+        # object-store latency (and os.path.exists would silently register
+        # nothing for URIs).
+        present = (
+            hadoop_list_names(self.spark, self.data_dir)
+            if is_remote_path(self.data_dir)
+            else (set(os.listdir(self.data_dir))
+                  if os.path.isdir(self.data_dir) else set())
+        )
+        sep_join = (
+            (lambda n: self.data_dir.rstrip("/") + "/" + n)
+            if is_remote_path(self.data_dir)
+            else (lambda n: os.path.join(self.data_dir, n))
+        )
         for name in TABLE_NAMES:
             for ext in (".parquet", *_CSV_EXTS, ".orc", *_JSON_EXTS):
-                # remote data_dirs (s3a://bucket/prefix, gs://, hdfs://)
-                # probe through Hadoop's FileSystem API — os.path.exists
-                # would silently register nothing
-                path = self.data_dir.rstrip("/") + "/" + name + ext if remote \
-                    else os.path.join(self.data_dir, name + ext)
-                exists = (
-                    hadoop_path_exists(self.spark, path) if remote
-                    else os.path.exists(path)
-                )
-                if exists:
-                    self.register(name, path, validate=validate)
+                if name + ext in present:
+                    self.register(name, sep_join(name + ext), validate=validate)
                     break
         return self
 
@@ -176,6 +185,7 @@ class Catalog:
             self._validate(name, df)
         df.createOrReplaceTempView(name)
         self.tables[name] = df
+        self.paths[name] = path
         return df
 
     def _resolve_timestamps(self, name: str, df: DataFrame) -> DataFrame:

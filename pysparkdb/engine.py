@@ -89,48 +89,92 @@ class Engine:
     def set_mode(
         self,
         mode: str,
-        cache_capacity_bytes: int = 1 << 30,
-        cache_policy: str = "wlfu",
+        cache_capacity_bytes: int | None = None,
+        cache_policy: str | None = None,
     ) -> "Engine":
         """Switch the execution mode (see MODES above). Returns self.
 
         The segment cache survives pullup/pushdown interludes (routing is
         simply bypassed) so a hybrid → pushdown → hybrid sequence keeps
         its hot segments, matching the reference where the cache belongs
-        to the server, not the query."""
+        to the server, not the query. Passing explicit cache parameters
+        while a cache already exists REBUILDS it (clear + recreate —
+        unpersisting its segments), since silently keeping the old
+        capacity/policy would drop the caller's request on the floor;
+        omit them to keep the existing cache."""
         if mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
         enable = "true" if mode in ("pushdown", "hybrid") else "false"
         for conf in _PUSHDOWN_CONFS:
             self.spark.conf.set(conf, enable)
-        if mode in ("caching", "hybrid") and self._segment_cache is None:
+        explicit = cache_capacity_bytes is not None or cache_policy is not None
+        if mode in ("caching", "hybrid") and (
+            self._segment_cache is None or explicit
+        ):
             from pysparkdb.plans.cache import SegmentCacheManager
 
+            if self._segment_cache is not None:
+                self._segment_cache.clear()
             self._segment_cache = SegmentCacheManager(
-                self.spark, capacity_bytes=cache_capacity_bytes, policy=cache_policy
+                self.spark,
+                capacity_bytes=cache_capacity_bytes or (1 << 30),
+                policy=cache_policy or "wlfu",
             )
         self._mode = mode
         return self
 
+    def clear_segment_cache(self) -> None:
+        """Unpersist every cached segment and drop the manager — the
+        explicit lifecycle end for caching/hybrid work (benchmarks and
+        registered queries MUST call this rather than dropping the Engine,
+        or the materialized InMemoryRelations stay pinned in the shared
+        session's CacheManager for its remaining lifetime)."""
+        if self._segment_cache is not None:
+            self._segment_cache.clear()
+            self._segment_cache = None
+
+    @staticmethod
+    def _strip_fs_scheme(p: str) -> str:
+        # file:/x and file:///x both normalize to /x; remote schemes with
+        # an authority (s3a://bucket/...) are kept verbatim
+        if p.startswith("file:"):
+            rest = p[len("file:"):]
+            while rest.startswith("//"):
+                rest = rest[1:]
+            return rest
+        return p
+
     def _leaf_columns_by_table(self, df: DataFrame) -> dict[str, set]:
         """Per attached table, the union of columns the optimized plan's
         leaf scans actually read — the segment working set to route
-        through the cache. Plan-walk only (no job); leaves whose output
-        matches no attached table (inline data, derived frames) are left
-        alone."""
+        through the cache. Plan-walk only (no job). Attribution is by the
+        leaf's FILE PATH against the catalog's registered paths, not by
+        column-name subset: a pinned snapshot view or any derived frame
+        whose output happens to be ⊆ a table's columns must not admit that
+        table's segment (it would pin memory the query never reads)."""
         assert self.catalog is not None
-        table_cols = {n: set(t.columns) for n, t in self.catalog.tables.items()}
+        path_to_table = {
+            self._strip_fs_scheme(p).rstrip("/"): n
+            for n, p in self.catalog.paths.items()
+        }
         needed: dict[str, set] = {}
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
         for i in range(leaves.size()):
-            out = leaves.apply(i).output()
-            names = {out.apply(j).name() for j in range(out.size())}
-            if not names:
+            leaf = leaves.apply(i)
+            try:
+                roots = leaf.relation().location().rootPaths()
+                root = roots.apply(0).toString() if roots.size() else None
+            except Exception:
+                continue  # not a file-source leaf (inline VALUES, cached…)
+            if root is None:
                 continue
-            for tname, cols in table_cols.items():
-                if names <= cols:
-                    needed.setdefault(tname, set()).update(names)
-                    break
+            tname = path_to_table.get(self._strip_fs_scheme(root).rstrip("/"))
+            if tname is None:
+                continue
+            out = leaf.output()
+            names = {out.apply(j).name() for j in range(out.size())}
+            if names:
+                needed.setdefault(tname, set()).update(names)
         return needed
 
     def attach(self, data_dir: str, validate: bool = True) -> "Engine":
@@ -195,7 +239,11 @@ class Engine:
         ``_RESOLVE_LOCK`` so the transfer pass's view swap can never leak
         into another call's analysis; execution parallelism is untouched
         (the lock is released before any job runs)."""
-        if mode is not None and mode != self._mode:
+        if mode is not None:
+            # always re-apply, even when mode == self._mode: the confs are
+            # SESSION-global and another Engine over this session (whose
+            # __init__ re-applies the pushdown defaults) may have reset
+            # them since; set_mode is idempotent and costs a few conf sets
             self.set_mode(mode)
         if isinstance(predicate_transfer, str) and predicate_transfer != "auto":
             # a typo'd mode string must not silently pay the full
@@ -263,12 +311,22 @@ class Engine:
             )
             for name, cols in needed.items()
         }
+        from pyspark.errors import AnalysisException
+
         with _RESOLVE_LOCK:
             try:
                 for name, rdf in routed.items():
                     rdf.createOrReplaceTempView(name)
                 return (self.spark.sql(query, args=args) if args
                         else self.spark.sql(query))
+            except AnalysisException:
+                # The working set came from the OPTIMIZED plan; in rare
+                # shapes the optimizer prunes a column the raw text still
+                # references at analysis (a folded `true OR col > 0`
+                # predicate, an eliminated join), so re-resolution against
+                # the narrower views fails. Serve the plain plan — the
+                # cache is an optimization, never a correctness gate.
+                return df
             finally:
                 for name, odf in self.catalog.tables.items():
                     odf.createOrReplaceTempView(name)

@@ -209,16 +209,21 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q6",
-    f"""
+# q6's text, shared by q6_modes and scripts/mode_bench.py so the mode
+# axis always measures the exact registered query.
+_Q6_TEXT = f"""
     SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
-    """,
+    """
+
+
+@register(
+    "q6",
+    _Q6_TEXT,
     "tpch", "aggregate", "filter", "pushdown",
 )
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,25 +1220,20 @@ def q6_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     so any mode producing a divergent answer hash-fails the driver check.
     Each mode's scalar is materialized while its mode is in force (the
     mode is session-scoped, like exec.conf MODE — a bounded 4-row
-    collect), and the session is restored to the engine default
-    afterwards."""
+    collect); the finally restores the engine-default mode AND unpersists
+    the segment cache, so every invocation pays the honest cold admission
+    and nothing stays pinned in the shared session afterwards."""
     from pysparkdb.engine import MODES, Engine
 
     eng = Engine(spark).attach(sf_dir, validate=False)
-    q = f"""
-        SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-          AND l_discount BETWEEN 0.05 AND 0.07
-          AND l_quantity < 24
-    """
     try:
         rows = [
-            (m, eng.sql(q, mode=m).collect()[0][0]) for m in sorted(MODES)
+            (m, eng.sql(_Q6_TEXT, mode=m).collect()[0][0])
+            for m in sorted(MODES)
         ]
     finally:
         eng.set_mode("pushdown")
+        eng.clear_segment_cache()
     return spark.createDataFrame(rows, "scan_mode string, revenue double")
 
 

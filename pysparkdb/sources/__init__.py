@@ -15,6 +15,7 @@ from pysparkdb.sources.files import (
 from pysparkdb.sources.layout import compact_parquet, write_zordered
 from pysparkdb.sources.objectstore import (
     configure_s3a,
+    hadoop_list_names,
     hadoop_path_exists,
     is_remote_path,
     s3a_confs,
@@ -42,6 +43,7 @@ __all__ = [
     "compact_parquet",
     "write_zordered",
     "configure_s3a",
+    "hadoop_list_names",
     "hadoop_path_exists",
     "is_remote_path",
     "s3a_confs",

@@ -117,6 +117,19 @@ def configure_s3a(spark: SparkSession, **kwargs) -> dict[str, str]:
     return confs
 
 
+def hadoop_list_names(spark: SparkSession, directory: str) -> set:
+    """Child basenames of ``directory`` through Hadoop's FileSystem API —
+    ONE metadata RPC (a LIST, not per-child HEADs), which is how a remote
+    catalog should discover its tables. Missing directory → empty set."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return set()
+    return {st.getPath().getName() for st in fs.listStatus(jpath)}
+
+
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe through Hadoop's FileSystem API — works for any
     configured scheme (s3a, gs, hdfs, file). The remote-path analog of

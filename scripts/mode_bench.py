@@ -28,36 +28,32 @@ from pysparkdb.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 
-Q6 = """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
-                AS DOUBLE) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-"""
 
-def _ssb2_1_sql():
-    """The registered ssb2_1 oracle text (queries/ssb.py) — ANSI-portable,
-    so the same string drives Engine.sql here."""
+def _registered_sql(name):
+    """The registered oracle text (ANSI-portable, so the same string
+    drives Engine.sql here) — always the exact registered query, never a
+    drift-prone inline copy."""
     from pysparkdb.queries import load_all
 
-    return load_all()["ssb2_1"].oracle
+    return load_all()[name].oracle
 
 
 def run(eng, name, query):
     rows = {}
     times = {}
     for mode in MODES:
-        # fresh cache per mode so each measures its own admission cost
-        eng._segment_cache = None
+        # fresh cache per mode so each measures its own admission cost;
+        # clear_segment_cache UNPERSISTS the previous mode's segments —
+        # merely dropping the manager would leave the InMemoryRelation in
+        # Spark's CacheManager and serve the next mode's "cold" run warm
+        eng.clear_segment_cache()
         eng.set_mode(mode)
         for phase in ("cold", "warm"):
             t0 = time.perf_counter()
             rows[mode] = eng.sql(query).collect()
             times[(mode, phase)] = time.perf_counter() - t0
     eng.set_mode("pushdown")
+    eng.clear_segment_cache()
     base = rows["pushdown"]
     for mode in MODES:
         assert rows[mode] == base, f"{name}: mode {mode} diverged"
@@ -77,8 +73,8 @@ def main():
     # warm the file-listing/JIT path once so cold numbers measure the mode,
     # not session startup
     eng.sql("SELECT COUNT(*) AS n FROM lineitem").collect()
-    run(eng, "q6", Q6)
-    run(eng, "ssb2_1", _ssb2_1_sql())
+    run(eng, "q6", _registered_sql("q6"))
+    run(eng, "ssb2_1", _registered_sql("ssb2_1"))
 
 
 if __name__ == "__main__":

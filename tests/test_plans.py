@@ -436,6 +436,7 @@ class TestModeAxis:
                 assert rows == base, f"mode {m} diverged"
         finally:
             eng.set_mode("pushdown")
+            eng.clear_segment_cache()
 
     def test_mode_scan_mechanics(self, spark, sf_dir):
         from pysparkdb.engine import Engine
@@ -481,6 +482,71 @@ class TestModeAxis:
                 eng.set_mode("turbo")
         finally:
             eng.set_mode("pushdown")
+            eng.clear_segment_cache()
+
+    def test_cache_routing_fallback_and_attribution(self, spark, sf_dir, tmp_path):
+        from pysparkdb.engine import Engine
+
+        eng = Engine(spark).attach(sf_dir, validate=False)
+        try:
+            eng.set_mode("caching")
+            # optimizer folds `true OR l_tax > 0` away, so the working set
+            # lacks l_tax while the raw text still references it —
+            # re-resolution against the routed view fails analysis and the
+            # engine must serve the PLAIN plan, not crash
+            n = eng.sql(
+                "SELECT l_quantity FROM lineitem WHERE true OR l_tax > 0"
+            ).count()
+            assert n == tables(spark, sf_dir)["lineitem"].count()
+
+            # a view over a FOREIGN file whose columns happen to be ⊆ a
+            # catalog table's must not admit that table's segment
+            # (attribution is by registered file path, not column subset)
+            d = str(tmp_path / "snap.parquet")
+            spark.sql(
+                "SELECT n_nationkey, n_name, n_regionkey FROM nation LIMIT 5"
+            ).write.parquet(d)
+            spark.read.parquet(d).createOrReplaceTempView("snap_v")
+            before = len(eng._segment_cache.entries)
+            eng.sql("SELECT COUNT(*) AS n FROM snap_v").collect()
+            assert len(eng._segment_cache.entries) == before
+        finally:
+            eng.set_mode("pushdown")
+            eng.clear_segment_cache()
+
+    def test_explicit_mode_reapplies_after_session_reset(self, spark, sf_dir):
+        """The mode confs are session-global; another Engine's __init__
+        re-applies the pushdown defaults. An explicit mode= request must
+        re-assert its confs even when the Engine believes it is already in
+        that mode."""
+        from pysparkdb.engine import Engine
+
+        e1 = Engine(spark).attach(sf_dir, validate=False)
+        try:
+            e1.set_mode("pullup")
+            Engine(spark)  # resets session confs to the engine defaults
+            assert spark.conf.get("spark.sql.parquet.filterPushdown") == "true"
+            e1.sql("SELECT COUNT(*) AS n FROM nation", mode="pullup")
+            assert spark.conf.get("spark.sql.parquet.filterPushdown") == "false"
+        finally:
+            e1.set_mode("pushdown")
+            e1.clear_segment_cache()
+
+    def test_explicit_cache_params_rebuild_the_cache(self, spark, sf_dir):
+        from pysparkdb.engine import Engine
+
+        eng = Engine(spark).attach(sf_dir, validate=False)
+        try:
+            eng.set_mode("caching")
+            first = eng._segment_cache
+            eng.set_mode("caching")          # no params → cache kept
+            assert eng._segment_cache is first
+            eng.set_mode("caching", cache_policy="lru")  # explicit → rebuilt
+            assert eng._segment_cache is not first
+            assert eng._segment_cache.policy == "lru"
+        finally:
+            eng.set_mode("pushdown")
+            eng.clear_segment_cache()
 
 
 class TestPushdown:
