@@ -82,6 +82,24 @@ _CSV_EXTS = (".csv", ".csv.gz", ".csv.bz2")
 _JSON_EXTS = (".json", ".json.gz")
 
 
+def nanos_long_to_timestamp(colname: str):
+    """Epoch-nanos LongType → TIMESTAMP, FLOOR division to microseconds.
+
+    The one shared conversion for parquet TIMESTAMP(NANOS) columns read
+    under spark.sql.legacy.parquet.nanosAsLong — used by both the batch
+    catalog (_resolve_timestamps) and the streaming reader
+    (streaming/windows.py:read_events_stream) so the two paths can never
+    disagree on identical bytes. FLOOR, not bare `div` (which truncates
+    toward zero): pre-1970 nanos would otherwise round up by 1 µs and
+    disagree with every floor-based consumer (the rangejoin.py bucket
+    idiom)."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros(
+        F.expr(f"(`{colname}` - pmod(`{colname}`, 1000)) div 1000")
+    )
+
+
 def _types_compatible(declared: T.DataType, actual: T.DataType) -> bool:
     # Parquet timestamps may surface as NTZ depending on writer metadata;
     # both carry the same microsecond values under a UTC session tz.
@@ -211,16 +229,7 @@ class Catalog:
             if not isinstance(f.dataType, T.TimestampType):
                 continue
             if isinstance(actual.get(f.name), T.LongType):
-                # FLOOR division, not bare `div` (truncates toward zero):
-                # pre-1970 nanos would otherwise round up by 1µs and
-                # disagree with every floor-based consumer (the
-                # rangejoin.py bucket idiom)
-                df = df.withColumn(
-                    f.name,
-                    F.timestamp_micros(
-                        F.expr(f"(`{f.name}` - pmod(`{f.name}`, 1000)) div 1000")
-                    ),
-                )
+                df = df.withColumn(f.name, nanos_long_to_timestamp(f.name))
             elif isinstance(actual.get(f.name), T.TimestampNTZType):
                 df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
         return df

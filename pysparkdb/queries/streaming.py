@@ -233,6 +233,24 @@ def ev_rollup(spark, sf_dir):
 # -- true Structured Streaming entries ------------------------------------
 # file-stream sources need a directory: stage a symlink dir per sf_dir
 _STAGED_EVENTS: dict = {}
+def _click_purchase_frames(spark, sf_dir):
+    """Shared prep for the three tolerance/direction as-of queries
+    (ev_asof_tolerance / ev_conversion_lag / ev_asof_nearest): clicks with
+    their identity, purchases pre-aggregated to ONE row per (user, ts) via
+    max_by(value, event_id) — the right-side-uniqueness precondition of
+    as_of_join that also makes equal-gap/equal-ts ties well-defined in
+    both engines. One definition so a tie-break change cannot silently
+    desynchronize the three directions."""
+    e = tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    return clicks, purchases
+
+
 _RUN_SEQ = [0]
 
 
@@ -271,6 +289,12 @@ def ev_stateful(spark, sf_dir):
 
     stream = S.read_events_stream(spark, _events_stream_dir(sf_dir))
     _RUN_SEQ[0] += 1
+    # drop the PREVIOUS run's memory-sink table: each run needs its own
+    # fresh queryName, but without this the sinks accumulate one full
+    # per-user result set per invocation in driver memory for the
+    # session's lifetime (the registry runs serially — by the time run N
+    # starts, run N-1's result has been collected)
+    spark.catalog.dropTempView(f"ev_stateful_{_RUN_SEQ[0] - 1}")
     out = S.run_to_memory(
         S.stateful_user_counter(stream),
         f"ev_stateful_{_RUN_SEQ[0]}",
@@ -526,13 +550,7 @@ def ev_asof_tolerance(spark, sf_dir):
     in both engines."""
     from pysparkdb.operators.asof import as_of_join
 
-    e = tables(spark, sf_dir)["events"]
-    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
-        .agg(F.max_by("value", "event_id").alias("purchase_value"))
-    )
+    clicks, purchases = _click_purchase_frames(spark, sf_dir)
     joined = as_of_join(
         clicks, purchases,
         left_on="user_id", right_on="p_user",
@@ -582,13 +600,7 @@ def ev_conversion_lag(spark, sf_dir):
     ev_asof_tolerance for the determinism rationale."""
     from pysparkdb.operators.asof import as_of_join
 
-    e = tables(spark, sf_dir)["events"]
-    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
-        .agg(F.max_by("value", "event_id").alias("purchase_value"))
-    )
+    clicks, purchases = _click_purchase_frames(spark, sf_dir)
     joined = as_of_join(
         clicks, purchases,
         left_on="user_id", right_on="p_user",
@@ -641,13 +653,7 @@ def ev_asof_nearest(spark, sf_dir):
     also makes equal-gap ties well-defined (one candidate per side)."""
     from pysparkdb.operators.asof import as_of_join
 
-    e = tables(spark, sf_dir)["events"]
-    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy(F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
-        .agg(F.max_by("value", "event_id").alias("purchase_value"))
-    )
+    clicks, purchases = _click_purchase_frames(spark, sf_dir)
     joined = as_of_join(
         clicks, purchases,
         left_on="user_id", right_on="p_user",

@@ -60,8 +60,15 @@ def snapshot_versions(root: str) -> list[int]:
 
 
 def _read_manifest(root: str, version: int) -> dict:
-    with open(_manifest_path(root, version)) as f:
-        return json.load(f)
+    try:
+        with open(_manifest_path(root, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        # the same error contract as snapshot_read: callers catch
+        # ValueError and see the available versions, not an internal path
+        raise ValueError(
+            f"version {version} not in {snapshot_versions(root)} under {root!r}"
+        ) from None
 
 
 def _commit(root: str, version: int, files: list[str], n_rows: int, parent: int | None,
@@ -89,27 +96,38 @@ def _footer_rows(files: list[str]) -> int:
     return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
 
 
-def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
-    """Append df as a new immutable batch; commit and return the new
-    version. Data lands under data/batch-{version}-{uuid}/; the manifest
-    is the parent's file list plus the new files. The uuid suffix makes a
-    failed write recoverable: a crash before the manifest rename leaves an
-    orphan directory no manifest references (inert garbage, collectible by
-    diffing data/ against the union of manifests) and the retry writes a
-    fresh directory instead of colliding with the partial one."""
+def _stage_batch(
+    df: DataFrame, root: str, prefix: str
+) -> tuple[int, int | None, list[str], int]:
+    """Write ``df`` as a new immutable batch directory for the NEXT
+    version — the staging half shared by snapshot_append and
+    snapshot_rewrite (they differ only in what the manifest lists).
+    Returns (version, parent, new_files_rel, n_new_rows). The uuid suffix
+    makes a failed write recoverable: a crash before the manifest rename
+    leaves an orphan directory no manifest references (inert garbage,
+    snapshot_gc collects it after the grace window) and the retry writes
+    a fresh directory instead of colliding with the partial one. Row
+    count comes from parquet footers (the catalog.zone_map pattern) — no
+    Spark job per commit, which matters when every micro-batch commits."""
     versions = snapshot_versions(root)
     parent = versions[-1] if versions else None
     version = (parent or 0) + 1
     batch_dir = os.path.join(
-        root, _DATA_DIR, f"batch-{version}-{uuid.uuid4().hex[:8]}"
+        root, _DATA_DIR, f"{prefix}-{version}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("error").parquet(batch_dir)
     written = _parquet_files(batch_dir)
     new_files = [os.path.relpath(p, root) for p in written]
+    return version, parent, new_files, _footer_rows(written)
+
+
+def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
+    """Append df as a new immutable batch; commit and return the new
+    version. Data lands under data/batch-{version}-{uuid}/; the manifest
+    is the parent's file list plus the new files (see _stage_batch for
+    the crash-recovery story)."""
+    version, parent, new_files, n_new = _stage_batch(df, root, "batch")
     prev = _read_manifest(root, parent) if parent else {"files": [], "n_rows": 0}
-    # row count from parquet footers (the catalog.zone_map pattern) — no
-    # Spark job per commit, which matters when every micro-batch commits
-    n_new = _footer_rows(written)
     _commit(root, version, prev["files"] + new_files, prev["n_rows"] + n_new, parent,
             epoch=epoch)
     return version
@@ -167,6 +185,10 @@ def snapshot_gc(
     versions = snapshot_versions(root)
     if not versions:
         return {"orphans": [], "expired": []}
+    # each manifest is read ONCE and reused by the epoch scan and both
+    # reference sets — on a streaming root with thousands of micro-batch
+    # versions the previous three passes tripled GC's file I/O
+    manifests = {v: _read_manifest(root, v) for v in versions}
     keep = versions if retain_versions is None else versions[-retain_versions:]
     drop = [v for v in versions if v not in keep]
     # The newest EPOCH-BEARING manifest is the streaming sink's replay
@@ -175,7 +197,7 @@ def snapshot_gc(
     # micro-batch re-commit and duplicate rows. It is always retained,
     # whatever the horizon.
     for v in reversed(versions):
-        if _read_manifest(root, v).get("epoch") is not None:
+        if manifests[v].get("epoch") is not None:
             if v in drop:
                 drop.remove(v)
                 keep = sorted(keep + [v])
@@ -183,10 +205,10 @@ def snapshot_gc(
 
     referenced_keep: set[str] = set()
     for v in keep:
-        referenced_keep.update(_read_manifest(root, v)["files"])
+        referenced_keep.update(manifests[v]["files"])
     referenced_drop: set[str] = set()
     for v in drop:
-        referenced_drop.update(_read_manifest(root, v)["files"])
+        referenced_drop.update(manifests[v]["files"])
 
     expired = sorted(referenced_drop - referenced_keep)
     # manifests first: a crash mid-GC must never leave a manifest whose
@@ -233,6 +255,24 @@ def snapshot_gc(
                         pass
                 if not os.listdir(dirpath):
                     os.rmdir(dirpath)
+    # tmp manifests from crashed commits (_commit writes vN.json.tmp-<uuid>
+    # then renames): snapshot_versions skips them but nothing else ever
+    # removed them — a long-lived root restarting after crashes would
+    # accumulate them forever. Same grace window as data orphans (a young
+    # tmp may be a commit in flight).
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if ".json.tmp-" not in name:
+                continue
+            full = os.path.join(mdir, name)
+            try:
+                if now - os.path.getmtime(full) < orphan_grace_s:
+                    continue
+                os.remove(full)
+            except FileNotFoundError:
+                continue
+            orphans.append(os.path.relpath(full, root))
     return {"orphans": orphans, "expired": expired}
 
 
@@ -378,16 +418,8 @@ def snapshot_rewrite(spark: SparkSession, root: str, df: DataFrame) -> int:
     GC removes the bytes). Readers see the change atomically at the
     manifest rename; snapshot_diff against the parent yields the
     insert/delete feed downstream increments consume."""
-    versions = snapshot_versions(root)
-    parent = versions[-1] if versions else None
-    version = (parent or 0) + 1
-    batch_dir = os.path.join(
-        root, _DATA_DIR, f"rewrite-{version}-{uuid.uuid4().hex[:8]}"
-    )
-    df.write.mode("error").parquet(batch_dir)
-    written = _parquet_files(batch_dir)
-    files = [os.path.relpath(p, root) for p in written]
-    _commit(root, version, files, _footer_rows(written), parent)
+    version, parent, files, n_rows = _stage_batch(df, root, "rewrite")
+    _commit(root, version, files, n_rows, parent)
     return version
 
 

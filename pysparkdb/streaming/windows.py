@@ -25,7 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pysparkdb.catalog import DECLARED_SCHEMAS
 
 def _events_stream_schema(
-    path: str, empty_dir_conv: str = "nanos"
+    path: str, empty_dir_conv: str = "ntz"
 ) -> tuple[T.StructType, str]:
     """Declared schema for the events file stream (readStream cannot infer).
 
@@ -39,11 +39,13 @@ def _events_stream_schema(
     Returns (schema, conversion) with conversion in {"nanos","ntz","none"}.
     An EMPTY landing directory (stream set up before producers drop files)
     cannot be inferred — the assumption is the EXPLICIT `empty_dir_conv`
-    parameter (default "nanos", the driver testdata's representation;
-    read_events_stream forwards its own parameter so callers whose
-    producers write plain microsecond TIMESTAMP or NTZ files declare that
-    up front instead of failing their first micro-batch on a silent
-    guess). Peeking a footer remains authoritative when one exists.
+    parameter (default "ntz": the driver testdata's events store
+    microsecond tz-naive timestamps — verified against the actual
+    /root/testdata footers, timestamp[us] no-tz; read_events_stream
+    forwards its own parameter so callers whose producers write nanos or
+    tz-adjusted files declare that up front instead of failing their
+    first micro-batch on a silent guess). Peeking a footer remains
+    authoritative when one exists.
     """
     import glob
     import os
@@ -59,7 +61,11 @@ def _events_stream_schema(
     if files:
         conv = "none"
         ts_type = pq.read_schema(files[0]).field("ts").type
-        if getattr(ts_type, "unit", None) == "ns" and ts_type.tz is None:
+        if getattr(ts_type, "unit", None) == "ns":
+            # ANY nanos column — tz-adjusted or not — reads as LongType
+            # under spark.sql.legacy.parquet.nanosAsLong (the conf keys on
+            # the NANOS unit alone); tz-aware values are UTC-based, which
+            # matches the engine's UTC session timezone after conversion
             conv = "nanos"
         elif ts_type.tz is None:
             conv = "ntz"
@@ -85,7 +91,7 @@ def read_events_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int = 8,
-    empty_dir_conv: str = "nanos",
+    empty_dir_conv: str = "ntz",
 ) -> DataFrame:
     """File-source stream of events parquet dropped into ``path``.
 
@@ -102,11 +108,9 @@ def read_events_stream(
         .parquet(path)
     )
     if conv == "nanos":
-        # floor division (catalog.py precedent): bare `div` truncates
-        # toward zero and misconverts pre-1970 nanos by 1µs
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        )
+        from pysparkdb.catalog import nanos_long_to_timestamp
+
+        return raw.withColumn("ts", nanos_long_to_timestamp("ts"))
     if conv == "ntz":
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
@@ -284,6 +288,7 @@ def stream_clean_documents(
     docs: DataFrame,
     scrub_pii: bool = False,
     history: DataFrame | None = None,
+    history_is_scrubbed: bool = False,
 ) -> DataFrame:
     """Streaming ingest twin of the batch `pipeline_clean` composition:
     quality gate (token-count band) -> exact dedup on the normalized-text
@@ -331,9 +336,19 @@ def stream_clean_documents(
         # ingested with scrub_pii=True stores scrubbed text but the
         # PRE-scrub fp (scrubbing runs after fingerprinting, see below) —
         # recomputing fp from its text would hash the redacted form and
-        # silently fail to match a re-arriving original.
+        # silently fail to match a re-arriving original. Recomputing is
+        # therefore only sound from ORIGINAL text; a caller whose history
+        # dropped the fp column after a scrubbed ingest must say so
+        # (history_is_scrubbed=True) and gets a hard error instead of a
+        # dedup that silently re-admits every PII-bearing duplicate.
         if "fp" in history.columns:
             hist_fp = history.select("fp").distinct()
+        elif history_is_scrubbed:
+            raise ValueError(
+                "history text is scrubbed and carries no 'fp' column: the "
+                "fingerprint cannot be recomputed from redacted text — "
+                "retain the fp column when materializing a scrubbed corpus"
+            )
         else:
             hist_fp = history.select(
                 normalized_fingerprint("text").alias("fp")
