@@ -63,9 +63,11 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # registrations and the consumers of round-8's own advice fixes
 # (snapshot_diff update contract, as-of tolerance rounding,
 # incremental-refresh orphan guard). Topped up with the oldest banked
-# evidence (the round-2 bank) to 50; four r2 rows (text_quality,
-# text_rolling_hash, text_tokens, text_tokens_bpe) did not fit and roll
-# to the round-9 top-up.
+# evidence (the round-2 bank) to 50; five r2 rows (text_langid,
+# text_quality, text_rolling_hash, text_tokens, text_tokens_bpe) did not
+# fit and roll to the round-9 top-up (text_langid was displaced mid-round
+# by ev_stateful, whose body was reshaped in the round-8 review wave —
+# memory-sink cleanup — and so needs fresh driver evidence).
 DRIVER_WINDOW: tuple[str, ...] = (
     # new round 8: mode axis + cost-based predicate transfer
     "q6_modes", "q5_auto",
@@ -86,6 +88,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_snapshot_curation", "pipeline_incremental_refresh",
     # functions/expressions.py case_when literal handling (2034133)
     "op_case_in_like",
+    # queries/streaming.py reshaped round 8 (memory-sink cleanup)
+    "ev_stateful",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
     "dedup_exact", "mm_binary_meta", "mm_frame_sample", "op_agg_scalar",
     "op_count_distinct", "op_cross_join", "op_except", "op_expr_datefuncs",
@@ -93,7 +97,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_intersect", "op_join_anti", "op_join_full", "op_join_multikey",
     "op_join_right", "op_join_semi", "op_join_theta", "op_percentile",
     "op_salted_agg", "op_union_merge", "op_variance", "op_window_rank",
-    "pipeline_clean", "text_fingerprint", "text_langid",
+    "pipeline_clean", "text_fingerprint",
 )
 
 
