@@ -107,8 +107,16 @@ def nested_loop_join(
     """
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"nested-loop join type {how!r} unsupported")
-    if predicate is None and how == "inner":
-        return left.crossJoin(right)
+    if predicate is None:
+        if how == "inner":
+            return left.crossJoin(right)
+        # an unconditioned OUTER nested loop is a silent O(n*m) blow-up —
+        # almost certainly a forgotten predicate, never a deliberate plan
+        # (a deliberate cartesian product is crossJoin/'inner')
+        raise ValueError(
+            f"nested-loop {how!r} join requires a predicate; "
+            "use how='inner' for a deliberate cartesian product"
+        )
     return left.join(right, on=predicate, how=how)
 
 

@@ -46,7 +46,9 @@ def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -
     return F.size(F.filter(t, lambda x: x.isin(*stopwords))).cast("long")
 
 
-def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document quality features: token count, mean word length,
     stopword ratio, and a composite score. All double arithmetic is
     per-row deterministic (oracle-exact)."""
@@ -60,7 +62,7 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(avg_word_len < 10, F.lit(1.0)).otherwise(F.lit(0.0))
     ) / 3.0
     return df.select(
-        "doc_id",
+        id_col,
         n_tok.alias("n_tokens"),
         avg_word_len.alias("avg_word_len"),
         stop_ratio.alias("stopword_ratio"),
@@ -119,9 +121,16 @@ def chunk_text(
     """
     n = F.length(F.col(text_col))
     last = F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(stride)).cast("long")
+    # an EMPTY document yields zero chunks, matching NULL text (which
+    # explodes to zero rows via the NULL sequence) — emitting a single ''
+    # chunk would make every empty doc a mutual "duplicate" downstream
+    # in dup_chunk_stats
+    offsets = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), last)
+    ).otherwise(F.array().cast("array<long>"))
     return (
         df.select(F.col(id_col), F.col(text_col))
-        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), last)))
+        .withColumn("chunk_id", F.explode(offsets))
         .select(
             id_col,
             "chunk_id",
@@ -183,8 +192,12 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
         .agg(F.sum("c").cast("long").alias("n_bigrams"),
              F.max("c").cast("long").alias("top_bc"))
     )
+    # LEFT join: a single-token document has token stats but no bigram
+    # row — an inner join would drop it from the output entirely, so a
+    # downstream repetition filter would never see it. Its bigram ratio
+    # is honestly NULL (undefined), not fabricated.
     return (
-        tstats.join(bstats, "did")
+        tstats.join(bstats, "did", "left")
         .select(
             F.col("did").alias(id_col),
             "n_tokens",
@@ -220,6 +233,13 @@ def domain_mix(
     cardinality is small by nature, so the stats frame broadcasts), a
     one-row global MIN, then a map-side filter over the corpus — the
     scan-speed shape at any corpus size.
+
+    A NULL domain is a DOMAIN: groupBy already keeps the NULL group, and
+    the threshold join is null-safe, so unattributed docs participate in
+    the mix like any other source. (An equi-join here would silently drop
+    them from the output while their group still set min_tokens —
+    decimating every real domain to the budget of rows that then
+    vanished.)
     """
     n_tok = token_count(text_col)
     stats = (
@@ -243,10 +263,14 @@ def domain_mix(
     hexval = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
+    thr_frame = thresholds.withColumnRenamed(domain_col, "_dm_domain")
     return (
-        df.join(F.broadcast(thresholds), domain_col)
+        df.join(
+            F.broadcast(thr_frame),
+            F.col(domain_col).eqNullSafe(F.col("_dm_domain")),
+        )
         .filter(hexval < F.col("thr"))
-        .drop("thr")
+        .drop("_dm_domain", "thr")
     )
 
 
@@ -363,8 +387,10 @@ def dup_chunk_stats(
     """Per-document duplicate-chunk fraction — the cross-document twin of
     the Gopher repetition filters (Rae et al. 2021): split every document
     into non-overlapping ``size``-char chunks, hash each, and report what
-    fraction of a document's chunks occur anywhere else in the corpus
-    (boilerplate headers, licence blocks, mirrored passages).
+    fraction of a document's chunks ALSO occur in at least one OTHER
+    document (boilerplate headers, licence blocks, mirrored passages) —
+    intra-document repeats do not count; they are repetition_metrics'
+    signal.
 
     Both methods explode map-side (chunk_text), hash each chunk to a
     digest, and shuffle ONLY digests + ids, never chunk text. They differ
@@ -387,16 +413,26 @@ def dup_chunk_stats(
     """
     ch = chunk_text(df, id_col=id_col, text_col=text_col, size=size, stride=size)
     ch = ch.select(F.col(id_col), F.md5(F.col("chunk")).alias("h"))
+    # "occurs anywhere ELSE" = at least two DISTINCT documents share the
+    # digest; min(doc) != max(doc) tests exactly that without a DISTINCT
+    # aggregate (unsupported over windows, heavier in the join). A chunk
+    # repeated only WITHIN one document is intra-doc repetition — that
+    # signal belongs to repetition_metrics, not this one.
     if method == "window":
         from pyspark.sql import Window
 
-        counted = ch.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        w = Window.partitionBy("h")
+        counted = ch.withColumn("_mn", F.min(id_col).over(w)).withColumn(
+            "_mx", F.max(id_col).over(w)
+        )
     elif method == "join":
-        freq = ch.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        freq = ch.groupBy("h").agg(
+            F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx")
+        )
         counted = ch.join(freq, "h")
     else:
         raise ValueError(f"method {method!r} not in ('window', 'join')")
-    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    dup = F.when(F.col("_mn") != F.col("_mx"), 1).otherwise(0)
     return (
         counted.groupBy(id_col)
         .agg(

@@ -63,11 +63,14 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # registrations and the consumers of round-8's own advice fixes
 # (snapshot_diff update contract, as-of tolerance rounding,
 # incremental-refresh orphan guard). Topped up with the oldest banked
-# evidence (the round-2 bank) to 50; five r2 rows (text_langid,
-# text_quality, text_rolling_hash, text_tokens, text_tokens_bpe) did not
-# fit and roll to the round-9 top-up (text_langid was displaced mid-round
-# by ev_stateful, whose body was reshaped in the round-8 review wave —
-# memory-sink cleanup — and so needs fresh driver evidence).
+# evidence (the round-2 bank) to 50. Nine r2 rows roll to the round-9
+# top-up (text_langid, text_quality, text_rolling_hash, text_tokens,
+# text_tokens_bpe, op_variance, op_window_rank, pipeline_clean,
+# text_fingerprint): five of the displacements are mid-round review-wave
+# reshapes that take priority — ev_stateful (memory-sink cleanup) and
+# text_domain_mix / text_repetition / text_dup_chunks / text_chunk (the
+# third wave's semantics fixes), each of which needs fresh driver
+# evidence for its CURRENT form.
 DRIVER_WINDOW: tuple[str, ...] = (
     # new round 8: mode axis + cost-based predicate transfer
     "q6_modes", "q5_auto",
@@ -90,14 +93,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_case_in_like",
     # queries/streaming.py reshaped round 8 (memory-sink cleanup)
     "ev_stateful",
+    # pipeline/text.py reshaped round 8 (third review wave: NULL-domain
+    # mixing, left-join repetition, cross-doc-only dup chunks, empty-doc
+    # chunking)
+    "text_domain_mix", "text_repetition", "text_dup_chunks", "text_chunk",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
     "dedup_exact", "mm_binary_meta", "mm_frame_sample", "op_agg_scalar",
     "op_count_distinct", "op_cross_join", "op_except", "op_expr_datefuncs",
     "op_expr_isnull", "op_expr_substr_cast", "op_group_multi",
     "op_intersect", "op_join_anti", "op_join_full", "op_join_multikey",
     "op_join_right", "op_join_semi", "op_join_theta", "op_percentile",
-    "op_salted_agg", "op_union_merge", "op_variance", "op_window_rank",
-    "pipeline_clean", "text_fingerprint",
+    "op_salted_agg", "op_union_merge",
 )
 
 

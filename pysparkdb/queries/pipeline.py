@@ -648,7 +648,7 @@ def pipeline_clean(spark, sf_dir):
       SELECT doc_id, text,
              unnest(range(0, CAST(ceil(greatest(length(text) - 200, 0) / 150.0)
                              AS BIGINT) + 1)) AS i
-      FROM documents
+      FROM documents WHERE length(text) > 0
     )
     SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
            substr(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk
@@ -888,7 +888,7 @@ def dedup_decontaminate(spark, sf_dir):
            1.0 - n_distinct / n_tokens AS dup_token_ratio,
            top_c / n_tokens AS top_token_ratio,
            top_bc / n_bigrams AS top_bigram_ratio
-    FROM tstats t JOIN bstats b ON t.doc_id = b.doc_id
+    FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
     """,
     "pipeline", "text", "quality", "repetition",
 )
@@ -1067,7 +1067,7 @@ def text_tfidf(spark, sf_dir):
                                  AS BIGINT), 1) AS thr
             FROM stats CROSS JOIN m),
     kept AS (SELECT d.source, d.nt
-             FROM d JOIN thr USING (source)
+             FROM d JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
              WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) < thr)
     SELECT s.source AS source,
@@ -1075,7 +1075,7 @@ def text_tfidf(spark, sf_dir):
            s.domain_tokens AS n_tokens_orig,
            CAST(COUNT(k.nt) AS BIGINT) AS n_docs_kept,
            CAST(COALESCE(SUM(k.nt), 0) AS BIGINT) AS n_tokens_kept
-    FROM stats s LEFT JOIN kept k ON s.source = k.source
+    FROM stats s LEFT JOIN kept k ON s.source IS NOT DISTINCT FROM k.source
     GROUP BY 1, 2, 3
     """,
     "pipeline", "text", "mixing",
@@ -1110,7 +1110,12 @@ def text_domain_mix(spark, sf_dir):
         )
     )
     return (
-        stats.join(kept, "source", "left")
+        stats.join(
+            kept.withColumnRenamed("source", "_k_source"),
+            F.col("source").eqNullSafe(F.col("_k_source")),
+            "left",
+        )
+        .drop("_k_source")
         .select(
             "source", "n_docs_orig", "n_tokens_orig",
             F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
@@ -1466,16 +1471,16 @@ def text_pii_scrub(spark, sf_dir):
       SELECT doc_id, text,
              unnest(range(0, CAST(ceil(greatest(length(text) - 100, 0) / 100.0)
                              AS BIGINT) + 1)) AS i
-      FROM documents),
+      FROM documents WHERE length(text) > 0),
     ch AS (SELECT doc_id,
                   md5(substr(text, CAST(i * 100 + 1 AS INTEGER), 100)) AS h
            FROM idx),
-    freq AS (SELECT h, COUNT(*) AS cnt FROM ch GROUP BY h)
+    freq AS (SELECT h, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM ch GROUP BY h)
     SELECT c.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN f.mn <> f.mx THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dup_chunks,
-           ROUND(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           ROUND(SUM(CASE WHEN f.mn <> f.mx THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
              AS dup_frac
     FROM ch c JOIN freq f USING (h)
     GROUP BY c.doc_id
@@ -1485,8 +1490,10 @@ def text_pii_scrub(spark, sf_dir):
 def text_dup_chunks(spark, sf_dir):
     """Cross-document duplicate-chunk fraction (Gopher-style corpus
     quality signal): non-overlapping 100-char chunks, md5 each, report per
-    document what fraction of its chunks occur anywhere else in the corpus
-    — the boilerplate/mirror detector that complements intra-document
+    document what fraction of its chunks also occur in at least one OTHER
+    document (min(doc) != max(doc) over the digest — intra-document
+    repeats are text_repetition's signal, not this one's) — the
+    boilerplate/mirror detector that complements intra-document
     text_repetition and whole-document dedup_exact.
 
     Scale shape (pysparkdb.pipeline.text.dup_chunk_stats): map-side chunk
