@@ -227,6 +227,15 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
     the same table pair merge into one multi-key edge. Non-column and
     non-equi conjuncts are ignored (they cannot carry a key-set transfer).
 
+    Two purity gates protect the "reduced tables ⇒ identical results"
+    invariant the caller's view swap relies on (both only ever UNDER-
+    reduce): an equality is harvested only if no row-set-reshaping
+    operator (LIMIT/Sample/Window/Aggregate/… — ``_BARRIERS``) sits
+    between its node and the leaf, and a table whose leaf appears more
+    than once in the plan (UNION ALL branches, subquery + join) yields
+    no edges at all, since a swap justified by one instance would also
+    reshape the other.
+
     Filter nodes are harvested the same way as join conditions: SQL text
     with comma-list joins (`FROM a, b WHERE a.k = b.k`) analyzes as
     condition-less Join nodes under one WHERE Filter — at the analyzed
@@ -247,20 +256,55 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
     for name, t in tables.items():
         sigs.setdefault(frozenset(t.schema.fieldNames()), []).append(name)
     sig_to_name = {s: ns[0] for s, ns in sigs.items() if len(ns) == 1}
-    attr_origin: dict[int, tuple[str, str]] = {}  # exprId -> (table, column)
-    equalities: list[tuple[int, int, int]] = []  # (join_node_id, lid, rid)
+    # exprId -> (table, column, barrier ctx at the leaf)
+    attr_origin: dict[int, tuple[str, str, tuple]] = {}
+    table_uses: dict[str, int] = {}  # leaf instances per table in the plan
+    # (join_node_id, barrier ctx at the condition, lid, rid)
+    equalities: list[tuple[int, tuple, int, int]] = []
     join_seq = [0]
+    barrier_seq = [0]
 
-    def walk(node):
+    # Purity barriers: an equality may be harvested only if NO barrier sits
+    # strictly BETWEEN its node and the leaf. A LIMIT/Sample/Offset between
+    # them picks a row SUBSET that changes if the base table is pre-reduced
+    # (top-10 of a reduced table ≠ the matching part of the true top-10);
+    # Window recomputes over the reduced partition (row_number renumbers
+    # SURVIVING rows); Aggregate/Expand/Generate recompute values over the
+    # reduced row set. AttributeReferences keep their exprIds through all
+    # of them, so without this gate the leaf lookup would happily trace
+    # through and the view swap would return silently wrong results.
+    # Barriers ABOVE the join are pure — reduction leaves that join's
+    # output row-identical, so everything downstream (a top-level GROUP BY
+    # or ORDER BY ... LIMIT, the common TPC-H shell) is untouched. The walk
+    # therefore tags every node with the PATH of barriers crossed from the
+    # root (a tuple of unique ids) and requires leaf ctx == condition ctx,
+    # not "no barrier anywhere". CTERelationDef is in the list because a
+    # WITH body resolves once but may be referenced many times — reducing
+    # a table through a ref would reshape every other ref. (Project aliases
+    # mint fresh exprIds and drop out naturally; Filter/Sort/SubqueryAlias/
+    # View/Union are membership-pure pass-throughs: rows a branch-local
+    # reduction removes are exactly rows its own join kills.)
+    _BARRIERS = frozenset({
+        "GlobalLimit", "LocalLimit", "Limit", "Offset", "Tail", "Sample",
+        "Window", "Aggregate", "Distinct", "Deduplicate", "Expand",
+        "Generate", "CTERelationDef",
+    })
+
+    def walk(node, ctx):
         cls = node.getClass().getSimpleName()
         if cls == "LogicalRelation":
             out = node.output()
             names = [out.apply(i).name() for i in range(out.size())]
             table = sig_to_name.get(frozenset(names))
             if table is not None:
+                # every instance counts toward multi-use: the view swap is
+                # global, so a table appearing twice (UNION ALL branches, a
+                # barred subquery plus a join) must not be reduced — rows
+                # its OTHER use still needs would vanish from both
+                table_uses[table] = table_uses.get(table, 0) + 1
                 for i in range(out.size()):
                     a = out.apply(i)
-                    attr_origin[a.exprId().id()] = (table, a.name())
+                    attr_origin[a.exprId().id()] = (table, a.name(), ctx)
         elif cls == "Join" and node.condition().isDefined():
             # INNER conditions only: semi-reducing the preserved side of an
             # outer join (or the left of an anti join) would DROP its
@@ -270,32 +314,35 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
             # branch below) are inner by construction.
             if str(node.joinType()).strip().lower() == "inner":
                 join_seq[0] += 1
-                collect_eq(node.condition().get(), join_seq[0])
+                collect_eq(node.condition().get(), join_seq[0], ctx)
         elif cls == "Filter":
             join_seq[0] += 1
-            collect_eq(node.condition(), join_seq[0])
+            collect_eq(node.condition(), join_seq[0], ctx)
+        if cls in _BARRIERS:
+            barrier_seq[0] += 1
+            ctx = ctx + (barrier_seq[0],)
         for i in range(node.children().size()):
-            walk(node.children().apply(i))
+            walk(node.children().apply(i), ctx)
 
     def strip_cast(e):
         while e.getClass().getSimpleName() in ("Cast", "Alias"):
             e = e.child()
         return e
 
-    def collect_eq(e, join_id):
+    def collect_eq(e, join_id, ctx):
         cls = e.getClass().getSimpleName()
         if cls == "And":
-            collect_eq(e.left(), join_id)
-            collect_eq(e.right(), join_id)
+            collect_eq(e.left(), join_id, ctx)
+            collect_eq(e.right(), join_id, ctx)
         elif cls == "EqualTo":
             l, r = strip_cast(e.left()), strip_cast(e.right())
             if (
                 l.getClass().getSimpleName() == "AttributeReference"
                 and r.getClass().getSimpleName() == "AttributeReference"
             ):
-                equalities.append((join_id, l.exprId().id(), r.exprId().id()))
+                equalities.append((join_id, ctx, l.exprId().id(), r.exprId().id()))
 
-    walk(plan)
+    walk(plan, ())
 
     # Conjuncts merge into one multi-key edge ONLY within a single Join
     # node: two different joins between the same table pair (e.g. a fact
@@ -303,21 +350,35 @@ def extract_join_edges(df: DataFrame, tables: dict[str, DataFrame]) -> list[Join
     # AND-ing their conjuncts would demand one row matching both, a stronger
     # condition than the plan's, breaking the pure-prefilter invariant.
     merged: dict[tuple[int, str, str], tuple[list, list]] = {}
-    for join_id, lid, rid in equalities:
+    for join_id, ctx, lid, rid in equalities:
         lo, ro = attr_origin.get(lid), attr_origin.get(rid)
         if lo is None or ro is None or lo[0] == ro[0]:
             continue
-        (lt, lc), (rt, rc) = sorted([lo, ro])  # canonical table order
+        # Purity gate: both attributes must reach this condition without
+        # crossing a barrier (same barrier path as the condition's node) —
+        # see _BARRIERS above. A mismatch means a Limit/Window/Aggregate/…
+        # sits between, where "rows the join kills" ≠ "rows safe to remove
+        # from the base table".
+        if lo[2] != ctx or ro[2] != ctx:
+            continue
+        (lt, lc, _), (rt, rc, _) = sorted([lo, ro])  # canonical table order
         lks, rks = merged.setdefault((join_id, lt, rt), ([], []))
         # Each column may appear ONCE per edge side: `lt.k = rt.a AND
         # lt.k = rt.b` must not produce left_keys ('k','k') — _semi_reduce
         # would alias two source columns to one name and corrupt the
         # reduced schema. Dropping the extra conjunct only under-reduces,
         # which is always safe (pure prefilter).
-        if (lc, rc) not in zip(lks, rks) and lc not in lks and rc not in rks:
+        if lc not in lks and rc not in rks:
             lks.append(lc)
             rks.append(rc)
+    # Multi-use exclusion: the caller's view swap replaces a table for the
+    # WHOLE query, so a table whose leaf appears more than once (UNION ALL
+    # branches, a scalar subquery plus a join, two CTE refs) must not be
+    # reduced at all — a reduction justified by one instance's join would
+    # drop rows the other instance still returns. Dropping the edge only
+    # under-reduces, which is always safe.
     return [
         JoinEdge(lt, tuple(lks), rt, tuple(rks))
         for (_jid, lt, rt), (lks, rks) in merged.items()
+        if table_uses.get(lt) == 1 and table_uses.get(rt) == 1
     ]

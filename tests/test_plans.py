@@ -284,6 +284,82 @@ class TestJoinEdgeExtractionSafety:
             df, {"pt_lt": lt, "pt_rt": rt, "lt_twin": twin}
         ) == []
 
+    def test_barrier_between_equality_and_leaf_blocks_harvest(self, spark, lr):
+        """A LIMIT between the join condition and the leaf makes reduction
+        impure: top-2 of a reduced table ≠ the matching part of the true
+        top-2. The equality must not be harvested."""
+        from pysparkdb.plans.predicate_transfer import extract_join_edges
+
+        lt, rt = lr
+        df = spark.sql(
+            "SELECT t.k, pt_rt.b FROM "
+            "(SELECT * FROM pt_lt ORDER BY a LIMIT 2) t "
+            "JOIN pt_rt ON t.k = pt_rt.fk"
+        )
+        assert extract_join_edges(df, {"pt_lt": lt, "pt_rt": rt}) == []
+        # a window function below the condition is the same hazard
+        dfw = spark.sql(
+            "SELECT t.k FROM (SELECT k, ROW_NUMBER() OVER (ORDER BY a) rn "
+            "FROM pt_lt) t JOIN pt_rt ON t.k = pt_rt.fk WHERE t.rn = 1"
+        )
+        assert extract_join_edges(dfw, {"pt_lt": lt, "pt_rt": rt}) == []
+
+    def test_barrier_above_join_still_harvests(self, spark, lr):
+        """Barriers DOWNSTREAM of the join are pure — reduction leaves the
+        join's output row-identical — so the common TPC-H shell (top-level
+        GROUP BY + ORDER BY ... LIMIT over the join) keeps its edges."""
+        from pysparkdb.plans.predicate_transfer import extract_join_edges
+
+        lt, rt = lr
+        df = spark.sql(
+            "SELECT pt_rt.fk, COUNT(*) AS n FROM pt_lt "
+            "JOIN pt_rt ON pt_lt.k = pt_rt.fk "
+            "GROUP BY pt_rt.fk ORDER BY n DESC LIMIT 5"
+        )
+        assert len(extract_join_edges(df, {"pt_lt": lt, "pt_rt": rt})) == 1
+
+    def test_multi_use_table_yields_no_edges(self, spark, lr):
+        """A table appearing twice (UNION ALL branch + join) must not be
+        reduced: the view swap is global, so a reduction justified by one
+        instance's join would drop rows from the standalone branch."""
+        from pysparkdb.plans.predicate_transfer import extract_join_edges
+
+        lt, rt = lr
+        df = spark.sql(
+            "SELECT k FROM pt_lt JOIN pt_rt ON pt_lt.k = pt_rt.fk "
+            "UNION ALL SELECT k FROM pt_lt"
+        )
+        assert extract_join_edges(df, {"pt_lt": lt, "pt_rt": rt}) == []
+
+    def test_engine_transfer_pure_on_limit_subquery_and_union(self, spark, sf_dir):
+        """End-to-end regression for the purity hole: the engine's
+        predicate_transfer=True path must return bit-identical results on
+        the two adversarial shapes (top-K subquery feeding a join; UNION
+        ALL reusing a joined table)."""
+        from pysparkdb import Engine
+
+        eng = Engine(spark)
+        eng.attach(sf_dir, validate=False)
+        topk = (
+            "SELECT t.l_orderkey, o.o_orderdate FROM "
+            "(SELECT * FROM lineitem ORDER BY l_extendedprice DESC, "
+            " l_orderkey, l_linenumber LIMIT 10) t "
+            "JOIN orders o ON t.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderdate < DATE '1996-01-01'"
+        )
+        union = (
+            "SELECT l_orderkey FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate < DATE '1993-01-01' "
+            "UNION ALL SELECT l_orderkey FROM lineitem"
+        )
+        for q in (topk, union):
+            plain = sorted(map(tuple, eng.sql(q).collect()))
+            transferred = sorted(
+                map(tuple, eng.sql(q, predicate_transfer=True).collect())
+            )
+            assert transferred == plain
+
 
 class TestEngineParameterizedSql:
     def test_named_and_positional_args_bind_as_literals(self, spark, sf_dir):
@@ -660,14 +736,38 @@ class TestJoinEdgeExtraction:
         assert ("lineitem", ("l_suppkey",), "supplier", ("s_suppkey",)) in edges
         assert len(edges) == 6
 
-    def test_twice_joined_pair_yields_separate_edges(self, spark, sf_dir):
-        """Conjuncts from two DIFFERENT Join nodes between the same table
-        pair must stay two single-key edges: AND-merging them would demand
-        one row matching both joins — over-reduction, a wrong prefilter."""
+    def test_conjuncts_from_different_nodes_stay_separate_edges(self, spark, sf_dir):
+        """Conjuncts from two DIFFERENT plan nodes (a Join condition and a
+        WHERE Filter above it) between the same table pair must stay two
+        single-key edges: AND-merging them would demand one row matching
+        both conditions — over-reduction, a wrong prefilter."""
         from pysparkdb.plans.predicate_transfer import extract_join_edges
 
         t = tables(spark, sf_dir)
-        # second, independent scan of customer (same column signature)
+        t["nation"].createOrReplaceTempView("nation")
+        t["customer"].createOrReplaceTempView("customer")
+        df = spark.sql(
+            "SELECT n_name FROM nation JOIN customer "
+            "ON n_nationkey = c_nationkey WHERE n_regionkey = c_custkey"
+        )
+        edges = extract_join_edges(df, t)
+        pair = [e for e in edges if {e.left, e.right} == {"nation", "customer"}]
+        key_sets = {(e.left_keys, e.right_keys) for e in pair}
+        assert ((("c_nationkey",), ("n_nationkey",)) in key_sets
+                or (("n_nationkey",), ("c_nationkey",)) in key_sets)
+        assert ((("c_custkey",), ("n_regionkey",)) in key_sets
+                or (("n_regionkey",), ("c_custkey",)) in key_sets)
+        # two separate single-key edges, never one AND-merged multi-key edge
+        assert all(len(e.left_keys) == 1 for e in pair), pair
+
+    def test_twice_scanned_table_yields_no_edges(self, spark, sf_dir):
+        """A table scanned twice in one plan (both leaves carrying its
+        signature) is multi-use: the engine's global view swap would reduce
+        BOTH instances, so no edge may touch it — a reduction justified by
+        one join drops rows the other instance still returns."""
+        from pysparkdb.plans.predicate_transfer import extract_join_edges
+
+        t = tables(spark, sf_dir)
         customer2 = spark.read.parquet(f"{sf_dir}/customer.parquet")
         df = (
             t["nation"]
@@ -675,15 +775,10 @@ class TestJoinEdgeExtraction:
             .select("n_nationkey", "n_name")
             .join(customer2, F.col("n_nationkey") == customer2["c_custkey"])
         )
-        edges = extract_join_edges(df, t)
-        pair = [e for e in edges if {e.left, e.right} == {"nation", "customer"}]
-        key_sets = {(e.left_keys, e.right_keys) for e in pair}
-        assert ((("c_nationkey",), ("n_nationkey",)) in key_sets
-                or (("n_nationkey",), ("c_nationkey",)) in key_sets)
-        assert ((("c_custkey",), ("n_nationkey",)) in key_sets
-                or (("n_nationkey",), ("c_custkey",)) in key_sets)
-        # two separate single-key edges, never one AND-merged multi-key edge
-        assert all(len(e.left_keys) == 1 for e in pair), pair
+        assert [
+            e for e in extract_join_edges(df, t)
+            if "customer" in (e.left, e.right)
+        ] == []
 
     def test_transfer_with_extracted_edges_preserves_results(self, spark, sf_dir):
         from pysparkdb.plans.predicate_transfer import (
