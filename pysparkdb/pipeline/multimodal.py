@@ -58,6 +58,32 @@ def _codec(*modules: str):
     return None
 
 
+def _require_codec(feature: str, *modules: str) -> None:
+    """Probe-or-raise for the real decode path — one consistent message
+    for every entry point's soft-dependency contract."""
+    if _codec(*modules) is None:
+        raise NotImplementedError(
+            f"{feature} requires one of {modules} — not available in this "
+            "container; call with fake=True for the deterministic stand-in "
+            "(the real path activates automatically once the library is "
+            "installed)"
+        )
+
+
+def _byte_sample(raw: bytes, n: int) -> list[int]:
+    """Deterministic nearest-neighbor byte sampling: n byte values spread
+    over the payload. THE shared rule — fake_resize and image_ahash both
+    route through it, which is what lets image_ahash's docstring promise
+    'the same sampling as resize_image' and the oracles reproduce either
+    from SQL (substr at the same positions). Empty payloads sample as
+    zeros (ascii('') = 0 in the oracle)."""
+    if not raw:
+        return [0] * n
+    step = max(len(raw) // n, 1)
+    last = len(raw) - 1
+    return [raw[min(i * step, last)] for i in range(n)]
+
+
 def to_binary_column(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pack a source column as an opaque binary payload (UTF-8 here; in
     production the bytes come off object storage). JVM-side encode; the
@@ -75,13 +101,18 @@ def extract_metadata(df: DataFrame) -> DataFrame:
 
     Arrow-batched: each pandas batch holds ~10k payloads; per-batch python
     cost is amortized. Output is (doc_id, payload, meta) with a typed meta
-    struct — the real multimodal plumbing shape.
+    struct — the real multimodal plumbing shape. NULL payloads (a NULL
+    source text, a failed upstream fetch) yield a NULL meta struct, the
+    1→1 convention every extractor here follows — Arrow hands them to
+    pandas as None, and len()/md5() would otherwise throw executor-side.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = [
-                {
+                None
+                if p is None
+                else {
                     "n_bytes": len(p),
                     "content_md5": hashlib.md5(p).hexdigest(),
                     "media_type": "text/plain",
@@ -112,13 +143,7 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
     if not fake:
-        if _codec("PIL.Image") is None:
-            raise NotImplementedError(
-                "image decode requires PIL/libvips — not available in this "
-                "container; call with fake=True for the deterministic "
-                "stand-in (the real path activates automatically once the "
-                "library is installed)"
-            )
+        _require_codec("image decode", "PIL.Image")
 
         def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
@@ -129,6 +154,9 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
             for pdf in batches:
                 feats = []
                 for p in pdf["payload"]:
+                    if p is None:
+                        feats.append(None)
+                        continue
                     img = Image.open(io.BytesIO(bytes(p))).convert("L")
                     h, _ = np.histogram(
                         np.asarray(img), bins=16, range=(0, 256)
@@ -141,7 +169,9 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                [float(b) / 255.0 for b in bytes(p[:16]).ljust(16, b"\0")]
+                None
+                if p is None
+                else [float(b) / 255.0 for b in bytes(p[:16]).ljust(16, b"\0")]
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
@@ -168,16 +198,14 @@ def resize_image(df: DataFrame, width: int = 4, height: int = 4,
             T.StructField("pixels", T.ArrayType(T.DoubleType())),
         ]
     )
+    if width <= 0 or height <= 0:
+        # eager driver-side validation (layout.py convention): fail before
+        # any job launches, not as a task traceback inside the executor
+        raise ValueError(f"width/height must be positive, got {width}x{height}")
     npx = width * height
 
     if not fake:
-        if _codec("PIL.Image") is None:
-            raise NotImplementedError(
-                "image resize requires PIL/libvips — not available in this "
-                "container; call with fake=True for the deterministic "
-                "stand-in (the real path activates automatically once the "
-                "library is installed)"
-            )
+        _require_codec("image resize", "PIL.Image")
 
         def real_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
@@ -188,6 +216,9 @@ def resize_image(df: DataFrame, width: int = 4, height: int = 4,
             for pdf in batches:
                 pixels = []
                 for p in pdf["payload"]:
+                    if p is None:
+                        pixels.append(None)
+                        continue
                     img = (
                         Image.open(io.BytesIO(bytes(p)))
                         .convert("L")
@@ -205,13 +236,12 @@ def resize_image(df: DataFrame, width: int = 4, height: int = 4,
 
     def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = []
-            for p in pdf["payload"]:
-                raw = bytes(p)
-                # deterministic nearest-neighbor byte sampling
-                step = max(len(raw) // npx, 1)
-                px = [float(raw[min(i * step, len(raw) - 1)]) / 255.0 for i in range(npx)]
-                pixels.append(px)
+            pixels = [
+                None
+                if p is None
+                else [b / 255.0 for b in _byte_sample(bytes(p), npx)]
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -243,13 +273,7 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
     if not fake:
-        if _codec("soundfile") is None:
-            raise NotImplementedError(
-                "audio decode requires soundfile/librosa — not available in "
-                "this container; call with fake=True for the deterministic "
-                "stand-in (the real path activates automatically once the "
-                "library is installed)"
-            )
+        _require_codec("audio decode", "soundfile")
 
         def real_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
@@ -260,6 +284,9 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
             for pdf in batches:
                 rms, zc = [], []
                 for p in pdf["payload"]:
+                    if p is None:
+                        rms.append(None); zc.append(None)
+                        continue
                     x, _sr = sf.read(io.BytesIO(bytes(p)), dtype="float64")
                     if x.ndim > 1:  # downmix to mono
                         x = x.mean(axis=1)
@@ -280,6 +307,9 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             rms, zc = [], []
             for p in pdf["payload"]:
+                if p is None:
+                    rms.append(None); zc.append(None)
+                    continue
                 x = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
                 if x.size == 0:
                     rms.append(0.0); zc.append(0)
@@ -301,14 +331,12 @@ def sample_frames(df: DataFrame, num_frames: int = 3, fake: bool = False) -> Dat
     batch shape that matters at scale: one input row yields several output
     rows, so downstream partition sizing must budget for the fan-out).
     """
+    if num_frames <= 0:
+        # eager driver-side validation: the fake path would otherwise hit
+        # len//0 executor-side while the real path silently emitted no rows
+        raise ValueError(f"num_frames must be positive, got {num_frames}")
     if not fake:
-        if _codec("av") is None:
-            raise NotImplementedError(
-                "video frame sampling requires ffmpeg/pyav — not available "
-                "in this container; call with fake=True for the "
-                "deterministic stand-in (the real path activates "
-                "automatically once the library is installed)"
-            )
+        _require_codec("video frame sampling", "av")
 
         real_schema = T.StructType(
             [
@@ -323,33 +351,56 @@ def sample_frames(df: DataFrame, num_frames: int = 3, fake: bool = False) -> Dat
 
             import av
 
+            def targets(n):
+                # evenly spaced over [0, n): endpoints included when
+                # num_frames > 1; short videos repeat frames so every
+                # decodable doc emits EXACTLY num_frames rows (the
+                # fan-out contract downstream partition sizing uses)
+                return [
+                    min(
+                        round(i * (n - 1) / (num_frames - 1))
+                        if num_frames > 1 else 0,
+                        n - 1,
+                    )
+                    for i in range(num_frames)
+                ]
+
             for pdf in batches:
                 ids, idxs, frames = [], [], []
                 for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                    if p is None:
+                        continue  # 1→N convention: NULL payload, zero rows
                     with av.open(io.BytesIO(bytes(p))) as container:
-                        decoded = list(container.decode(video=0))
-                    if not decoded:
-                        # undecodable/empty video: zero rows, the one
-                        # documented divergence from the fake path's
-                        # always-num_frames fan-out
-                        continue
-                    n = len(decoded)
-                    # evenly spaced over [0, n): endpoints included when
-                    # num_frames > 1; short videos repeat frames so every
-                    # decodable doc emits EXACTLY num_frames rows (the
-                    # fan-out contract downstream partition sizing uses)
-                    for i in range(num_frames):
-                        src = (
-                            round(i * (n - 1) / (num_frames - 1))
-                            if num_frames > 1 else 0
-                        )
-                        ids.append(did)
-                        idxs.append(i)
-                        frames.append(
-                            decoded[min(src, n - 1)]
-                            .to_ndarray(format="rgb24")
-                            .tobytes()
-                        )
+                        stream = container.streams.video[0]
+                        # Frame count from stream metadata when the
+                        # container carries it; otherwise one counting
+                        # decode pass (frames DISCARDED as counted), then
+                        # seek back. Never hold every decoded frame — a
+                        # few minutes of 1080p is thousands of full RGB
+                        # frames, far beyond the Arrow worker's memory.
+                        n = stream.frames
+                        if not n:
+                            n = sum(1 for _ in container.decode(video=0))
+                            container.seek(0)
+                        if not n:
+                            # undecodable/empty video: zero rows, the one
+                            # documented divergence from the fake path's
+                            # always-num_frames fan-out
+                            continue
+                        wanted = targets(n)
+                        sampled = dict.fromkeys(wanted)  # ≤ num_frames held
+                        for pos, frame in enumerate(container.decode(video=0)):
+                            if pos in sampled:
+                                sampled[pos] = frame.to_ndarray(
+                                    format="rgb24"
+                                ).tobytes()
+                            if pos >= wanted[-1]:
+                                break
+                        for i, t in enumerate(wanted):
+                            if sampled[t] is not None:
+                                ids.append(did)
+                                idxs.append(i)
+                                frames.append(sampled[t])
                 yield pd.DataFrame(
                     {"doc_id": ids, "frame_idx": idxs, "frame": frames}
                 )
@@ -368,6 +419,8 @@ def sample_frames(df: DataFrame, num_frames: int = 3, fake: bool = False) -> Dat
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue  # 1→N convention: NULL payload, zero rows
                 raw = bytes(p)
                 chunk = max(len(raw) // num_frames, 1)
                 for i in range(num_frames):
@@ -410,14 +463,15 @@ def chunk_audio(
         ]
     )
 
+    if window_bytes <= 0 or hop_bytes <= 0:
+        # eager driver-side validation: range(0, n, 0) would otherwise
+        # raise executor-side, after the job launched
+        raise ValueError(
+            f"window_bytes/hop_bytes must be positive, got "
+            f"{window_bytes}/{hop_bytes}"
+        )
     if not fake:
-        if _codec("soundfile") is None:
-            raise NotImplementedError(
-                "audio framing requires a decoder (soundfile/librosa) — not "
-                "available in this container; call with fake=True for the "
-                "deterministic stand-in (the real path activates "
-                "automatically once the library is installed)"
-            )
+        _require_codec("audio framing", "soundfile")
 
         def real_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
@@ -428,6 +482,8 @@ def chunk_audio(
             for pdf in batches:
                 ids, wids, starts, sizes, rms = [], [], [], [], []
                 for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                    if p is None:
+                        continue  # 1→N convention: NULL payload, zero rows
                     x, _sr = sf.read(io.BytesIO(bytes(p)), dtype="float64")
                     if x.ndim > 1:
                         x = x.mean(axis=1)
@@ -456,6 +512,8 @@ def chunk_audio(
         for pdf in batches:
             ids, wids, starts, sizes, rms = [], [], [], [], []
             for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue  # 1→N convention: NULL payload, zero rows
                 x = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
                 n = max(x.size, 1)
                 w = 0
@@ -503,14 +561,10 @@ def image_ahash(df: DataFrame, npx: int = 64, fake: bool = False) -> DataFrame:
         ]
     )
 
+    if npx <= 0:
+        raise ValueError(f"npx must be positive, got {npx}")
     if not fake:
-        if _codec("PIL.Image") is None:
-            raise NotImplementedError(
-                "image decode requires PIL/libvips — not available in this "
-                "container; call with fake=True for the deterministic "
-                "stand-in (the real path activates automatically once the "
-                "library is installed)"
-            )
+        _require_codec("image hashing", "PIL.Image")
         side = int(npx ** 0.5)
         grid = (side, side) if side * side == npx else (npx, 1)
 
@@ -523,6 +577,9 @@ def image_ahash(df: DataFrame, npx: int = 64, fake: bool = False) -> DataFrame:
             for pdf in batches:
                 hashes = []
                 for p in pdf["payload"]:
+                    if p is None:
+                        hashes.append(None)
+                        continue
                     img = (
                         Image.open(io.BytesIO(bytes(p)))
                         .convert("L")
@@ -539,17 +596,13 @@ def image_ahash(df: DataFrame, npx: int = 64, fake: bool = False) -> DataFrame:
         for pdf in batches:
             hashes = []
             for p in pdf["payload"]:
-                raw = bytes(p)
-                if not raw:
-                    # empty payload: all-zero hash (mirrors the oracle,
-                    # where ascii('') = 0 for every sampled position)
-                    hashes.append("0" * npx)
+                if p is None:
+                    hashes.append(None)
                     continue
-                step = max(len(raw) // npx, 1)
-                b = np.array(
-                    [raw[min(i * step, len(raw) - 1)] for i in range(npx)],
-                    dtype=np.float64,
-                )
+                # empty payloads byte-sample as zeros (0 > 0 is False),
+                # giving the all-zero hash the oracle derives from
+                # ascii('') = 0 at every sampled position
+                b = np.array(_byte_sample(bytes(p), npx), dtype=np.float64)
                 bits = b > b.mean()
                 hashes.append("".join("1" if x else "0" for x in bits))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})

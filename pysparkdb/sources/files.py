@@ -32,6 +32,18 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+# Written timestamps carry the full microsecond fraction: Spark's own
+# default CSV/JSON write pattern is [.SSS] — silently truncating to
+# milliseconds on a write→read round trip — while the repo's versioned /
+# as-of machinery guarantees exact integer-microsecond semantics. The
+# READERS deliberately set no timestampFormat at all: a pinned pattern
+# makes PERMISSIVE mode NULL every value it doesn't match (sub-second,
+# ISO 'T'-separated), whereas Spark's lenient default parse accepts
+# space- or T-separated text with any fraction length — including
+# exactly what the writers below emit.
+_WRITE_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -39,15 +51,20 @@ def read_csv(
     delimiter: str = "|",
     header: bool = False,
     null_value: str | None = None,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """Declared-schema CSV scan (CSVFormat.h semantics: explicit separator,
-    no inference). gzip/bz2 files are decoded transparently by extension."""
+    no inference). gzip/bz2 files are decoded transparently by extension.
+    ``timestamp_format`` pins a non-standard source pattern (e.g.
+    ``dd/MM/yyyy HH:mm``); leave None for Spark's lenient default, which
+    parses space- and T-separated forms with any sub-second fraction."""
     reader = (
         spark.read.schema(schema)
         .option("sep", delimiter)
         .option("header", str(header).lower())
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
     )
+    if timestamp_format is not None:
+        reader = reader.option("timestampFormat", timestamp_format)
     if null_value is not None:
         reader = reader.option("nullValue", null_value)
     return reader.csv(path)
@@ -119,13 +136,16 @@ def write_csv(
     delimiter: str = "|",
     header: bool = False,
     compression: str | None = None,
+    timestamp_format: str = _WRITE_TS_FORMAT,
 ) -> None:
-    """CSV sink with the same format knobs as the reader."""
+    """CSV sink with the same format knobs as the reader. Timestamps keep
+    their full microsecond fraction by default (see _WRITE_TS_FORMAT), so
+    write_csv → read_csv round-trips exactly."""
     w = (
         df.write.mode(mode)
         .option("sep", delimiter)
         .option("header", str(header).lower())
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("timestampFormat", timestamp_format)
     )
     if compression is not None:
         w = w.option("compression", compression)
@@ -136,6 +156,7 @@ def read_json(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """Declared-schema JSON-lines scan (beyond-ref format; the reference
     reads only CSV and parquet, fpdb-tuple/include/fpdb/tuple/csv/CSVFormat.h
@@ -144,12 +165,13 @@ def read_json(
     full extra read, and silent type drift between files is a correctness
     hazard. JSON-lines is splittable, so the scan parallelizes per
     spark.sql.files.maxPartitionBytes like CSV; gzip members are
-    per-file-serial, same caveat as the CSV reader above."""
-    return (
-        spark.read.schema(schema)
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-        .json(path)
-    )
+    per-file-serial, same caveat as the CSV reader above.
+    ``timestamp_format``: same contract as read_csv (None = lenient
+    default parse)."""
+    reader = spark.read.schema(schema)
+    if timestamp_format is not None:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.json(path)
 
 
 def write_json(
@@ -157,9 +179,11 @@ def write_json(
     path: str,
     mode: str = "overwrite",
     compression: str | None = None,
+    timestamp_format: str = _WRITE_TS_FORMAT,
 ) -> None:
-    """JSON-lines sink (one object per line — the splittable layout)."""
-    w = df.write.mode(mode).option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    """JSON-lines sink (one object per line — the splittable layout).
+    Microsecond-exact timestamps by default, as write_csv."""
+    w = df.write.mode(mode).option("timestampFormat", timestamp_format)
     if compression is not None:
         w = w.option("compression", compression)
     w.json(path)

@@ -68,6 +68,17 @@ def zorder_df(
     """
     if not cols or bits * len(cols) > 62:
         raise ValueError(f"need 1+ cols with bits*len(cols) <= 62, got {cols} @ {bits}")
+    # The internal working columns must not collide with user data: a user
+    # column literally named '_z' would be silently REPLACED and dropped,
+    # and a '_lo_<c>'/'_hi_<c>' clash makes the crossJoin ambiguous. Same
+    # reserved-name contract as the '_salt' guard in the salted operators.
+    reserved = {"_z"} | {f"_lo_{c}" for c in cols} | {f"_hi_{c}" for c in cols}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with zorder_df's internal "
+            "working columns — rename them before re-laying out"
+        )
     # one tiny aggregate row; broadcast-joined into the scan (no collect)
     mm = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
@@ -173,24 +184,17 @@ def compact_parquet(
     output file so zone maps stay tight after the rewrite (pair with
     write_zordered for full re-clustering instead).
 
-    Sizing reads actual on-disk bytes from the source footers via the
-    filesystem, not optimizer guesses. Returns the output file count.
+    Sizing reads actual on-disk bytes from the source files via the
+    Hadoop FileSystem API — so any URI Spark itself can read (local,
+    ``s3a://``, ``hdfs://``) sizes correctly, not just local paths.
+    Returns the output file count.
     NOTE: a hive-partitioned source is read with its partition columns
     inlined and rewritten FLAT — compact a partitioned table per
     partition directory if the layout must survive.
     """
-    import glob
     import math
-    import os
 
-    # recursive: hive-partitioned tables nest part files under key=dirs
-    files = [
-        f
-        for f in ([src] if os.path.isfile(src) else glob.glob(
-            os.path.join(src, "**", "*.parquet"), recursive=True))
-        if os.path.isfile(f)
-    ]
-    total = sum(os.path.getsize(f) for f in files)
+    total, _ = _fs_parquet_stats(spark, src)
     if total == 0:
         raise ValueError(f"no parquet bytes found under {src!r}")
     n_out = max(1, math.ceil(total / target_file_bytes))
@@ -200,4 +204,26 @@ def compact_parquet(
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     out.write.mode("overwrite").parquet(dest)
-    return len(glob.glob(os.path.join(dest, "*.parquet")))
+    return _fs_parquet_stats(spark, dest)[1]
+
+
+def _fs_parquet_stats(spark, path: str) -> tuple[int, int]:
+    """(total_bytes, file_count) of the *.parquet files under ``path``
+    (recursive — hive-partitioned tables nest part files under key=dirs),
+    through the Hadoop FileSystem resolved from the path's own scheme, so
+    object-store URIs work exactly like local directories. A single-file
+    path counts itself. Missing paths are (0, 0) — the caller decides
+    whether that is an error."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0, 0
+    total = count = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+            count += 1
+    return total, count

@@ -202,6 +202,61 @@ def test_multimodal_decode_stub(spark, sf_dir):
     assert all(0.0 <= x <= 1.0 for x in row.features)
 
 
+def test_multimodal_null_payloads_do_not_crash(spark):
+    """A NULL payload (NULL source text, failed fetch) must not kill the
+    job executor-side: 1→1 extractors emit NULL features for that row,
+    1→N fan-outs emit zero rows for it — other rows unaffected."""
+    from pysparkdb.pipeline import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-bytes")), (2, None), (3, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    meta = {r.doc_id: r.meta for r in multimodal.extract_metadata(df).collect()}
+    assert meta[2] is None and meta[1].n_bytes == 13 and meta[3].n_bytes == 0
+
+    feats = {r.doc_id: r.features
+             for r in multimodal.decode_image(df, fake=True).collect()}
+    assert feats[2] is None and len(feats[1]) == 16
+
+    px = {r.doc_id: r.pixels
+          for r in multimodal.resize_image(df, 2, 2, fake=True).collect()}
+    assert px[2] is None and len(px[1]) == 4 and px[3] == [0.0] * 4
+
+    audio = {r.doc_id: (r.rms, r.zero_crossings)
+             for r in multimodal.decode_audio(df, fake=True).collect()}
+    assert audio[2] == (None, None) and audio[1][0] > 0
+
+    hashes = {r.doc_id: r.ahash
+              for r in multimodal.image_ahash(df, npx=16, fake=True).collect()}
+    assert hashes[2] is None and hashes[3] == "0" * 16
+    assert set(hashes[1]) <= {"0", "1"} and len(hashes[1]) == 16
+
+    frames = multimodal.sample_frames(df, num_frames=2, fake=True).collect()
+    assert {r.doc_id for r in frames} == {1, 3}  # NULL → zero rows
+
+    windows = multimodal.chunk_audio(df, 8, 4, fake=True).collect()
+    assert {r.doc_id for r in windows} == {1, 3}
+
+
+def test_multimodal_validates_arguments_on_driver(spark):
+    """Zero/negative sizing arguments fail eagerly on the driver (the
+    layout.py convention), not as a task traceback after a job launches —
+    and identically for the fake and real paths."""
+    from pysparkdb.pipeline import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    for kwargs in ({"fake": True}, {"fake": False}):
+        with pytest.raises(ValueError, match="num_frames"):
+            multimodal.sample_frames(df, num_frames=0, **kwargs)
+        with pytest.raises(ValueError, match="hop_bytes"):
+            multimodal.chunk_audio(df, window_bytes=8, hop_bytes=0, **kwargs)
+        with pytest.raises(ValueError, match="width/height"):
+            multimodal.resize_image(df, 0, 4, **kwargs)
+        with pytest.raises(ValueError, match="npx"):
+            multimodal.image_ahash(df, npx=-1, **kwargs)
+
+
 def test_ann_ivf_structure_and_recall(spark, sf_dir):
     """IVF top-1: valid structure, and recall vs exact brute force at least
     matching the data-oblivious LSH baseline's floor."""

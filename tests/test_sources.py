@@ -72,6 +72,46 @@ def test_csv_roundtrip_timestamps(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_csv_json_roundtrip_microsecond_timestamps(spark, tmp_path):
+    """Sub-second timestamps survive BOTH text round-trips exactly: the
+    writers emit the full microsecond fraction (Spark's own default
+    truncates to milliseconds) and the readers use the lenient default
+    parse (a pinned format would NULL sub-second and ISO 'T' values
+    under PERMISSIVE mode — silent corruption either way)."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00.123456",), ("2024-01-01T07:08:09.000001",),
+         ("2024-01-01 01:02:03",)],
+        "s string",
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    want = sorted(r.ts for r in df.collect())
+    assert want[0].microsecond == 123456  # sanity: source kept micros
+
+    csv_path = str(tmp_path / "micro_csv")
+    write_csv(df, csv_path)
+    assert sorted(
+        r.ts for r in read_csv(spark, csv_path, df.schema).collect()
+    ) == want
+
+    json_path = str(tmp_path / "micro_json")
+    write_json(df, json_path)
+    assert sorted(
+        r.ts for r in read_json(spark, json_path, df.schema).collect()
+    ) == want
+
+
+def test_csv_reader_accepts_pinned_source_format(spark, tmp_path):
+    """A non-standard source pattern is still expressible per-call."""
+    p = tmp_path / "weird.csv"
+    p.write_text("31/12/2024 23:59\n")
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    rows = read_csv(
+        spark, str(p), schema, timestamp_format="dd/MM/yyyy HH:mm"
+    ).collect()
+    assert rows[0].ts.year == 2024 and rows[0].ts.minute == 59
+
+
 def test_parquet_roundtrip_with_declared_schema(spark, nation, tmp_path):
     path = str(tmp_path / "nation_parquet")
     write_parquet(nation, path)
@@ -266,6 +306,23 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
 
     relaid = spark.read.parquet(zpath)
     assert sorted(map(tuple, relaid.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_zorder_rejects_reserved_column_collisions(spark, sf_dir):
+    """A user column named '_z' (or '_lo_<c>'/'_hi_<c>') must fail loudly:
+    the old behavior silently replaced and dropped the user's '_z' data."""
+    from pysparkdb.sources.layout import zorder_df
+
+    l = tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_quantity"
+    )
+    with pytest.raises(ValueError, match="_z"):
+        zorder_df(l.withColumn("_z", F.lit(1)), ["l_orderkey", "l_quantity"])
+    with pytest.raises(ValueError, match="_lo_l_orderkey"):
+        zorder_df(
+            l.withColumn("_lo_l_orderkey", F.lit(1)),
+            ["l_orderkey", "l_quantity"],
+        )
 
 
 def test_zorder_validates_bit_budget(spark, sf_dir):
