@@ -142,11 +142,17 @@ class Catalog:
         # probes would cost tables × extensions serial metadata RPCs at
         # object-store latency (and os.path.exists would silently register
         # nothing for URIs).
+        if not is_remote_path(self.data_dir) and not os.path.isdir(self.data_dir):
+            # fail HERE, at the path the caller typed: silently registering
+            # zero tables surfaces later as TABLE_OR_VIEW_NOT_FOUND with no
+            # hint that the directory never existed
+            raise FileNotFoundError(
+                f"data_dir {self.data_dir!r} is not a directory"
+            )
         present = (
             hadoop_list_names(self.spark, self.data_dir)
             if is_remote_path(self.data_dir)
-            else (set(os.listdir(self.data_dir))
-                  if os.path.isdir(self.data_dir) else set())
+            else set(os.listdir(self.data_dir))
         )
         sep_join = (
             (lambda n: self.data_dir.rstrip("/") + "/" + n)

@@ -100,25 +100,42 @@ class Engine:
         to the server, not the query. Passing explicit cache parameters
         while a cache already exists REBUILDS it (clear + recreate —
         unpersisting its segments), since silently keeping the old
-        capacity/policy would drop the caller's request on the floor;
-        omit them to keep the existing cache."""
+        capacity/policy would drop the caller's request on the floor; a
+        partial override (only capacity, or only policy) keeps the other
+        parameter from the existing cache. Omit both to keep the cache.
+        For the same drop-nothing-on-the-floor reason, cache parameters
+        with a non-caching mode are an error, not a silent no-op."""
         if mode not in MODES:
             raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+        explicit = cache_capacity_bytes is not None or cache_policy is not None
+        if explicit and mode not in ("caching", "hybrid"):
+            raise ValueError(
+                f"cache parameters apply only to caching/hybrid modes, "
+                f"got mode={mode!r}"
+            )
         enable = "true" if mode in ("pushdown", "hybrid") else "false"
         for conf in _PUSHDOWN_CONFS:
             self.spark.conf.set(conf, enable)
-        explicit = cache_capacity_bytes is not None or cache_policy is not None
         if mode in ("caching", "hybrid") and (
             self._segment_cache is None or explicit
         ):
             from pysparkdb.plans.cache import SegmentCacheManager
 
-            if self._segment_cache is not None:
-                self._segment_cache.clear()
+            old = self._segment_cache
+            if old is not None:
+                old.clear()
             self._segment_cache = SegmentCacheManager(
                 self.spark,
-                capacity_bytes=cache_capacity_bytes or (1 << 30),
-                policy=cache_policy or "wlfu",
+                capacity_bytes=(
+                    cache_capacity_bytes
+                    if cache_capacity_bytes is not None
+                    else (old.capacity if old is not None else 1 << 30)
+                ),
+                policy=(
+                    cache_policy
+                    if cache_policy is not None
+                    else (old.policy if old is not None else "wlfu")
+                ),
             )
         self._mode = mode
         return self
@@ -165,7 +182,15 @@ class Engine:
                 roots = leaf.relation().location().rootPaths()
                 root = roots.apply(0).toString() if roots.size() else None
             except Exception:
-                continue  # not a file-source leaf (inline VALUES, cached…)
+                # Not a file-source leaf. One case still attributes: an
+                # InMemoryRelation Spark's CacheManager substituted for a
+                # table scan because an ADMITTED SEGMENT's plan matched it
+                # exactly (repeats of a routed query hit this) — its cached
+                # physical plan still carries the file scan, so dig the
+                # root path out of it; skipping would bypass the routing
+                # and the manager's hit accounting on exactly the queries
+                # the cache serves best.
+                root = self._cached_leaf_root(leaf)
             if root is None:
                 continue
             tname = path_to_table.get(self._strip_fs_scheme(root).rstrip("/"))
@@ -176,6 +201,25 @@ class Engine:
             if names:
                 needed.setdefault(tname, set()).update(names)
         return needed
+
+    @staticmethod
+    def _cached_leaf_root(leaf) -> str | None:
+        """First file-scan root path inside an InMemoryRelation leaf's
+        cached physical plan, or None for any other leaf kind."""
+        try:
+            if leaf.getClass().getSimpleName() != "InMemoryRelation":
+                return None
+            phys = leaf.cachedPlan().collectLeaves()
+            for j in range(phys.size()):
+                try:
+                    roots = phys.apply(j).relation().location().rootPaths()
+                    if roots.size():
+                        return roots.apply(0).toString()
+                except Exception:
+                    continue
+        except Exception:
+            return None
+        return None
 
     def attach(self, data_dir: str, validate: bool = True) -> "Engine":
         """Register every known table under ``data_dir`` as a temp view.
@@ -305,9 +349,16 @@ class Engine:
         if not needed:
             return df
         data_dir = self.catalog.data_dir
+        # Project in each table's DECLARED column order (cache identity is
+        # canonicalized inside project(), which sorts its key): a sorted
+        # projection would make SELECT * return alphabetized columns in
+        # caching/hybrid modes — the mode axis must never change a result,
+        # including schema order.
         routed = {
             name: self._segment_cache.project(
-                self.catalog.tables[name], f"{name}@{data_dir}", sorted(cols)
+                self.catalog.tables[name],
+                f"{name}@{data_dir}",
+                [c for c in self.catalog.tables[name].columns if c in cols],
             )
             for name, cols in needed.items()
         }

@@ -135,9 +135,14 @@ def as_of_join(
     # input directly, but under the engine's UTC session timezone the
     # cast to TIMESTAMP is the identity on its wall-clock value — while
     # the numeric fallback (cast to double) is an illegal cast for NTZ
-    # and would crash outright.
+    # and would crash outright. DATE likewise: it casts to the midnight
+    # timestamp (exact), where the numeric branch's cast('double') is
+    # illegal — without this, a DATE as-of worked until the caller added
+    # tolerance_s or direction='nearest' (which reference ep()) and then
+    # crashed at analysis.
     is_ts = isinstance(
-        unioned.schema["_t"].dataType, (T.TimestampType, T.TimestampNTZType)
+        unioned.schema["_t"].dataType,
+        (T.TimestampType, T.TimestampNTZType, T.DateType),
     )
 
     def ep(c):

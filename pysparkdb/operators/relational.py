@@ -87,6 +87,16 @@ def hash_join(
     """
     if how not in JOIN_TYPES:
         raise ValueError(f"join type {how!r} not in {JOIN_TYPES}")
+    if broadcast_right and how in ("right", "full"):
+        # Catalyst cannot build-broadcast the row-preserved side: the hint
+        # is silently DROPPED for these join types and the caller pays the
+        # full shuffle they believed they had pinned away. Fail loudly
+        # instead (broadcast the LEFT side via F.broadcast(left).join(...)
+        # if that side is the small one).
+        raise ValueError(
+            f"broadcast_right is unsatisfiable for how={how!r}: Spark "
+            "cannot broadcast the preserved side of a right/full outer join"
+        )
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on=on, how=how)
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pysparkdb.pipeline.partitioning import spread as _spread
 from pysparkdb.pipeline.text import normalized_fingerprint, tokens, word_shingles
 
 
@@ -37,18 +38,6 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             F.count(F.lit(1)).cast("long").alias("n_copies"),
         )
     )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's shuffle parallelism.
-
-    A single parquet file scans as ONE partition, which serializes the
-    per-row shingle/hash compute onto one core; one cheap shuffle of the
-    narrow input buys full parallelism. At 100 TB the input is already
-    thousands of splits and this rebalance is noise.
-    """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n)
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -192,6 +181,15 @@ def minhash_band_candidates(
     shuffle of the widest frame in the pipeline)."""
     from pyspark.storagelevel import StorageLevel
 
+    if num_hashes % rows_per_band != 0:
+        # flooring would compute (and shuffle) the trailing signature lanes
+        # corpus-wide, then silently never band them — pure waste with the
+        # recall of the floored band count; make the caller pick exact math
+        raise ValueError(
+            f"rows_per_band={rows_per_band} must divide "
+            f"num_hashes={num_hashes}: trailing lanes would be computed "
+            "but never banded"
+        )
     num_bands = num_hashes // rows_per_band
     # both sides of the band self-join below consume the signature frame;
     # left lazy, the shingle explode + 32-lane aggregation runs twice
@@ -325,7 +323,22 @@ def simhash_pairs(
     ``sims``: optionally a precomputed (did, simhash) fingerprint frame
     (persist it if shared with other consumers — fingerprints are one
     16-byte row per doc, the cheapest thing in the pipeline to cache)."""
+    if bits % band_bits != 0:
+        raise ValueError(
+            f"band_bits={band_bits} must divide bits={bits}: the leftover "
+            "high bits would never be banded, silently losing candidates"
+        )
     num_bands = bits // band_bits
+    if num_bands < max_hamming + 1:
+        # the pigeonhole guarantee needs k+1 bands for hamming <= k: with
+        # fewer, a qualifying pair can differ in every band and silently
+        # vanish from the output (the edit_distance_pairs convention —
+        # validate the completeness invariant, don't under-recall quietly)
+        raise ValueError(
+            f"bits/band_bits = {num_bands} bands cannot guarantee recall "
+            f"for max_hamming={max_hamming}; need >= {max_hamming + 1} "
+            "bands (shrink band_bits or max_hamming)"
+        )
     if sims is None:
         # both sides of the band self-join consume the fingerprint frame;
         # left lazy, the full text-shingle hash would run twice — pin the

@@ -27,9 +27,40 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pysparkdb.pipeline.partitioning import spread as _spread
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _non_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL embeddings carry no direction: every path here EXCLUDES them
+    up front. The embeddings schema declares the column nullable
+    (catalog.py), and the exact paths already dropped such rows
+    implicitly (NULL cosine fails any threshold and sorts last in the
+    top-k window) — but the Arrow-batched paths would instead CRASH the
+    job (np.stack over a batch containing None), turning 'exact vs scale
+    path' from slower-vs-faster into works-vs-crashes. One explicit
+    filter gives every variant the same semantics: a row without a
+    vector is neither candidate, query, nor quantizable."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over (qid, cid, cosine) rows: cosine desc, ties by
+    cid asc. THE ranking contract, defined once — the exact, LSH and IVF
+    paths all rank through it, which is what keeps 'approximate results
+    match/⊆ exact results' assertions meaningful (a drifted tie-break in
+    one path would fail them spuriously)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -54,20 +85,9 @@ def with_norm(
     df: DataFrame, vec_col: str = "embedding", keep: tuple[str, ...] = ()
 ) -> DataFrame:
     v = _as_double(F.col(vec_col))
-    return df.select("vec_id", *keep, v.alias("v"), norm(v).alias("nrm"))
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's shuffle parallelism.
-
-    A single parquet file scans as ONE partition; used as the stream side
-    of a broadcast nested-loop join, that serializes the entire O(n·q)
-    dot-product work onto one core. One cheap shuffle of (id, vec) rows
-    buys full-cluster parallelism for the pair evaluation — at 100 TB the
-    input is many files and this becomes a no-op-sized rebalance.
-    """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n)
+    return _non_null_vecs(df, vec_col).select(
+        "vec_id", *keep, v.alias("v"), norm(v).alias("nrm")
+    )
 
 
 def _pair_cosine() -> Column:
@@ -147,12 +167,10 @@ def topk_neighbors(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (excluding self).
 
-    Brute force: query side × full candidate side, ranked with a window.
-    Ties broken by neighbor id so results are total-ordered and
-    oracle-stable.
+    Brute force: query side × full candidate side, ranked through the
+    shared ``_topk`` contract (ties broken by neighbor id so results are
+    total-ordered and oracle-stable).
     """
-    from pyspark.sql import Window
-
     e = with_norm(df, vec_col)
     q = e if query_filter is None else e.filter(query_filter)
     q = _spread(q).withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})
@@ -161,12 +179,7 @@ def topk_neighbors(
         "qid", "cid",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "cid", "cosine", F.col("rnk").cast("long").alias("rnk"))
-    )
+    return _topk(scored, k)
 
 
 def hyperplane_buckets(
@@ -208,7 +221,9 @@ def hyperplane_buckets(
     bucket_ids = pandas_udf(_bucket_fn, T.ArrayType(T.LongType()))
 
     v = _as_double(F.col(vec_col))
-    base = _spread(df).select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+    base = _spread(_non_null_vecs(df, vec_col)).select(
+        "vec_id", v.alias("v"), norm(v).alias("nrm")
+    )
     tb = F.transform(
         bucket_ids("v"),
         lambda b, t: F.struct(t.alias("tbl"), b.alias("bucket")),
@@ -250,13 +265,11 @@ def _bucket_join_topk(
     q: DataFrame, c: DataFrame, k: int, exclude_self: bool = True
 ) -> DataFrame:
     """Shared LSH search stage: bucket-collision join in any table,
-    pair dedup, cosine score, per-query top-k window. Inputs carry
-    (vec_id, v, nrm, tbl, bucket). ``exclude_self`` drops qid == cid
+    pair dedup, cosine score, shared per-query ``_topk`` ranking. Inputs
+    carry (vec_id, v, nrm, tbl, bucket). ``exclude_self`` drops qid == cid
     pairs — correct when queries ARE corpus rows (self-search); pass
     False for an external query batch whose ids are an independent
     space (an id collision there is NOT the same vector)."""
-    from pyspark.sql import Window
-
     q = q.withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})
     c = c.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn"})
     pairs = (
@@ -269,12 +282,7 @@ def _bucket_join_topk(
         "qid", "cid",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "cid", "cosine", F.col("rnk").cast("long").alias("rnk"))
-    )
+    return _topk(scored, k)
 
 
 def build_lsh_index(
@@ -303,9 +311,9 @@ def build_lsh_index(
     # them through the bucket frame would re-run the plane matmul, explode
     # rows ×tables, and pay a dedup shuffle for data already at hand
     v = _as_double(F.col(vec_col))
-    df.select("vec_id", v.alias("v"), norm(v).alias("nrm")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/vectors.parquet")
+    _non_null_vecs(df, vec_col).select(
+        "vec_id", v.alias("v"), norm(v).alias("nrm")
+    ).write.mode("overwrite").parquet(f"{path}/vectors.parquet")
     df.sparkSession.createDataFrame(
         [(dim, nbits, tables, seed)], "dim: int, nbits: int, tables: int, seed: int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
@@ -349,7 +357,8 @@ def train_ivf_centroids(
     seeded init, fixed iteration count.
     """
     rows = (
-        df.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+        _non_null_vecs(df, vec_col)
+        .select("vec_id", _as_double(F.col(vec_col)).alias("v"))
         .orderBy("vec_id")
         .limit(sample_rows)
         .collect()
@@ -447,9 +456,7 @@ def _probe_and_score(
 ) -> DataFrame:
     """Shared IVF search stage: queries (vec_id, v, nrm, _cd) explode into
     their ``nprobe`` nearest cells (sorted (dist, idx) pairs), join the
-    candidate frame on cell, cosine-score, per-query top-k window."""
-    from pyspark.sql import Window
-
+    candidate frame on cell, cosine-score, shared ``_topk`` ranking."""
     probes = F.transform(
         F.slice(
             F.array_sort(
@@ -472,12 +479,7 @@ def _probe_and_score(
         "qid", "cid",
         (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "cid", "cosine", F.col("rnk").cast("long").alias("rnk"))
-    )
+    return _topk(scored, k)
 
 
 def build_ivf_index(
@@ -587,7 +589,9 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ])
     )
     v = _as_double(F.col(vec_col))
-    out = _spread(df).select("vec_id", quant(v).alias("_q"))
+    out = _spread(_non_null_vecs(df, vec_col)).select(
+        "vec_id", quant(v).alias("_q")
+    )
     return out.select(
         "vec_id",
         F.round(F.col("_q.scale"), 6).alias("scale"),

@@ -38,6 +38,16 @@ def test_register_all_skips_absent_tables(spark, tmp_path):
     assert cat.tables == {}
 
 
+def test_register_all_rejects_missing_data_dir(spark, tmp_path):
+    """A typo'd local data_dir must fail AT ATTACH, naming the path — not
+    register zero tables and surface later as TABLE_OR_VIEW_NOT_FOUND."""
+    from pysparkdb.catalog import Catalog
+
+    bogus = str(tmp_path / "no-such-sf-dir")
+    with pytest.raises(FileNotFoundError, match="no-such-sf-dir"):
+        Catalog(spark, bogus).register_all(validate=False)
+
+
 def test_register_all_from_csv_catalog(spark, sf_dir, tmp_path):
     """CSV catalogs are co-equal with parquet (reference:
     resources/metadata/tpch-sf0.01/csv/schema.json): a directory of

@@ -231,6 +231,58 @@ def test_asof_tolerance_bounds_staleness(spark):
     assert len(out) == 3       # left outer: every left row survives
 
 
+def test_asof_date_columns_with_tolerance_and_nearest(spark):
+    """DATE timestamp columns take the exact-microsecond branch: the
+    numeric fallback's cast(date as double) is illegal and used to crash
+    at analysis the moment tolerance_s or direction='nearest' was added
+    (plain backward never referenced the cast and worked, masking it)."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb.operators import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-05"), (2, 10, "2024-03-01")], "eid long, k long, d string"
+    ).withColumn("t", F.to_date("d")).drop("d")
+    right = spark.createDataFrame(
+        [(10, "2024-01-01", "near"), (10, "2023-01-01", "far")],
+        "rk long, rd string, tag string",
+    ).withColumn("rt", F.to_date("rd")).drop("rd")
+    out = {
+        r.eid: r.tag
+        for r in as_of_join(
+            left, right, "k", "rk", "t", "rt", tolerance_s=86400 * 30
+        ).collect()
+    }
+    assert out[1] == "near"   # 4-day gap within the 30-day tolerance
+    assert out[2] is None     # 60-day gap exceeds it
+    nearest = {
+        r.eid: r.tag
+        for r in as_of_join(
+            left, right, "k", "rk", "t", "rt", direction="nearest"
+        ).collect()
+    }
+    assert nearest == {1: "near", 2: "near"}
+
+
+def test_hash_join_rejects_unsatisfiable_broadcast(spark):
+    """broadcast_right=True with a right/full outer join is a silently
+    dropped hint in Catalyst (the preserved side cannot be the build
+    side) — the operator must fail loudly instead of quietly paying the
+    shuffle the caller believed was pinned away."""
+    from pysparkdb.operators import hash_join
+
+    a = spark.range(4).withColumnRenamed("id", "k")
+    b = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="broadcast_right"):
+            hash_join(a, b, on=["k"], how=how, broadcast_right=True)
+    # inner/left/semi keep the pinned broadcast
+    plan = hash_join(
+        a, b, on=["k"], how="left", broadcast_right=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_asof_fractional_tolerance_inclusive(spark):
     """A fractional tolerance_s must round, not truncate, to microseconds:
     2.3 s is exactly representable as 2_300_000 µs only via round()

@@ -202,6 +202,49 @@ def test_multimodal_decode_stub(spark, sf_dir):
     assert all(0.0 <= x <= 1.0 for x in row.features)
 
 
+def test_similarity_excludes_null_embeddings_everywhere(spark):
+    """A NULL embedding row (the column is declared nullable) must be
+    excluded, not crash np.stack inside the Arrow-batched paths: exact,
+    LSH, IVF and quantization all agree it is neither candidate, query,
+    nor quantizable."""
+    from pysparkdb.pipeline import similarity
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = similarity.topk_neighbors(df, k=1)
+    assert 99 not in {r.qid for r in exact.collect()}
+
+    lsh = similarity.lsh_topk_neighbors(df, dim=8, k=1, nbits=2, tables=2)
+    assert 99 not in {r.qid for r in lsh.collect()}
+
+    ivf = similarity.ivf_topk_neighbors(df, dim=8, k=1, nlist=2, nprobe=2)
+    assert 99 not in {r.qid for r in ivf.collect()}
+
+    quant = similarity.quantize_embeddings(df)
+    assert {r.vec_id for r in quant.collect()} == {0, 1, 2, 3, 4, 5}
+
+    pairs = similarity.cosine_pairs(df, threshold=-1.0)
+    ids = {r.id_a for r in pairs.collect()} | {r.id_b for r in pairs.collect()}
+    assert 99 not in ids
+
+
+def test_lsh_band_parameter_validation(spark):
+    """Banding parameters that silently lose recall (or waste lanes) are
+    rejected eagerly: simhash needs >= max_hamming+1 bands for its
+    pigeonhole guarantee, and minhash lanes must band exactly."""
+    from pysparkdb.pipeline.dedup import minhash_band_candidates, simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(df, bits=32, band_bits=16, max_hamming=3)
+    with pytest.raises(ValueError, match="divide bits"):
+        simhash_pairs(df, bits=32, band_bits=7)
+    with pytest.raises(ValueError, match="rows_per_band"):
+        minhash_band_candidates(df, num_hashes=33, rows_per_band=2)
+
+
 def test_multimodal_null_payloads_do_not_crash(spark):
     """A NULL payload (NULL source text, failed fetch) must not kill the
     job executor-side: 1→1 extractors emit NULL features for that row,

@@ -624,6 +624,47 @@ class TestModeAxis:
             eng.set_mode("pushdown")
             eng.clear_segment_cache()
 
+    def test_partial_cache_params_inherit_and_wrong_mode_rejects(self, spark, sf_dir):
+        """A rebuild with only one cache parameter keeps the other from
+        the existing cache (not a silent reset to defaults), and cache
+        parameters with a non-caching mode are an error, not a no-op."""
+        import pytest as _pytest
+
+        from pysparkdb.engine import Engine
+
+        eng = Engine(spark).attach(sf_dir, validate=False)
+        try:
+            eng.set_mode("caching", cache_capacity_bytes=4 << 30,
+                         cache_policy="lfu")
+            eng.set_mode("caching", cache_policy="lru")  # capacity inherited
+            assert eng._segment_cache.capacity == 4 << 30
+            assert eng._segment_cache.policy == "lru"
+            eng.set_mode("caching", cache_capacity_bytes=2 << 30)
+            assert eng._segment_cache.policy == "lru"    # policy inherited
+            assert eng._segment_cache.capacity == 2 << 30
+            with _pytest.raises(ValueError, match="caching/hybrid"):
+                eng.set_mode("pushdown", cache_capacity_bytes=1 << 20)
+        finally:
+            eng.set_mode("pushdown")
+            eng.clear_segment_cache()
+
+    def test_cache_routing_preserves_declared_column_order(self, spark, sf_dir):
+        """SELECT * must return the DECLARED column order in every mode —
+        the mode axis changes execution, never results (a sorted cache
+        projection used to alphabetize the schema in caching/hybrid)."""
+        from pysparkdb.engine import Engine
+
+        eng = Engine(spark).attach(sf_dir, validate=False)
+        want = eng.sql("SELECT * FROM orders").columns
+        try:
+            got = eng.sql("SELECT * FROM orders", mode="caching").columns
+            assert got == want
+            # repeat (cache hit path) keeps the order too
+            assert eng.sql("SELECT * FROM orders").columns == want
+        finally:
+            eng.set_mode("pushdown")
+            eng.clear_segment_cache()
+
 
 class TestPushdown:
     def test_q6_filters_reach_scan(self, spark, sf_dir):
