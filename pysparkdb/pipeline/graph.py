@@ -370,7 +370,15 @@ def triangles(edges: DataFrame) -> DataFrame:
     the testdata scale; degree-ordering is the documented production
     refinement). Triangle density feeds community/quality signals —
     near-dup template farms are triangle-dense, organic link graphs are
-    sparse."""
+    sparse.
+
+    ``und`` feeds all three self-join sides unpinned — MEASURED (sf0.1,
+    median-of-3, rebuilt per iteration): persist 0.31/0.47 s vs lazy
+    0.27/0.44 s, i.e. the pin only adds materialization cost because the
+    narrow derivation is cheaper than writing it to storage. The
+    recompute-bug-class rule is measure-first; this is a documented
+    no-win case (like unigram_logprob's tok frame). Revisit if the edge
+    derivation ever grows an expensive upstream (real link extraction)."""
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(

@@ -96,14 +96,20 @@ class SegmentCacheManager:
             return e.hits / max(e.size_bytes, 1)  # size-normalized frequency
         if self.policy == "belady":
             # farthest-next-use evicts first → score = -distance to next
-            # use. An entry is "used" by a future request it SERVES: the
-            # exact key, or any subset request of the same table (those
-            # hit via _covering), matching project()'s actual hit logic.
+            # use. An entry is "used" by a future request it can SERVE:
+            # a subset request full-covers (project's _covering hit), and
+            # ANY column overlap can serve as project_zip's partial hit
+            # side — requiring full cover here would score zip-side
+            # entries -inf and evict exactly what the next scheduled
+            # request was about to zip from. Overlap slightly over-credits
+            # (which partial actually wins depends on runtime state the
+            # oracle cannot replay), an acceptable bias for an offline
+            # upper-bound policy.
             assert key is not None
             table, cols = key
             for i in range(self._clock, len(self._future)):
                 ft, fc = self._future[i]
-                if ft == table and set(fc) <= set(cols):
+                if ft == table and set(fc) & set(cols):
                     return -float(i)
             return float("-inf")  # never used again → best victim
         return e.hits * max(e.size_bytes, 1)  # wlfu: frequency × recompute cost
@@ -168,15 +174,21 @@ class SegmentCacheManager:
         the normal policy so repeats of the same request become full hits.
         """
         keys = [key] if isinstance(key, str) else list(key)
+        if not keys:
+            # enforce the documented contract BEFORE any cache state
+            # mutates — an empty key would otherwise crash deep inside
+            # DataFrame.join after hits/admissions already counted
+            raise ValueError("project_zip needs a non-empty zip key")
         want = [c for c in columns if c not in keys]
         found = self._best_partial(table, want, keys)
         if found is None:
             return self.project(df, table, columns)
         entry_key, entry = found
         hit_cols = [c for c in want if c in entry.columns]
+        # _best_partial guarantees at least one wanted column is missing
+        # (a full cover is a plain project() hit), so miss_cols is
+        # never empty here
         miss_cols = [c for c in want if c not in entry.columns]
-        if not miss_cols:
-            return self.project(df, table, columns)
 
         entry.hits += 1
         entry.last_access = time.monotonic()

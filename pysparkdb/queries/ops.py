@@ -8,7 +8,6 @@ reference's unit suites exercise individual physical operators
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pysparkdb import functions as X

@@ -61,9 +61,13 @@ def s3a_confs(
     - AWS S3 proper: usually just credentials (or nothing — instance
       profile / env-var providers are in the connector's default chain).
     - MinIO / localstack / on-prem S3-compatible stores: pass
-      ``endpoint="http://host:9000"``; ``path_style_access`` defaults ON
-      and ``ssl_enabled`` follows the endpoint scheme, since
-      virtual-hosted-style addressing is the usual breakage there.
+      ``endpoint="http://host:9000"``; ``path_style_access`` defaults ON,
+      and an EXPLICIT ``http://`` scheme disables SSL to match. A
+      scheme-less endpoint (the conventional Hadoop-docs form, e.g.
+      ``s3.eu-west-1.amazonaws.com``) leaves the SSL conf UNSET so the
+      connector's secure default (TLS on) governs — inferring "no
+      https:// prefix → plaintext" would silently downgrade AWS-proper
+      endpoints to unencrypted HTTP. Only an explicit scheme sets it.
     - ``anonymous=True`` selects the anonymous provider (public buckets);
       explicit keys select the simple provider; ``credentials_provider``
       overrides either.
@@ -73,7 +77,7 @@ def s3a_confs(
         confs["fs.s3a.endpoint"] = endpoint
         if path_style_access is None:
             path_style_access = True
-        if ssl_enabled is None:
+        if ssl_enabled is None and endpoint.startswith(("http://", "https://")):
             ssl_enabled = endpoint.startswith("https://")
     if region is not None:
         confs["fs.s3a.endpoint.region"] = region
@@ -121,13 +125,21 @@ def hadoop_list_names(spark: SparkSession, directory: str) -> set:
     """Child basenames of ``directory`` through Hadoop's FileSystem API —
     ONE metadata RPC (a LIST, not per-child HEADs), which is how a remote
     catalog should discover its tables. Missing directory → empty set."""
+    from py4j.protocol import Py4JJavaError
+
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(directory)
     fs = jpath.getFileSystem(hconf)
-    if not fs.exists(jpath):
-        return set()
-    return {st.getPath().getName() for st in fs.listStatus(jpath)}
+    try:
+        return {st.getPath().getName() for st in fs.listStatus(jpath)}
+    except Py4JJavaError as ex:
+        # missing directory → empty set, from the LIST's own error rather
+        # than a separate exists() probe (which would double the remote
+        # metadata round-trips and belie the one-RPC claim above)
+        if "FileNotFoundException" in str(ex.java_exception):
+            return set()
+        raise
 
 
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:

@@ -163,6 +163,47 @@ class TestSegmentCache:
         assert b.columns == ["r_regionkey", "r_name"]
         mgr.clear()
 
+    def test_project_zip_rejects_empty_key(self, spark, sf_dir):
+        """An empty zip key must fail before any cache state mutates (it
+        used to crash inside DataFrame.join with hits already counted)."""
+        t = tables(spark, sf_dir)
+        mgr = SegmentCacheManager(spark, capacity_bytes=1 << 30, policy="lru")
+        mgr.project(t["region"], "region", ["r_regionkey", "r_name"])
+        hits, misses = mgr.hit_count, mgr.miss_count
+        with pytest.raises(ValueError, match="zip key"):
+            mgr.project_zip(
+                t["region"], "region",
+                ["r_regionkey", "r_name", "r_comment"], key=[],
+            )
+        assert (mgr.hit_count, mgr.miss_count) == (hits, misses)
+        mgr.clear()
+
+    def test_belady_credits_partial_zip_use(self, spark, sf_dir):
+        """A future request that can only PARTIALLY be served by an entry
+        (project_zip's hit side) still counts as that entry's next use —
+        requiring full cover would evict exactly the entry the next
+        scheduled request zips from."""
+        future = [
+            ("customer", ("c_custkey", "c_name")),   # step 0: the admit below
+            ("region", ("r_name",)),                 # step 1: the admit below
+            ("customer", ("c_custkey", "c_name", "c_nationkey")),  # step 2
+        ]
+        mgr = SegmentCacheManager(
+            spark, capacity_bytes=1 << 40, policy="belady", future=future
+        )
+        t = tables(spark, sf_dir)
+        mgr.project(t["customer"], "customer", ["c_custkey", "c_name"])
+        mgr.project(t["region"], "region", ["r_name"])
+        # cursor sits at index 2: the wider customer request can only be
+        # PARTIALLY served by the cached (c_custkey, c_name) entry — that
+        # still counts as its next use (finite score); region shares no
+        # column with anything ahead → -inf, the victim
+        ckey = ("customer", ("c_custkey", "c_name"))
+        rkey = ("region", ("r_name",))
+        assert mgr._score(mgr.entries[ckey], ckey) == -2.0
+        assert mgr._score(mgr.entries[rkey], rkey) == float("-inf")
+        mgr.clear()
+
     def test_eviction_under_pressure_lru(self, spark, sf_dir):
         t = tables(spark, sf_dir)
         mgr = SegmentCacheManager(spark, capacity_bytes=1, policy="lru")

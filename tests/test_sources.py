@@ -875,6 +875,23 @@ class TestObjectStore:
                        ssl_enabled=True)
         assert c2["fs.s3a.path.style.access"] == "false"
         assert c2["fs.s3a.connection.ssl.enabled"] == "true"
+        # a SCHEME-LESS endpoint (the conventional Hadoop-docs form) must
+        # NOT emit the SSL conf at all: the connector's secure default
+        # (TLS on) governs — deriving "false" from the missing https://
+        # prefix would silently downgrade AWS endpoints to plaintext
+        c3 = s3a_confs(endpoint="s3.eu-west-1.amazonaws.com")
+        assert "fs.s3a.connection.ssl.enabled" not in c3
+
+    def test_hadoop_list_names_missing_dir_is_empty_without_probe(self, spark, tmp_path):
+        """A missing directory resolves to an empty set from the LIST's own
+        FileNotFoundException — no separate exists() pre-probe (one
+        metadata RPC per discovery, the docstring's contract)."""
+        from pysparkdb.sources.objectstore import hadoop_list_names
+
+        assert hadoop_list_names(spark, str(tmp_path / "nope")) == set()
+        (tmp_path / "real").mkdir()
+        (tmp_path / "real" / "t.parquet").write_text("x")
+        assert hadoop_list_names(spark, str(tmp_path / "real")) == {"t.parquet"}
 
     def test_configure_s3a_lands_in_hadoop_conf(self, spark):
         from pysparkdb.sources import configure_s3a
