@@ -48,9 +48,21 @@ def main() -> None:
 
     specs = load_all()
     bench_names = os.environ.get("PYSPARKDB_BENCH_QUERIES")
-    names = bench_names.split(",") if bench_names else sorted(specs)
+    names = (
+        [n.strip() for n in bench_names.split(",") if n.strip()]
+        if bench_names
+        else sorted(specs)
+    )
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        # fail BEFORE the multi-second warm-up, naming the typo
+        raise SystemExit(f"unknown PYSPARKDB_BENCH_QUERIES entries: {unknown}")
 
     tables(spark, sf_dir)  # catalog warm-up (footer reads, conf apply)
+    # tables() re-applied the engine's DEFAULT_CONFS, whose shuffle
+    # parallelism (32) would silently override the $SPARK_GRAFT_CPUS value
+    # this bench just configured — put the knob back in charge
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     # engine warm-up: one scan+agg and one join execute to completion so
     # JVM/codegen/shuffle-service warmup is not billed to the first query
     specs["q6"].fn(spark, sf_dir).collect()
@@ -77,10 +89,7 @@ def main() -> None:
         # over 3 sweeps is tens of MB (bounded); long-lived servers clear
         # between pipelines instead (see pipeline/dedup.py lifecycle note).
 
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    from statistics import median
 
     per_query = {name: round(median(ts), 4) for name, ts in times.items()}
     total = sum(per_query.values())

@@ -14,8 +14,26 @@ from pyspark.sql import functions as F
 STOPWORDS = ("a", "the")
 
 
+def normalize_ws(text: Column | str) -> Column:
+    """Whitespace normalization: trim + collapse every whitespace run to a
+    single space — the step-0 every raw-text pipeline runs before
+    tokenizing (the same regex normalized_fingerprint hashes through)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization → array<string>."""
+    """SINGLE-SPACE tokenization → array<string>.
+
+    Deliberately a literal-space split, not a \\s+ regex: the whole text
+    corpus (and every DuckDB oracle, which uses string_split(text, ' '))
+    shares the contract that documents are whitespace-normalized —
+    single-space-separated, no tabs/newlines/runs. On raw web text apply
+    ``normalize_ws`` first, or consecutive spaces mint phantom empty
+    tokens that skew every token_count consumer (quality gates, BPE,
+    packing). Changing this to a regex split is a corpus-wide semantics
+    migration: ~30 oracle expressions derive from the same split and
+    would all need the matching (DuckDB-specific) regex form."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(c, " ")
 
@@ -70,10 +88,14 @@ def quality_metrics(
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Heuristic language ID: stopword-hit ratio against per-language marker
     lists. A real system plugs in fastText/cld3 here; the *shape* — pure
     column expressions, one pass, no shuffle — is the production shape.
+    ``id_col``: same contract as quality_metrics (frames whose id column
+    is not doc_id work too).
     """
     n_tok = token_count(text_col)
     en_ratio = stopword_count(text_col, ("a", "the")) / n_tok
@@ -82,7 +104,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(n_tok > 60, F.lit("und-long"))
         .otherwise(F.lit("und"))
     )
-    return df.select("doc_id", pred.alias("pred_lang"))
+    return df.select(id_col, pred.alias("pred_lang"))
 
 
 def normalized_fingerprint(text_col: Column | str = "text") -> Column:

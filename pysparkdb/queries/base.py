@@ -2,23 +2,31 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pysparkdb.catalog import Catalog
 
 # One Catalog per (session, data_dir): parquet footers are read once.
-_CATALOGS: dict[tuple[int, str], Catalog] = {}
+# Weak-keyed on the session so a stopped/discarded SparkSession releases
+# its catalogs (an id()-keyed dict would both pin every session forever
+# and risk serving a STALE catalog to a new session that reuses the old
+# object's id after gc).
+_CATALOGS: "weakref.WeakKeyDictionary[SparkSession, dict[str, Catalog]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (id(spark), sf_dir)
-    if key not in _CATALOGS:
+    per_session = _CATALOGS.setdefault(spark, {})
+    if sf_dir not in per_session:
         from pysparkdb.session import apply_engine_confs
 
         apply_engine_confs(spark)  # driver may hand us an untuned session
-        _CATALOGS[key] = Catalog(spark, sf_dir).register_all(validate=True)
-    return _CATALOGS[key].tables
+        per_session[sf_dir] = Catalog(spark, sf_dir).register_all(validate=True)
+    return per_session[sf_dir].tables
 
 
 def r2(c) -> F.Column:

@@ -251,9 +251,6 @@ def _click_purchase_frames(spark, sf_dir):
     return clicks, purchases
 
 
-_RUN_SEQ = [0]
-
-
 def _events_stream_dir(sf_dir: str) -> str:
     d = _STAGED_EVENTS.get(sf_dir)
     if d is None:
@@ -261,8 +258,10 @@ def _events_stream_dir(sf_dir: str) -> str:
         import tempfile
 
         d = tempfile.mkdtemp(prefix="pysparkdb_events_")
+        # abspath: a symlink target resolves relative to the LINK's
+        # directory, so a relative sf_dir would dangle from /tmp
         os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
             os.path.join(d, "events.parquet"),
         )
         _STAGED_EVENTS[sf_dir] = d
@@ -287,18 +286,18 @@ def ev_stateful(spark, sf_dir):
     not oracle-reproducible."""
     from pysparkdb import streaming as S
 
+    # the only registry query whose read path bypasses tables(); touch it
+    # for its conf side effect (nanosAsLong, UTC session timezone) or a
+    # bare driver session fails its first micro-batch on the testdata's
+    # TIMESTAMP(NANOS) representation
+    tables(spark, sf_dir)
     stream = S.read_events_stream(spark, _events_stream_dir(sf_dir))
-    _RUN_SEQ[0] += 1
-    # drop the PREVIOUS run's memory-sink table: each run needs its own
-    # fresh queryName, but without this the sinks accumulate one full
-    # per-user result set per invocation in driver memory for the
-    # session's lifetime (the registry runs serially — by the time run N
-    # starts, run N-1's result has been collected)
-    spark.catalog.dropTempView(f"ev_stateful_{_RUN_SEQ[0] - 1}")
+    # run_to_memory owns the sink lifecycle (drops its view, returns
+    # independent local rows), so a constant name is fine: availableNow
+    # queries are inactive by return time and only ACTIVE query names
+    # must be unique
     out = S.run_to_memory(
-        S.stateful_user_counter(stream),
-        f"ev_stateful_{_RUN_SEQ[0]}",
-        output_mode="update",
+        S.stateful_user_counter(stream), "ev_stateful_sink", output_mode="update"
     )
     return out.groupBy("user_id").agg(
         bigint(F.max("n_events")).alias("n_events")

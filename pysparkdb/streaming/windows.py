@@ -257,7 +257,16 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     """Execute a streaming query to completion over all available input
     (Trigger.AvailableNow) into an in-memory table; returns the result as a
     batch DataFrame. Test/debug harness — production uses writeStream to
-    parquet/Kafka sinks with checkpointing."""
+    parquet/Kafka sinks with checkpointing.
+
+    Owns the sink lifecycle: the memory-sink view is dropped before
+    returning and the result handed back as an independent local-rows
+    DataFrame, so (a) repeat runs never accumulate one result set per
+    invocation in driver memory, and (b) the returned frame stays valid
+    however long the caller holds it — a frame still reading the view
+    lazily would break the moment any later run dropped or replaced it.
+    Result sets are small by this harness's purpose (windowed aggregates);
+    the collect is driver-bounded by design."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -267,7 +276,10 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    return spark.table(name)
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def read_documents_stream(

@@ -65,6 +65,43 @@ def run_statement(eng, stmt: str, *, timing: bool, transfer: bool, out=sys.stdou
     print(f"{n} row{'s' if n != 1 else ''}{suffix}", file=out)
 
 
+def sql_complete(text: str) -> bool:
+    """True when buffered input ends a statement: its last significant
+    character is a ';' OUTSIDE every string literal and '--' comment.
+    A naive endswith(';') check would dispatch truncated SQL the moment a
+    literal containing ';' spans a line ("SELECT 'a;\\nb';") or a comment
+    line ends with ';'. Quotes escape by doubling ('' / "") per SQL."""
+    in_q: str | None = None
+    in_comment = False
+    last_sig = ""
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_comment:
+            if ch == "\n":
+                in_comment = False
+            i += 1
+        elif in_q:
+            if ch == in_q:
+                if i + 1 < n and text[i + 1] == in_q:  # doubled-quote escape
+                    i += 2
+                    continue
+                in_q = None
+            i += 1
+        elif ch in ("'", '"'):
+            in_q = ch
+            last_sig = ch
+            i += 1
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            in_comment = True
+            i += 2
+        else:
+            if not ch.isspace():
+                last_sig = ch
+            i += 1
+    return in_q is None and last_sig == ";"
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--data-dir", default="/root/testdata/sf0.001")
@@ -177,7 +214,7 @@ def main(argv: list[str] | None = None) -> int:
             continue
         # keep newlines: '--' comments and string literals must survive
         buf.append(line.rstrip("\n"))
-        if line.rstrip().endswith(";"):
+        if sql_complete("\n".join(buf)):
             stmt = "\n".join(buf)
             buf = []
             if not safe_dispatch(stmt):

@@ -359,6 +359,26 @@ def test_console_renders_result_table(spark, sf_dir):
         assert "| r_name" in text and "2 rows" in text, text
 
 
+def test_console_statement_termination_respects_literals_and_comments():
+    """A ';' inside a string literal or '--' comment must not terminate
+    the buffered statement; only a significant trailing ';' does."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from console import sql_complete
+
+    assert sql_complete("SELECT 1;")
+    assert sql_complete("SELECT 1 ; -- trailing comment")
+    assert sql_complete("SELECT 'a;\nb';")          # literal closed, then ;
+    assert not sql_complete("SELECT 'a;")           # ; inside open literal
+    assert not sql_complete("SELECT 'a;\nb'")       # closed but unterminated
+    assert not sql_complete("-- step 1;")           # comment-only line
+    assert not sql_complete("SELECT 1 -- not done;")
+    assert sql_complete("SELECT 'it''s';")          # doubled-quote escape
+    assert not sql_complete('SELECT "a;')           # double-quoted ident open
+    assert not sql_complete("")
+
+
 def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
     """Compaction must collapse a many-small-files table to the byte-target
     file count without gaining/losing/changing a row."""

@@ -67,6 +67,34 @@ def test_stateful_counter_matches_batch_totals(spark, sf_dir, events_stream):
     assert final.count() == batch.count()
 
 
+def test_run_to_memory_owns_sink_lifecycle(spark, sf_dir, events_stream):
+    """run_to_memory drops its memory-sink view and returns an independent
+    frame: a later run with the SAME name must not invalidate an earlier
+    run's still-held result (the old lazy view reference broke exactly
+    that), and no sink views may accumulate in the catalog."""
+    a = S.run_to_memory(S.tumbling_agg(events_stream), "t_lifecycle")
+    n_a = a.count()
+    b = S.run_to_memory(S.tumbling_agg(events_stream), "t_lifecycle")
+    assert a.count() == n_a == b.count() > 0  # a still valid after b ran
+    assert not any(
+        t.name == "t_lifecycle" for t in spark.catalog.listTables()
+    )
+
+
+def test_ev_stateful_repeat_runs_are_independent(spark, sf_dir):
+    """The registered ev_stateful runs repeatedly in one session (bench
+    sweeps): each run must return the full result and earlier results
+    must survive later runs."""
+    from pysparkdb.queries import load_all
+
+    fn = load_all()["ev_stateful"].fn
+    d1 = fn(spark, sf_dir)
+    r1 = sorted(map(tuple, d1.collect()))
+    d2 = fn(spark, sf_dir)
+    assert sorted(map(tuple, d2.collect())) == r1
+    assert sorted(map(tuple, d1.collect())) == r1  # d1 survives run 2
+
+
 def test_stream_dedup_first_occurrence_wins(spark, sf_dir, events_dir):
     """Duplicated input stream → dedup restores the original row set."""
     # stage the same file twice: every event_id arrives twice
