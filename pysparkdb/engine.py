@@ -79,6 +79,13 @@ class Engine:
         self.catalog: Catalog | None = None
         self._mode = "pushdown"
         self._segment_cache = None
+        # per-ENGINE predicate_transfer="auto" crossover (bytes/core):
+        # an instance attribute so a caller tuning or force-flipping the
+        # threshold (tests, the q5_auto certificate query) affects only
+        # its own facade — mutating the module constant would race every
+        # concurrent sql() on the session, breaking the documented
+        # thread-safety contract
+        self.auto_bytes_per_core = _AUTO_BYTES_PER_CORE
         if data_dir is not None:
             self.attach(data_dir)
 
@@ -316,7 +323,7 @@ class Engine:
         sizes = {n: _plan_bytes(self.catalog.tables[n]) for n in edge_tables}
         if predicate_transfer == "auto":
             cores = self.spark.sparkContext.defaultParallelism
-            if max(sizes.values()) < _AUTO_BYTES_PER_CORE * cores:
+            if max(sizes.values()) < self.auto_bytes_per_core * cores:
                 return df  # below the measured crossover: plain plan wins
         reduced = _transfer(dict(self.catalog.tables), edges, sizes=sizes)
         # Re-resolve the same text against the reduced relations: temp views

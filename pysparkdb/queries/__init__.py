@@ -63,11 +63,11 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # registrations and the consumers of round-8's own advice fixes
 # (snapshot_diff update contract, as-of tolerance rounding,
 # incremental-refresh orphan guard). Topped up with the oldest banked
-# evidence (the round-2 bank) to 50. Fourteen r2 rows roll to the round-9
+# evidence (the round-2 bank) to 50. Fifteen r2 rows roll to the round-9
 # top-up (text_langid, text_quality, text_rolling_hash, text_tokens,
 # text_tokens_bpe, op_variance, op_window_rank, pipeline_clean,
 # text_fingerprint, op_join_theta, op_percentile, op_salted_agg,
-# op_union_merge, op_join_semi): the displacements are mid-round
+# op_union_merge, op_join_semi, op_join_right): the displacements are mid-round
 # review-wave reshapes that take priority — ev_stateful (memory-sink
 # cleanup), text_domain_mix / text_repetition / text_dup_chunks /
 # text_chunk (third wave), q5_pred_trans (fourth wave's barrier-path
@@ -77,8 +77,9 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # bit-identical on non-null data but the policy counts any body reshape).
 DRIVER_WINDOW: tuple[str, ...] = (
     # new round 8: mode axis + cost-based predicate transfer; plus the
-    # explicit-pass pin, whose extraction path the fourth wave reworked
-    "q6_modes", "q5_auto", "q5_pred_trans",
+    # explicit-pass pin, whose extraction path the fourth wave reworked,
+    # and q6_hybrid (eighth wave: weak-keyed session cache)
+    "q6_modes", "q5_auto", "q5_pred_trans", "q6_hybrid",
     # similarity.py reshaped by 3e7212b (lsh/ivf self-join pins, bucket
     # guard, shared _spread/with_norm path)
     "ann_lsh", "ann_ivf", "ann_topk", "dedup_embedding",
@@ -110,7 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_count_distinct", "op_cross_join", "op_except", "op_expr_datefuncs",
     "op_expr_isnull", "op_expr_substr_cast", "op_group_multi",
     "op_intersect", "op_join_anti", "op_join_full", "op_join_multikey",
-    "op_join_right",
 )
 
 

@@ -309,13 +309,18 @@ def ann_lsh(spark, sf_dir):
     approx = similarity.lsh_topk_neighbors(e, dim=64, k=1, query_filter=qf)
     exact = similarity.topk_neighbors(e, k=1, query_filter=qf)
     return _ann_recall_certificate(e, approx, exact, near_cos=0.8, floor=0.9,
-                                   ok_col="near_recall_ok")
+                                   ok_col="near_recall_ok", query_filter=qf)
 
 
-def _ann_recall_certificate(emb, approx, exact, near_cos, floor, ok_col):
+def _ann_recall_certificate(emb, approx, exact, near_cos, floor, ok_col,
+                            query_filter):
     """(n_queries, <ok_col>) in one distributed plan: recall@1 of ``approx``
     vs ``exact`` over exact-neighbor rows with cosine ≥ ``near_cos``; ok ⇔
-    recall ≥ floor (vacuously true when no query clears near_cos)."""
+    recall ≥ floor (vacuously true when no query clears near_cos).
+    ``query_filter`` must be the SAME predicate the caller passed to both
+    search paths — the certificate counts n_queries over it, so a
+    duplicated magic constant here would silently count the wrong
+    population when a caller's query set changes."""
     ex = exact.select(
         F.col("qid"), F.col("cid").alias("true_cid"), F.col("cosine").alias("true_cos")
     ).filter(F.col("true_cos") >= near_cos)
@@ -326,7 +331,7 @@ def _ann_recall_certificate(emb, approx, exact, near_cos, floor, ok_col):
             F.lit(1.0),
         ).alias("recall")
     )
-    n_q = emb.filter(F.col("vec_id") < 50).agg(
+    n_q = emb.filter(query_filter).agg(
         F.count(F.lit(1)).cast("long").alias("n_queries")
     )
     return n_q.crossJoin(hits.select((F.col("recall") >= floor).alias(ok_col)))
@@ -566,7 +571,7 @@ def ann_ivf(spark, sf_dir):
     approx = similarity.ivf_topk_neighbors(e, dim=64, k=1, query_filter=qf)
     exact = similarity.topk_neighbors(e, k=1, query_filter=qf)
     return _ann_recall_certificate(e, approx, exact, near_cos=-1.0, floor=0.6,
-                                   ok_col="recall_ok")
+                                   ok_col="recall_ok", query_filter=qf)
 
 
 @register(
@@ -1848,7 +1853,14 @@ def pipeline_snapshot_curation(spark, sf_dir):
             q = snapshot_stream_sink(cleaned, root, ckpt).trigger(
                 availableNow=True
             ).start()
-            assert q.awaitTermination(300), "ingest drain exceeded 300 s"
+            # explicit check, not assert: under python -O an assert is
+            # stripped (a timed-out drain would fall through to reading a
+            # partially-committed corpus), and on timeout the query must
+            # be STOPPED before the finally rmtree's its checkpoint dir
+            # out from under a still-running stream
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("ingest drain exceeded 300 s")
 
         # Size the dedup state store to the STREAM's volume, not the
         # analytic session default: shuffle.partitions dictates the number

@@ -55,7 +55,12 @@ QTY_I = "CAST(ROUND(l_quantity, 0) AS BIGINT)"
 REV_I = "CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT)"
 COST_I = "CAST(FLOOR(l_quantity * p_retailprice * 0.5) AS BIGINT)"
 
-# Typed join order: "date" (orders) first.
+# Typed join order: "date" (orders) first — the declared order of
+# typed/2.x-4.x's FROM clauses. Flight 1 is the reference's own
+# exception (typed/1.1.sql opens `from lineorder, "date"`, fact first);
+# this corpus declares orders-first UNIFORMLY, so for ssb_t1_* the
+# provenance marker is the flights-2-4 convention, not flight 1's
+# literal FROM order (results are unaffected — Catalyst reorders).
 _FACT_T = """
     orders JOIN lineitem ON o_orderkey = l_orderkey
 """

@@ -699,23 +699,19 @@ def q5_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     transfer — LeftSemi joins present — and return identical rows. Both
     plan inspections are folded into certificate booleans the oracle
     asserts TRUE, and the returned rows come from the TRANSFERRED plan, so
-    the driver hash also re-proves the pass's purity on q5. The module
-    threshold is restored in a finally; registered queries run serially in
-    the driver/bench harness, so the brief global flip cannot leak into a
-    concurrent resolution."""
-    import pysparkdb.engine as engine_mod
+    the driver hash also re-proves the pass's purity on q5. The crossover
+    flip is this facade's own per-instance ``auto_bytes_per_core`` knob —
+    scoped to the local Engine, so concurrent sql() calls through other
+    facades never observe it (no module-global mutation; Engine.sql's
+    thread-safety contract holds)."""
     from pysparkdb.engine import Engine
     from pysparkdb.plans.pushdown import explain_str
 
     eng = Engine(spark).attach(sf_dir, validate=False)
     below = eng.sql(_Q5_TEXT, predicate_transfer="auto")
     plain_below = "LeftSemi" not in explain_str(below, "simple")
-    saved = engine_mod._AUTO_BYTES_PER_CORE
-    try:
-        engine_mod._AUTO_BYTES_PER_CORE = 0
-        above = eng.sql(_Q5_TEXT, predicate_transfer="auto")
-    finally:
-        engine_mod._AUTO_BYTES_PER_CORE = saved
+    eng.auto_bytes_per_core = 0
+    above = eng.sql(_Q5_TEXT, predicate_transfer="auto")
     transfers_above = "LeftSemi" in explain_str(above, "simple")
     return (
         above.select("n_name", "revenue")
@@ -1146,7 +1142,13 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One cache manager per SparkSession for the hybrid-mode query (the
 # reference keeps one SegmentCacheActor per executor process,
 # fpdb-executor/src/Executor.cpp:46-60).
-_HYBRID_CACHES: dict = {}
+# Weak-keyed on the session (the queries/base.py _CATALOGS rationale): an
+# id()-keyed dict would pin every discarded session's InMemoryRelation for
+# process lifetime and could hand a stale manager to a new session that
+# reuses the freed id.
+import weakref
+
+_HYBRID_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @register(
@@ -1172,9 +1174,9 @@ def q6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pysparkdb.plans.cache import SegmentCacheManager
 
-    mgr = _HYBRID_CACHES.get(id(spark))
+    mgr = _HYBRID_CACHES.get(spark)
     if mgr is None:
-        mgr = _HYBRID_CACHES[id(spark)] = SegmentCacheManager(
+        mgr = _HYBRID_CACHES[spark] = SegmentCacheManager(
             spark, capacity_bytes=1 << 30, policy="wlfu"
         )
     l = tables(spark, sf_dir)["lineitem"]

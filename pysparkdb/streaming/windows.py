@@ -59,6 +59,8 @@ def _events_stream_schema(
     conv = empty_dir_conv
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     if files:
+        import pyarrow as pa
+
         conv = "none"
         ts_type = pq.read_schema(files[0]).field("ts").type
         if getattr(ts_type, "unit", None) == "ns":
@@ -67,6 +69,16 @@ def _events_stream_schema(
             # the NANOS unit alone); tz-aware values are UTC-based, which
             # matches the engine's UTC session timezone after conversion
             conv = "nanos"
+        elif not pa.types.is_timestamp(ts_type):
+            # e.g. a producer landing pre-converted INT64 epoch values:
+            # fail with the representation named, not an AttributeError
+            # from poking .tz on a non-timestamp pyarrow type
+            raise ValueError(
+                f"events file {files[0]!r} stores ts as {ts_type} — "
+                "expected a parquet timestamp column (nanos/micros, tz or "
+                "naive); pre-converted numeric ts columns need their own "
+                "declared-schema reader"
+            )
         elif ts_type.tz is None:
             conv = "ntz"
     ts_decl = {

@@ -503,10 +503,16 @@ class TestEnginePredicateTransfer:
         baseline = sorted(map(tuple, eng.sql(q).collect()))
         off = eng.sql(q, predicate_transfer="auto")
         assert "LeftSemi" not in explain_str(off, "simple")
-        monkeypatch.setattr(engine_mod, "_AUTO_BYTES_PER_CORE", 0)
+        # the crossover is a PER-INSTANCE knob (auto_bytes_per_core), so
+        # flipping it affects only this facade — the thread-safety
+        # contract other concurrent facades rely on
+        eng.auto_bytes_per_core = 0
         on = eng.sql(q, predicate_transfer="auto")
         assert "LeftSemi" in explain_str(on, "simple")
         assert sorted(map(tuple, on.collect())) == baseline
+        from pysparkdb.engine import Engine as _E
+
+        assert _E(spark).auto_bytes_per_core == engine_mod._AUTO_BYTES_PER_CORE
 
 
 class TestHybridCacheE2E:
@@ -521,7 +527,7 @@ class TestHybridCacheE2E:
 
         fn = load_all()["q6_hybrid"].fn
         first = fn(spark, sf_dir).collect()
-        mgr = _HYBRID_CACHES[id(spark)]
+        mgr = _HYBRID_CACHES[spark]
         hits_before = mgr.hit_count
         second = fn(spark, sf_dir).collect()
         assert mgr.hit_count > hits_before
