@@ -63,11 +63,14 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # registrations and the consumers of round-8's own advice fixes
 # (snapshot_diff update contract, as-of tolerance rounding,
 # incremental-refresh orphan guard). Topped up with the oldest banked
-# evidence (the round-2 bank) to 50. Fifteen r2 rows roll to the round-9
+# evidence (the round-2 bank) to 50. Twenty r2 rows roll to the round-9
 # top-up (text_langid, text_quality, text_rolling_hash, text_tokens,
 # text_tokens_bpe, op_variance, op_window_rank, pipeline_clean,
 # text_fingerprint, op_join_theta, op_percentile, op_salted_agg,
-# op_union_merge, op_join_semi, op_join_right): the displacements are mid-round
+# op_union_merge, op_join_semi, op_join_right, op_expr_substr_cast,
+# op_group_multi, op_intersect, op_join_full, op_join_multikey — the
+# last five displaced by the ninth wave's de-vacuified group below):
+# the displacements are mid-round
 # review-wave reshapes that take priority — ev_stateful (memory-sink
 # cleanup), text_domain_mix / text_repetition / text_dup_chunks /
 # text_chunk (third wave), q5_pred_trans (fourth wave's barrier-path
@@ -99,6 +102,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_case_in_like",
     # queries/streaming.py reshaped round 8 (memory-sink cleanup)
     "ev_stateful",
+    # de-vacuified round 8 (ninth wave): these six were structurally EMPTY
+    # at sf0.01 (every custkey has an order; the old SSB city pairs name
+    # unpopulated cities), so their banked green rows proved only 0 == 0.
+    # Reshaped to probe populated domains (urgent-order anti probe; city
+    # pairs chosen from the corpus's joint fact distribution) — all six now
+    # return rows at sf0.01 AND sf0.1 and need fresh driver evidence.
+    "op_join_anti", "q22", "ssb3_3", "ssb3_4", "ssb_t3_3", "ssb_t3_4",
     # pipeline/text.py reshaped round 8 (third review wave: NULL-domain
     # mixing, left-join repetition, cross-doc-only dup chunks, empty-doc
     # chunking)
@@ -109,8 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
     "dedup_exact", "mm_binary_meta", "mm_frame_sample", "op_agg_scalar",
     "op_count_distinct", "op_cross_join", "op_except", "op_expr_datefuncs",
-    "op_expr_isnull", "op_expr_substr_cast", "op_group_multi",
-    "op_intersect", "op_join_anti", "op_join_full", "op_join_multikey",
+    "op_expr_isnull",
 )
 
 

@@ -398,17 +398,24 @@ def op_join_semi(spark, sf_dir):
     """
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     """,
     "ops", "anti_join",
 )
 def op_join_anti(spark, sf_dir):
     """LEFT ANTI join — beyond-reference (SURVEY §2.4 'not present':
-    anti join is free in Spark): customers with no orders at all."""
+    anti join is free in Spark): customers with no URGENT order. The anti
+    probe is against a filtered orders subset because this corpus gives
+    every custkey at least one order — an unfiltered NOT EXISTS(orders) is
+    structurally empty at every SF, which would make the oracle row vacuous
+    (0 == 0 proves nothing about the anti-join kernel)."""
     t = tables(spark, sf_dir)
+    urgent = O.filter_(t["orders"], X.eq("o_orderpriority", "1-URGENT"))
     j = O.hash_join(
-        t["customer"], t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        t["customer"], urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     )
     return O.group(j, ["c_mktsegment"], {"n_customers": bigint(F.count(F.lit(1)))})
 

@@ -336,8 +336,8 @@ def ssb3_2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ssb3_3",
-    _flight3_sql("cus.c_city IN ('NATION_7_1', 'NATION_7_5')",
-                 "sup.s_city IN ('NATION_12_0', 'NATION_12_9')",
+    _flight3_sql("cus.c_city IN ('NATION_13_8', 'NATION_23_2')",
+                 "sup.s_city IN ('NATION_16_2', 'NATION_18_9')",
                  "EXTRACT(YEAR FROM o_orderdate) BETWEEN 1995 AND 1997",
                  "c_city", "s_city"),
     "ssb", "group", "join", "sort",
@@ -346,8 +346,8 @@ def ssb3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB Q3.3 (3.3.sql): two cities × two cities (IN-list dim filters)."""
     return _flight3(
         spark, sf_dir,
-        F.col("c_city").isin("NATION_7_1", "NATION_7_5"),
-        F.col("s_city").isin("NATION_12_0", "NATION_12_9"),
+        F.col("c_city").isin("NATION_13_8", "NATION_23_2"),
+        F.col("s_city").isin("NATION_16_2", "NATION_18_9"),
         F.year("o_orderdate").between(1995, 1997),
         "c_city", "s_city",
     )
@@ -355,21 +355,25 @@ def ssb3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ssb3_4",
-    _flight3_sql("cus.c_city IN ('NATION_7_1', 'NATION_7_5')",
-                 "sup.s_city IN ('NATION_12_0', 'NATION_12_9')",
-                 "EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) = 199607",
+    _flight3_sql("cus.c_city IN ('NATION_13_8', 'NATION_23_2')",
+                 "sup.s_city IN ('NATION_16_2', 'NATION_18_9')",
+                 "EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) = 199712",
                  "c_city", "s_city"),
     "ssb", "group", "join", "sort",
 )
 def ssb3_4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SSB Q3.4 (3.4.sql): same cities, one month (d_yearmonth='Jan1992' →
-    derived yearmonthnum 199607)."""
+    """SSB Q3.4 (3.4.sql): same cities, one month (d_yearmonth → derived
+    yearmonthnum 199712, the spec's Dec1997). City/month literals are chosen
+    from the synthetic corpus's actual domain so the query is non-empty at
+    sf0.01 AND sf0.1 (the spec's own literals name cities this corpus's
+    100-supplier sf0.01 slice simply doesn't populate — an empty result
+    would make the oracle row vacuous)."""
     ym = F.year("o_orderdate") * 100 + F.month("o_orderdate")
     return _flight3(
         spark, sf_dir,
-        F.col("c_city").isin("NATION_7_1", "NATION_7_5"),
-        F.col("s_city").isin("NATION_12_0", "NATION_12_9"),
-        ym == 199607,
+        F.col("c_city").isin("NATION_13_8", "NATION_23_2"),
+        F.col("s_city").isin("NATION_16_2", "NATION_18_9"),
+        ym == 199712,
         "c_city", "s_city",
     )
 

@@ -308,8 +308,8 @@ def ssb_t3_2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ssb_t3_3",
-    _t_flight3_sql("cus.c_city IN ('NATION_7_1', 'NATION_7_5')",
-                   "sup.s_city IN ('NATION_12_0', 'NATION_12_9')",
+    _t_flight3_sql("cus.c_city IN ('NATION_13_8', 'NATION_23_2')",
+                   "sup.s_city IN ('NATION_16_2', 'NATION_18_9')",
                    "EXTRACT(YEAR FROM o_orderdate) BETWEEN 1995 AND 1997",
                    "c_city", "s_city"),
     "ssb", "typed", "group", "join", "sort",
@@ -318,8 +318,8 @@ def ssb_t3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB typed Q3.3 (typed/3.3.sql): two cities × two cities."""
     return _t_flight3(
         spark, sf_dir,
-        F.col("c_city").isin("NATION_7_1", "NATION_7_5"),
-        F.col("s_city").isin("NATION_12_0", "NATION_12_9"),
+        F.col("c_city").isin("NATION_13_8", "NATION_23_2"),
+        F.col("s_city").isin("NATION_16_2", "NATION_18_9"),
         F.year("o_orderdate").between(1995, 1997),
         "c_city", "s_city",
     )
@@ -327,21 +327,23 @@ def ssb_t3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ssb_t3_4",
-    _t_flight3_sql("cus.c_city IN ('NATION_7_1', 'NATION_7_5')",
-                   "sup.s_city IN ('NATION_12_0', 'NATION_12_9')",
-                   "EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) = 199607",
+    _t_flight3_sql("cus.c_city IN ('NATION_13_8', 'NATION_23_2')",
+                   "sup.s_city IN ('NATION_16_2', 'NATION_18_9')",
+                   "EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) = 199712",
                    "c_city", "s_city"),
     "ssb", "typed", "group", "join", "sort",
 )
 def ssb_t3_4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB typed Q3.4 (typed/3.4.sql): same cities, one month
-    (d_yearmonth='Jan1992' → 199607)."""
+    (d_yearmonth → 199712, the spec's Dec1997; literals picked from the
+    corpus's populated city domain so the result is non-empty at
+    sf0.01/sf0.1 — see ssb3_4)."""
     ym = F.year("o_orderdate") * 100 + F.month("o_orderdate")
     return _t_flight3(
         spark, sf_dir,
-        F.col("c_city").isin("NATION_7_1", "NATION_7_5"),
-        F.col("s_city").isin("NATION_12_0", "NATION_12_9"),
-        ym == 199607,
+        F.col("c_city").isin("NATION_13_8", "NATION_23_2"),
+        F.col("s_city").isin("NATION_16_2", "NATION_18_9"),
+        ym == 199712,
         "c_city", "s_city",
     )
 

@@ -70,7 +70,10 @@ def sql_complete(text: str) -> bool:
     character is a ';' OUTSIDE every string literal and '--' comment.
     A naive endswith(';') check would dispatch truncated SQL the moment a
     literal containing ';' spans a line ("SELECT 'a;\\nb';") or a comment
-    line ends with ';'. Quotes escape by doubling ('' / "") per SQL."""
+    line ends with ';'. Quotes escape by doubling ('' / "") per SQL, and
+    Spark SQL additionally accepts backslash escapes (\\' / \\") inside
+    literals by default (spark.sql.parser.escapedStringLiterals=false), so
+    both forms must be skipped while scanning."""
     in_q: str | None = None
     in_comment = False
     last_sig = ""
@@ -82,6 +85,9 @@ def sql_complete(text: str) -> bool:
                 in_comment = False
             i += 1
         elif in_q:
+            if ch == "\\":  # backslash escape: skip the escaped character
+                i += 2
+                continue
             if ch == in_q:
                 if i + 1 < n and text[i + 1] == in_q:  # doubled-quote escape
                     i += 2

@@ -6,10 +6,23 @@ cost should grow ~linearly in corpus size, not quadratically. This script
 MEASURES that: the documents table is replicated k-fold with every token
 tagged per replica (`tok` → `tok_r<i>`), which preserves each replica's
 internal near-dup structure exactly while guaranteeing ZERO cross-replica
-shingle collisions — so the workload per document is constant and any
-super-linear growth is the engine's, not the data's. (Naive replication
-would instead create k-sized clone groups whose pair count grows k² —
-a different workload at every k.)
+shingle collisions. (Naive replication would instead create k-sized clone
+groups whose pair count grows k² — a different workload at every k.)
+
+For the SHINGLE-keyed ops (exact_duplicates, minhash_lsh_pairs with its
+64-bit band signatures) that makes per-document work constant by
+construction, so any super-linear growth is the engine's, not the data's.
+SimHash is different: banding a fingerprint into 2^band_bits buckets
+always carries an algorithm-intrinsic random-collision term of
+~bands·n²/2^(band_bits+1) candidate pairs — mutually-random cross-replica
+fingerprints land in shared buckets by pigeonhole, and at the default
+32/8 parameterization (256 buckets/band) that term is already quadratic
+at probe sizes, so a 32/8 probe would confound data-intrinsic O(n²) with
+engine behavior. The probe therefore runs simhash at its documented scale
+parameterization (bits=64, band_bits=16 → 65 536 buckets/band), where the
+intrinsic term stays ≪ n over the probed range and the constant-work
+premise holds; the parameter choice IS the scale story (size band_bits to
+your corpus so the collision term stays sub-dominant).
 
 Run:  python scripts/dedup_scale_probe.py [k ...]   (default 1 4 10)
 One line per (k, op): rows, wall seconds, and rows/s; the measured table
@@ -31,8 +44,26 @@ SRC = "/root/testdata/sf0.1/documents.parquet"
 
 
 def staged(spark, k: int):
-    """k-fold replicated documents, per-replica token tagging."""
-    d = spark.read.parquet(SRC).select("doc_id", "lang", "text")
+    """k-fold replicated documents, per-replica token tagging.
+
+    Token-less documents are excluded as a guard: tagging transforms
+    TOKENS, so a zero-token doc would be bit-identical in every replica —
+    a genuine k-sized clone group whose pair count grows k², exactly the
+    replicated-clone workload the tagging scheme exists to avoid. (The
+    current corpus has none; the filter makes the invariant hold for any
+    future corpus.)
+
+    Expected variance: tagging re-rolls every token hash per replica, so
+    each replica's simhash fingerprints are an independent draw and the
+    hamming<=max_hamming out_rows boundary is heavy-tailed per draw
+    (measured at k=10: per-replica pair counts 297..2700, ALL
+    within-replica — cross-replica pairs measured 0). out_rows therefore
+    wobbles across k; the wall-clock per doc is the linearity signal."""
+    d = (
+        spark.read.parquet(SRC)
+        .select("doc_id", "lang", "text")
+        .filter(F.size(F.split(F.trim("text"), " ")) >= 3)
+    )
     parts = []
     for i in range(k):
         tag = F.lit(f"_r{i}")
@@ -76,7 +107,8 @@ def main() -> None:
         timed("minhash_lsh_pairs", k, n,
               lambda: dedup.minhash_lsh_pairs(corpus, threshold=0.5,
                                               max_doc_freq=256))
-        timed("simhash_pairs", k, n, lambda: dedup.simhash_pairs(corpus))
+        timed("simhash_pairs(64/16)", k, n,
+              lambda: dedup.simhash_pairs(corpus, bits=64, band_bits=16))
         corpus.unpersist()
 
 

@@ -10,7 +10,7 @@ selectivity, key distributions, and the join graph are unchanged), then
 times the same multi-hop-selective query with and without the engine's
 predicate_transfer auto mode.
 
-Run:  python scripts/pred_transfer_crossover.py [k ...]   (default 1 4 16)
+Run:  python scripts/pred_transfer_crossover.py [k ...]   (default 1 8 32)
 Writes one result line per k; the measured table lives in SCALE.md.
 """
 

@@ -51,7 +51,7 @@ def rows_to_multiset(rows, columns):
     )
 
 
-def compare(spark_df, con, oracle_sql: str) -> None:
+def compare(spark_df, con, oracle_sql: str, *, allow_empty: bool = False) -> None:
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     rel = con.sql(oracle_sql)
@@ -59,6 +59,12 @@ def compare(spark_df, con, oracle_sql: str) -> None:
     o_cols = rel.columns
     assert sorted(s_cols) == sorted(o_cols), f"columns differ: {s_cols} vs {o_cols}"
     assert len(s_rows) == len(o_rows), f"row count {len(s_rows)} vs {len(o_rows)}"
+    # Non-vacuity guard: two empty frames compare equal while exercising none
+    # of the logic the comparison is cited as evidence for (truncated testdata,
+    # a filter that matches nothing at this scale factor). Queries whose
+    # correct answer is legitimately empty must opt in with allow_empty=True.
+    if not allow_empty:
+        assert s_rows, "oracle comparison is vacuous: both sides returned 0 rows"
     s_ms = rows_to_multiset([tuple(r) for r in s_rows], s_cols)
     o_ms = rows_to_multiset(o_rows, o_cols)
     mismatches = [

@@ -152,9 +152,12 @@ def test_simhash_identical_docs_collide(spark, sf_dir):
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
     }
     sim = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs).collect()}
-    if clones:
-        hit = len(clones & sim) / len(clones)
-        assert hit >= 0.8, f"simhash found only {hit:.0%} of J≥0.9 clones"
+    # non-vacuity: the corpus plants near-clones; if regenerated testdata
+    # ever stops containing J≥0.9 pairs this test must fail loudly, not
+    # silently skip its only assertion
+    assert clones, "vacuous: corpus has no J≥0.9 near-clone pairs"
+    hit = len(clones & sim) / len(clones)
+    assert hit >= 0.8, f"simhash found only {hit:.0%} of J≥0.9 clones"
 
 
 def test_ann_lsh_structure_and_recall(spark, sf_dir):
@@ -167,19 +170,38 @@ def test_ann_lsh_structure_and_recall(spark, sf_dir):
     approx = {r.qid: r.cid for r in similarity.lsh_topk_neighbors(
         e, dim=64, k=1, query_filter=F.col("vec_id") < 50).collect()}
     # structure: at most one neighbor per query, no self-matches
+    assert approx, "vacuous: LSH returned no neighbors at all"
     assert set(approx) <= set(range(50))
     assert all(cid not in (None, qid) for qid, cid in approx.items())
     recall = sum(1 for q in approx if exact.get(q) == approx[q]) / max(len(exact), 1)
     print(f"ann_lsh top-1 recall vs exact: {recall:.2f} over {len(approx)} queries")
     # LSH guarantees apply to genuinely-near neighbors: where the exact
     # top-1 has cosine ≥ 0.8, the (6-bit, 8-table) OR-construction must
-    # recover it with near-certainty
-    cos = {r.qid: (r.cid, r.cosine) for r in similarity.topk_neighbors(
-        e, k=1, query_filter=F.col("vec_id") < 50).collect()}
-    near = {q: c for q, (c, s) in cos.items() if s >= 0.8}
-    if near:
-        near_recall = sum(1 for q, c in near.items() if approx.get(q) == c) / len(near)
-        assert near_recall >= 0.9, f"near-neighbor recall {near_recall:.0%}"
+    # recover it with near-certainty. The random corpus has NO such pairs
+    # (measured max top-1 cosine ≈ 0.49 at sf0.01 — a corpus-derived
+    # `near` set is empty and the assertion vacuous), so PLANT them: for
+    # each query vector add a deterministically perturbed clone
+    # (per-dimension ±1% scaling → cosine ≈ 0.9999) under vec_id+10⁶.
+    pert = F.transform(
+        "embedding", lambda v, i: v * (1.0 + 0.01 * ((i % 3) - 1))
+    )
+    planted = (
+        e.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                pert.alias("embedding"))
+    )
+    seeded = e.select("vec_id", "embedding").unionByName(planted)
+    near_exact = {r.qid: (r.cid, r.cosine) for r in similarity.topk_neighbors(
+        seeded, k=1, query_filter=F.col("vec_id") < 50).collect()}
+    assert near_exact and all(
+        c == q + 1_000_000 and s > 0.99 for q, (c, s) in near_exact.items()
+    ), "planting failed: exact top-1 should be the perturbed clone"
+    near_approx = {r.qid: r.cid for r in similarity.lsh_topk_neighbors(
+        seeded, dim=64, k=1, query_filter=F.col("vec_id") < 50).collect()}
+    near_recall = sum(
+        1 for q in near_exact if near_approx.get(q) == near_exact[q][0]
+    ) / len(near_exact)
+    assert near_recall >= 0.9, f"near-neighbor recall {near_recall:.0%}"
 
 
 def test_multimodal_decode_stub(spark, sf_dir):

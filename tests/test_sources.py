@@ -377,6 +377,9 @@ def test_console_statement_termination_respects_literals_and_comments():
     assert sql_complete("SELECT 'it''s';")          # doubled-quote escape
     assert not sql_complete('SELECT "a;')           # double-quoted ident open
     assert not sql_complete("")
+    assert sql_complete("SELECT 'don\\'t';")        # backslash escape closes
+    assert not sql_complete("SELECT 'don\\'t;")     # still open after \'
+    assert sql_complete("SELECT 'a\\\\';")          # escaped backslash, closed
 
 
 def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):

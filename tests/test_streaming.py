@@ -24,15 +24,50 @@ def events_stream(spark, events_dir):
     return S.read_events_stream(spark, events_dir)
 
 
+def _by_key(rows, n_key_cols):
+    """{key-tuple: value-tuple} with a duplicate-key guard."""
+    out = {}
+    for r in rows:
+        t = tuple(r)
+        k, v = t[:n_key_cols], t[n_key_cols:]
+        assert k not in out, f"duplicate group key {k}"
+        out[k] = v
+    return out
+
+
+def _assert_groups_equal(got_rows, batch_rows, n_key_cols, float_tol=1e-6):
+    """Per-group comparison: key sets identical, counts exact, float sums
+    within tolerance (stream/batch may sum doubles in different orders).
+    Totals-only comparisons let a window-assignment bug that conserves the
+    grand total pass — this does not."""
+    got_m, batch_m = _by_key(got_rows, n_key_cols), _by_key(batch_rows, n_key_cols)
+    assert got_m, "vacuous: stream produced no groups"
+    assert set(got_m) == set(batch_m), (
+        f"group keys differ: only-stream={sorted(set(got_m) - set(batch_m))[:5]} "
+        f"only-batch={sorted(set(batch_m) - set(got_m))[:5]}"
+    )
+    for k, gv in got_m.items():
+        bv = batch_m[k]
+        for g, b in zip(gv, bv):
+            if isinstance(g, float):
+                assert abs(g - b) <= float_tol, (k, gv, bv)
+            else:
+                assert g == b, (k, gv, bv)
+
+
 def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream):
     got = S.run_to_memory(S.tumbling_agg(events_stream), "t_tumbling")
     batch = (
         tables(spark, sf_dir)["events"]
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
     )
-    assert got.count() == batch.count()
-    assert got.agg(F.sum("n")).first()[0] == tables(spark, sf_dir)["events"].count()
+    _assert_groups_equal(
+        got.select("ws", "event_type", "n", "total").collect(),
+        batch.collect(),
+        n_key_cols=2,
+    )
 
 
 def test_sliding_stream_counts_twice(spark, sf_dir, events_stream):
@@ -40,6 +75,16 @@ def test_sliding_stream_counts_twice(spark, sf_dir, events_stream):
     total_rows = tables(spark, sf_dir)["events"].count()
     # every event lands in exactly two (1h, 30m-slide) windows
     assert got.agg(F.sum("n")).first()[0] == 2 * total_rows
+    # and each individual window's count matches the batch assignment
+    batch = (
+        tables(spark, sf_dir)["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    _assert_groups_equal(
+        got.select("ws", "n").collect(), batch.collect(), n_key_cols=1
+    )
 
 
 def test_session_stream_matches_gaps_and_islands(spark, sf_dir, events_stream):
@@ -49,6 +94,23 @@ def test_session_stream_matches_gaps_and_islands(spark, sf_dir, events_stream):
     batch_sessions = load_all()["ev_session"].fn(spark, sf_dir)
     assert got.count() == batch_sessions.count()
     assert got.agg(F.sum("n_events")).first()[0] == tables(spark, sf_dir)["events"].count()
+    # per-session boundaries + aggregates against the batch session_window
+    # (wrong boundaries that merge one session pair and split another would
+    # conserve both counts above)
+    batch = (
+        tables(spark, sf_dir)["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "total",
+        )
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "total"]
+    _assert_groups_equal(
+        got.select(*cols).collect(), batch.select(*cols).collect(), n_key_cols=3
+    )
 
 
 def test_stateful_counter_matches_batch_totals(spark, sf_dir, events_stream):
