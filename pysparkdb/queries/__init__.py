@@ -68,8 +68,9 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # text_tokens_bpe, op_variance, op_window_rank, pipeline_clean,
 # text_fingerprint, op_join_theta, op_percentile, op_salted_agg,
 # op_union_merge, op_join_semi, op_join_right, op_expr_substr_cast,
-# op_group_multi, op_intersect, op_join_full, op_join_multikey — the
-# last five displaced by the ninth wave's de-vacuified group below):
+# op_group_multi, op_intersect, op_join_full, op_join_multikey,
+# op_expr_isnull — the last six displaced by the ninth wave's
+# de-vacuified group and the late-r8 pipeline_schema_evolution below):
 # the displacements are mid-round
 # review-wave reshapes that take priority — ev_stateful (memory-sink
 # cleanup), text_domain_mix / text_repetition / text_dup_chunks /
@@ -96,8 +97,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_decontaminate", "dedup_cluster", "dedup_incremental",
     "pipeline_clean_near", "text_fuzzy_join",
     # sources/versioned.py reshaped by 2034133 (GC epoch/sidecar) and r8
-    # (snapshot_diff detect_updates; incremental-refresh orphan filter)
+    # (snapshot_diff detect_updates; incremental-refresh orphan filter;
+    # late-r8 manifest-recorded schema evolution — pipeline_schema_evolution
+    # is NEW and certifies it; the other two consume the same module)
     "pipeline_snapshot_curation", "pipeline_incremental_refresh",
+    "pipeline_schema_evolution",
     # functions/expressions.py case_when literal handling (2034133)
     "op_case_in_like",
     # queries/streaming.py reshaped round 8 (memory-sink cleanup)
@@ -119,7 +123,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
     "dedup_exact", "mm_binary_meta", "mm_frame_sample", "op_agg_scalar",
     "op_count_distinct", "op_cross_join", "op_except", "op_expr_datefuncs",
-    "op_expr_isnull",
 )
 
 

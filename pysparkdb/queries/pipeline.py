@@ -2027,3 +2027,81 @@ def pipeline_incremental_refresh(spark, sf_dir):
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(out, "lang string, n_docs long, incremental_matches boolean")
+
+
+@register(
+    "pipeline_schema_evolution",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS BIGINT)
+             AS n_scored,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0
+                         THEN CAST(CAST(n_chars AS DOUBLE) * 0.25
+                                   AS DECIMAL(25,6)) END) AS DOUBLE)
+             AS sum_quality,
+           TRUE AS v1_lacked_quality
+    FROM documents GROUP BY lang
+    """,
+    "pipeline", "versioned", "schema_evolution",
+)
+def pipeline_schema_evolution(spark, sf_dir):
+    """Schema evolution on the versioned store, certified end-to-end: v1
+    appends documents WITHOUT a quality column, v2 appends the rest WITH
+    one (doubles, exact dyadic n_chars*0.25 so sums hash bit-identically),
+    and the latest read runs under the manifest-recorded MERGED schema
+    (sources/versioned.py:snapshot_append/_merge_schema — the
+    Delta/Iceberg log-recorded-schema idea). The certificate is the
+    grouped corpus stat over that mixed-schema read: n_docs counts BOTH
+    eras (old files must still be readable), n_scored counts non-NULL
+    quality (v1 rows MUST surface as NULL — if Spark sampled a v1 footer
+    and dropped the column, or backfilled anything non-NULL, the count
+    and sum both break), and v1_lacked_quality pins the premise from the
+    v1 manifest schema itself so the evolution cannot be faked by two
+    same-schema appends. Scale shape: schema merge and read-declaration
+    are manifest-only (no data pass); the read is the same
+    explicit-file-list scan as every snapshot read."""
+    import os
+    import shutil
+    import tempfile
+
+    from pysparkdb.sources.versioned import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_schema,
+    )
+
+    docs = tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    workdir = tempfile.mkdtemp(prefix="schemaevo-")
+    try:
+        root = os.path.join(workdir, "corpus")
+        snapshot_append(docs.filter(F.col("doc_id") % 3 != 0), root)  # v1
+        snapshot_append(  # v2: adds `quality`
+            docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+                "quality", F.col("n_chars").cast("double") * 0.25
+            ),
+            root,
+        )
+        v1_lacked = "quality" not in snapshot_schema(root, 1).fieldNames()
+        from pysparkdb.queries.base import dsum
+
+        cur = snapshot_read(spark, root)  # merged schema: quality present
+        out = (
+            cur.groupBy("lang")
+            .agg(
+                bigint(F.count(F.lit(1))).alias("n_docs"),
+                bigint(F.count("quality")).alias("n_scored"),
+                dsum(F.col("quality")).alias("sum_quality"),
+            )
+            .withColumn("v1_lacked_quality", F.lit(bool(v1_lacked)))
+            .collect()  # materialize before the scratch root is removed
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "lang string, n_docs long, n_scored long, sum_quality double, "
+        "v1_lacked_quality boolean",
+    )

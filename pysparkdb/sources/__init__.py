@@ -25,6 +25,7 @@ from pysparkdb.sources.versioned import (
     snapshot_append,
     snapshot_compact,
     snapshot_read,
+    snapshot_schema,
     snapshot_stream_sink,
     snapshot_versions,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "snapshot_append",
     "snapshot_compact",
     "snapshot_read",
+    "snapshot_schema",
     "snapshot_stream_sink",
     "snapshot_versions",
 ]

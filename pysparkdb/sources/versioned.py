@@ -15,7 +15,14 @@ implements the minimal core of that idea with nothing but parquet + JSON:
   concurrent readers of different versions never conflict;
 - compaction rewrites the CURRENT file set into fewer files as a new
   version; history before it is untouched (the file list, not the data,
-  is the unit of change).
+  is the unit of change);
+- each manifest records its version's SCHEMA (the Delta/Iceberg
+  log-recorded-schema idea): appends may add new nullable columns, and
+  every read declares the manifest schema explicitly, so old files serve
+  NULL for later columns and a mixed-schema file list can never depend on
+  which footer Spark happens to sample (without a declared schema, a
+  column added in batch 7 silently vanishes whenever the sampled footer
+  predates it).
 
 Contract: single writer (the commit is a manifest write; real formats
 arbitrate concurrent writers with CAS on the log — out of scope here and
@@ -72,14 +79,76 @@ def _read_manifest(root: str, version: int) -> dict:
 
 
 def _commit(root: str, version: int, files: list[str], n_rows: int, parent: int | None,
-            epoch: int | None = None) -> None:
+            epoch: int | None = None, schema: dict | None = None) -> None:
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     body = {"version": version, "files": sorted(files), "n_rows": n_rows,
-            "parent": parent, "epoch": epoch}
+            "parent": parent, "epoch": epoch, "schema": schema}
     tmp = _manifest_path(root, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(body, f)
     os.rename(tmp, _manifest_path(root, version))  # atomic publish
+
+
+def _schema_dict(df_schema) -> dict:
+    """A DataFrame schema as a manifest-storable dict, every field
+    normalized to nullable — parquet treats all columns as optional, and a
+    version's schema must admit later appends that omit a column (their
+    rows read as NULL)."""
+    from pyspark.sql import types as T
+
+    return json.loads(
+        T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in df_schema.fields]
+        ).json()
+    )
+
+
+def _merge_schema(parent: dict | None, df_schema) -> dict:
+    """Evolve the parent manifest schema with an appended frame's schema:
+    brand-new columns are ADDED (nullable — earlier files serve NULL for
+    them), existing columns must keep their exact type (no silent
+    widening/narrowing: a type change is a rewrite, not an append — the
+    same strictness Delta applies without an explicit type-change
+    migration), and parent columns the frame omits REMAIN (the new rows
+    read as NULL there). Column order: parent columns first, new columns
+    appended in frame order."""
+    from pyspark.sql import types as T
+
+    incoming = _schema_dict(df_schema)
+    if parent is None:
+        return incoming
+    by_name = {f["name"]: f for f in parent["fields"]}
+    merged = list(parent["fields"])
+    for f in incoming["fields"]:
+        have = by_name.get(f["name"])
+        if have is None:
+            merged.append(f)
+        elif have["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution: column {f['name']!r} is "
+                f"{json.dumps(have['type'])} in the snapshot history but the "
+                f"appended frame has {json.dumps(f['type'])}; type changes "
+                "need snapshot_rewrite (full replacement), appends may only "
+                "add new nullable columns"
+            )
+    out = dict(parent)
+    out["fields"] = merged
+    T.StructType.fromJson(out)  # validate before it reaches a manifest
+    return out
+
+
+def snapshot_schema(root: str, version: int | None = None):
+    """The recorded StructType of ``version`` (default: latest), or None
+    for a pre-schema-evolution manifest (legacy roots keep their original
+    sampled-footer read path)."""
+    from pyspark.sql import types as T
+
+    versions = snapshot_versions(root)
+    if not versions:
+        raise ValueError(f"no snapshot versions committed under {root!r}")
+    m = _read_manifest(root, versions[-1] if version is None else version)
+    s = m.get("schema")
+    return None if s is None else T.StructType.fromJson(s)
 
 
 def _parquet_files(d: str) -> list[str]:
@@ -125,11 +194,21 @@ def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
     """Append df as a new immutable batch; commit and return the new
     version. Data lands under data/batch-{version}-{uuid}/; the manifest
     is the parent's file list plus the new files (see _stage_batch for
-    the crash-recovery story)."""
+    the crash-recovery story). Schema evolution: the committed schema is
+    the parent's merged with df's — new columns append (earlier files
+    read NULL for them), omitted parent columns stay (df's rows read
+    NULL there), type changes raise BEFORE any data is staged (a failed
+    merge must not leave an orphan batch directory)."""
+    versions = snapshot_versions(root)
+    prev = (
+        _read_manifest(root, versions[-1])
+        if versions
+        else {"files": [], "n_rows": 0, "schema": None}
+    )
+    schema = _merge_schema(prev.get("schema"), df.schema)
     version, parent, new_files, n_new = _stage_batch(df, root, "batch")
-    prev = _read_manifest(root, parent) if parent else {"files": [], "n_rows": 0}
     _commit(root, version, prev["files"] + new_files, prev["n_rows"] + n_new, parent,
-            epoch=epoch)
+            epoch=epoch, schema=schema)
     return version
 
 
@@ -147,7 +226,16 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
     m = _read_manifest(root, version)
     if not m["files"]:
         raise ValueError(f"version {version} is empty")
-    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    paths = [os.path.join(root, f) for f in m["files"]]
+    schema = m.get("schema")
+    if schema is None:  # legacy pre-schema manifest: original read path
+        return spark.read.parquet(*paths)
+    from pyspark.sql import types as T
+
+    # the manifest schema is DECLARED on the read: files predating a
+    # column serve NULL for it, and the result shape never depends on
+    # which footer Spark samples from a mixed-schema file list
+    return spark.read.schema(T.StructType.fromJson(schema)).parquet(*paths)
 
 
 def snapshot_gc(
@@ -314,16 +402,26 @@ def snapshot_diff(
     the full snapshots and the join does the work; keys are assumed
     unique per snapshot (the ingest path dedups — callers with duplicate
     keys should diff on the full key). One shuffle by key either way."""
-    fa = set(_read_manifest(root, from_version)["files"])
-    fb = set(_read_manifest(root, to_version)["files"])
+    ma = _read_manifest(root, from_version)
+    mb = _read_manifest(root, to_version)
+    fa, fb = set(ma["files"]), set(mb["files"])
     only_a, only_b = sorted(fa - fb), sorted(fb - fa)
 
-    def _read(files: list[str]) -> DataFrame | None:
+    def _read(files: list[str], manifest: dict) -> DataFrame | None:
         if not files:
             return None
-        return spark.read.parquet(*[os.path.join(root, f) for f in files])
+        paths = [os.path.join(root, f) for f in files]
+        schema = manifest.get("schema")
+        if schema is None:
+            return spark.read.parquet(*paths)
+        from pyspark.sql import types as T
 
-    a, b = _read(only_a), _read(only_b)
+        # each side reads under ITS version's recorded schema, so a column
+        # added between the versions is NULL on the from side rather than
+        # sampled-footer-dependent (see snapshot_read)
+        return spark.read.schema(T.StructType.fromJson(schema)).parquet(*paths)
+
+    a, b = _read(only_a, ma), _read(only_b, mb)
     if a is None and b is None:  # identical file lists → empty diff
         base = snapshot_read(spark, root, to_version)
         return base.limit(0).withColumn("_change", F.lit(""))
@@ -337,24 +435,41 @@ def snapshot_diff(
     a_tag = a.join(b.select(*key_cols), key_cols, "left_anti").withColumn(
         "_change", F.lit("delete")
     )
-    out = b_tag.unionByName(a_tag)
+    # allowMissingColumns: across a schema evolution the two sides differ —
+    # delete rows gain NULL for columns the from version predates (and
+    # vice versa after a column-dropping rewrite)
+    out = b_tag.unionByName(a_tag, allowMissingColumns=True)
     if detect_updates:
+        # payload = the UNION of both sides' non-key columns; a column one
+        # side lacks compares as NULL of the other side's type, so adding
+        # a column with a non-null value (or dropping one that had any)
+        # correctly surfaces as an update
+        a_types = {f.name: f.dataType for f in a.schema.fields}
+        b_types = {f.name: f.dataType for f in b.schema.fields}
         payload = [c for c in b.columns if c not in key_cols]
+        payload += [c for c in a.columns if c not in key_cols and c not in payload]
         if payload:
+
+            def side(types, c, alias):
+                if c in types:
+                    return F.col(c).alias(alias)
+                other = a_types.get(c) or b_types[c]
+                return F.lit(None).cast(other).alias(alias)
+
             a_payload = a.select(
-                *key_cols, *[F.col(c).alias(f"_a_{c}") for c in payload]
+                *key_cols, *[side(a_types, c, f"_a_{c}") for c in payload]
             )
             upd = (
                 b.join(a_payload, key_cols, "inner")
                 .filter(
-                    ~F.struct(*[F.col(c) for c in payload]).eqNullSafe(
-                        F.struct(*[F.col(f"_a_{c}") for c in payload])
-                    )
+                    ~F.struct(
+                        *[side(b_types, c, c) for c in payload]
+                    ).eqNullSafe(F.struct(*[F.col(f"_a_{c}") for c in payload]))
                 )
                 .select(*b.columns)
                 .withColumn("_change", F.lit("update"))
             )
-            out = out.unionByName(upd)
+            out = out.unionByName(upd, allowMissingColumns=True)
     return out
 
 
@@ -402,7 +517,10 @@ def snapshot_compact(
         w = w.option("parquet.block.size", str(row_group_bytes))
     w.parquet(batch_dir)
     files = [os.path.relpath(p, root) for p in _parquet_files(batch_dir)]
-    _commit(root, version, files, _read_manifest(root, parent)["n_rows"], parent)
+    pm = _read_manifest(root, parent)
+    # same rows, same schema: compaction carries the parent schema forward
+    # (cur was READ with it, so the rewrite's footers already conform)
+    _commit(root, version, files, pm["n_rows"], parent, schema=pm.get("schema"))
     return version
 
 
@@ -419,7 +537,10 @@ def snapshot_rewrite(spark: SparkSession, root: str, df: DataFrame) -> int:
     manifest rename; snapshot_diff against the parent yields the
     insert/delete feed downstream increments consume."""
     version, parent, files, n_rows = _stage_batch(df, root, "rewrite")
-    _commit(root, version, files, n_rows, parent)
+    # full replacement owns its schema outright: a rewrite may drop or
+    # retype columns (it lists no historical files, so there is nothing
+    # the declared schema must stay compatible with)
+    _commit(root, version, files, n_rows, parent, schema=_schema_dict(df.schema))
     return version
 
 

@@ -707,6 +707,133 @@ class TestSnapshotVersioning:
         assert snapshot_versions(root) == [1]
         assert snapshot_read(spark, root).count() == 5
 
+    def test_schema_evolution_add_column(self, spark, sf_dir, tmp_path):
+        """Appending a frame with a NEW column evolves the manifest schema
+        (Delta log-recorded-schema semantics): the latest read declares the
+        merged schema, so v1-era files serve NULL for the later column —
+        never a sampled-footer coin flip — while time travel to v1 keeps
+        its original narrower shape."""
+        from pyspark.sql import functions as F
+
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_read, snapshot_schema,
+        )
+
+        nation = tables(spark, sf_dir)["nation"].select("n_nationkey", "n_name")
+        root = str(tmp_path / "snap")
+        snapshot_append(nation.filter(F.col("n_nationkey") < 10), root)  # v1
+        snapshot_append(  # v2 adds `score`
+            nation.filter(F.col("n_nationkey") >= 10).withColumn(
+                "score", F.col("n_nationkey").cast("double") * 0.5
+            ),
+            root,
+        )
+        assert snapshot_schema(root, 1).fieldNames() == ["n_nationkey", "n_name"]
+        assert snapshot_schema(root, 2).fieldNames() == [
+            "n_nationkey", "n_name", "score",
+        ]
+        cur = snapshot_read(spark, root)
+        assert cur.columns == ["n_nationkey", "n_name", "score"]
+        rows = {r.n_nationkey: r.score for r in cur.collect()}
+        assert len(rows) == 25
+        assert all(rows[k] is None for k in range(10))  # v1 era → NULL
+        assert all(rows[k] == k * 0.5 for k in range(10, 25))
+        # time travel keeps v1's narrower shape
+        assert snapshot_read(spark, root, 1).columns == ["n_nationkey", "n_name"]
+
+    def test_schema_evolution_omitted_and_conflicting_columns(
+        self, spark, sf_dir, tmp_path
+    ):
+        """An append may OMIT existing columns (its rows read as NULL
+        there); a TYPE change is rejected before any data stages (no
+        orphan batch directory), directing callers to snapshot_rewrite."""
+        import os
+
+        import pytest
+        from pyspark.sql import functions as F
+
+        from pysparkdb.sources.versioned import snapshot_append, snapshot_read
+
+        nation = tables(spark, sf_dir)["nation"]
+        root = str(tmp_path / "snap")
+        snapshot_append(
+            nation.filter(F.col("n_nationkey") < 5).select(
+                "n_nationkey", "n_name", "n_regionkey"
+            ),
+            root,
+        )
+        snapshot_append(  # omits n_regionkey
+            nation.filter(F.col("n_nationkey").between(5, 9)).select(
+                "n_nationkey", "n_name"
+            ),
+            root,
+        )
+        cur = snapshot_read(spark, root)
+        assert cur.columns == ["n_nationkey", "n_name", "n_regionkey"]
+        got = {r.n_nationkey: r.n_regionkey for r in cur.collect()}
+        assert all(got[k] is not None for k in range(5))
+        assert all(got[k] is None for k in range(5, 10))
+
+        n_dirs = len(os.listdir(os.path.join(root, "data")))
+        with pytest.raises(ValueError, match="schema evolution"):
+            snapshot_append(  # n_regionkey is integer in the history
+                nation.select(
+                    "n_nationkey",
+                    F.col("n_regionkey").cast("string").alias("n_regionkey"),
+                ),
+                root,
+            )
+        # the failed merge staged nothing (no orphan batch directory)
+        assert len(os.listdir(os.path.join(root, "data"))) == n_dirs
+
+    def test_schema_evolution_diff_and_rewrite(self, spark, sf_dir, tmp_path):
+        """snapshot_diff across an evolution: inserts carry the new column,
+        deletes read NULL for it (allowMissingColumns union), and
+        detect_updates treats a column added WITH non-null values as a
+        payload change. A rewrite may then drop the column outright (full
+        replacement owns its schema)."""
+        from pyspark.sql import functions as F
+
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_diff, snapshot_read, snapshot_rewrite,
+            snapshot_schema,
+        )
+
+        nation = tables(spark, sf_dir)["nation"].select("n_nationkey", "n_name")
+        root = str(tmp_path / "snap")
+        snapshot_append(nation.filter(F.col("n_nationkey") < 10), root)  # v1
+        snapshot_append(  # v2 adds scored rows
+            nation.filter(F.col("n_nationkey").between(10, 14)).withColumn(
+                "score", F.lit(1.0)
+            ),
+            root,
+        )
+        d12 = snapshot_diff(spark, root, 1, 2, ["n_nationkey"])
+        rows = {r.n_nationkey: (r._change, r.score) for r in d12.collect()}
+        assert set(rows) == set(range(10, 15))
+        assert all(v == ("insert", 1.0) for v in rows.values())
+
+        # v3: rewrite rescoring EVERY row — updates must surface for v2→v3
+        # keys whose score changed, and v1-era keys gain a score (NULL → 1.0
+        # counts as a change too)
+        v2 = snapshot_read(spark, root, 2)
+        snapshot_rewrite(
+            spark, root, v2.withColumn("score", F.lit(2.0))
+        )
+        d23 = snapshot_diff(
+            spark, root, 2, 3, ["n_nationkey"], detect_updates=True
+        )
+        ch = {r.n_nationkey: r._change for r in d23.collect()}
+        assert set(ch) == set(range(15))
+        assert all(c == "update" for c in ch.values())
+
+        # v4: rewrite DROPPING the column — full replacement owns its schema
+        snapshot_rewrite(
+            spark, root, snapshot_read(spark, root, 3).drop("score")
+        )
+        assert snapshot_schema(root, 4).fieldNames() == ["n_nationkey", "n_name"]
+        assert snapshot_read(spark, root, 4).columns == ["n_nationkey", "n_name"]
+
 
 def test_snapshot_compact_zorder_restores_pruning(spark, sf_dir, tmp_path):
     """OPTIMIZE-ZORDER composition: appends land unclustered; a zordered
