@@ -559,43 +559,39 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     serving ANN. Returns (vec_id, scale, q) with q serialized as a
     comma-joined int string (order-deterministic, oracle-exact).
 
-    One Arrow-batched pandas_udf does the whole row: abs-max, divide,
-    floor, clamp are all elementwise float64 ops — bit-identical to the
-    oracle's per-element SQL (IEEE 754; floor(x+0.5) is the explicit
-    half-up rule BOTH engines share, unlike round(), whose half-even/
-    half-up mode differs between them). Zero vectors quantize against
+    Pure higher-order built-ins (transform / array_max / array_join) —
+    abs-max, divide, floor, clamp are elementwise float64 ops Catalyst
+    codegens JVM-side, bit-identical to the oracle's per-element SQL
+    (IEEE 754; floor(x+0.5) is the explicit half-up rule BOTH engines
+    share, unlike round(), whose half-even/half-up mode differs between
+    them). Elementwise math needs no Python at all: the previous
+    Arrow-batched pandas_udf form computed the same values but paid the
+    Python-worker-pool restart whenever this query followed a long
+    JVM-only stretch (the bench artifact BENCH_BASELINE.md adjudicates —
+    0.6 s warm, 3-6 s after a worker reap); built-ins delete that failure
+    mode along with the Arrow transfer. Zero vectors quantize against
     scale 1.0. Map-side only: no shuffle, output partitioning inherits
     the scan."""
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    def _fn(vs):
-        if len(vs) == 0:
-            return pd.DataFrame({"scale": [], "q": []})
-        x = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
-        amax = np.abs(x).max(axis=1)
-        scale = np.where(amax == 0.0, 1.0, amax / 127.0)
-        q = np.clip(np.floor(x / scale[:, None] + 0.5), -127, 127).astype(np.int64)
-        return pd.DataFrame(
-            {"scale": scale, "q": [",".join(map(str, row)) for row in q]}
-        )
-
-    _fn.__annotations__ = {"vs": pd.Series, "return": pd.DataFrame}
-    quant = pandas_udf(
-        _fn, T.StructType([
-            T.StructField("scale", T.DoubleType()),
-            T.StructField("q", T.StringType()),
-        ])
-    )
     v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
     out = _spread(_non_null_vecs(df, vec_col)).select(
-        "vec_id", quant(v).alias("_q")
+        "vec_id", v.alias("_v"), scale.alias("_scale")
+    )
+    q = F.array_join(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.floor(x / F.col("_scale") + 0.5)),
+            ).cast("long"),
+        ),
+        ",",
     )
     return out.select(
         "vec_id",
-        F.round(F.col("_q.scale"), 6).alias("scale"),
-        F.col("_q.q").alias("q"),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        q.alias("q"),
     )
 
 

@@ -69,8 +69,9 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # text_fingerprint, op_join_theta, op_percentile, op_salted_agg,
 # op_union_merge, op_join_semi, op_join_right, op_expr_substr_cast,
 # op_group_multi, op_intersect, op_join_full, op_join_multikey,
-# op_expr_isnull — the last six displaced by the ninth wave's
-# de-vacuified group and the late-r8 pipeline_schema_evolution below):
+# op_expr_isnull, op_expr_datefuncs — the last seven displaced by the
+# ninth wave's de-vacuified group and the late-r8 additions below
+# (pipeline_schema_evolution, the emb_quantize built-ins rework):
 # the displacements are mid-round
 # review-wave reshapes that take priority — ev_stateful (memory-sink
 # cleanup), text_domain_mix / text_repetition / text_dup_chunks /
@@ -85,9 +86,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # and q6_hybrid (eighth wave: weak-keyed session cache)
     "q6_modes", "q5_auto", "q5_pred_trans", "q6_hybrid",
     # similarity.py reshaped by 3e7212b (lsh/ivf self-join pins, bucket
-    # guard, shared _spread/with_norm path)
+    # guard, shared _spread/with_norm path); emb_quantize reshaped late r8
+    # (pandas_udf → pure higher-order built-ins, deleting the
+    # worker-restart bench artifact)
     "ann_lsh", "ann_ivf", "ann_topk", "dedup_embedding",
-    "dedup_embedding_lsh", "emb_hard_negatives",
+    "dedup_embedding_lsh", "emb_hard_negatives", "emb_quantize",
     # operators/asof.py reshaped by 2034133 (NTZ path) + r8 round() fix
     "ev_asof", "ev_asof_nearest", "ev_asof_tolerance", "ev_conversion_lag",
     "ev_resample_ffill",
@@ -122,7 +125,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_resize", "mm_audio_features", "mm_chunk_audio", "mm_image_dedup",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
     "dedup_exact", "mm_binary_meta", "mm_frame_sample", "op_agg_scalar",
-    "op_count_distinct", "op_cross_join", "op_except", "op_expr_datefuncs",
+    "op_count_distinct", "op_cross_join", "op_except",
 )
 
 

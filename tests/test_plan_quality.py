@@ -243,12 +243,16 @@ class TestPipelinePlans:
         p = plan("text_pack", spark, sf_dir, mode="simple")
         assert p.count("Exchange") == 1, p
 
-    def test_quantize_is_map_side_only(self, spark, sf_dir):
-        """int8 quantization must not shuffle beyond the input rebalance:
-        the pandas_udf runs per scan partition (ArrowEvalPython in-line,
-        no aggregation exchange)."""
+    def test_quantize_is_map_side_only_and_jvm_side(self, spark, sf_dir):
+        """int8 quantization must not shuffle beyond the input rebalance,
+        and must stay ENTIRELY JVM-side: elementwise math compiles to
+        higher-order built-ins (transform/array_max), never a Python eval
+        node — the pandas_udf form computed the same values but paid a
+        Python-worker-pool restart whenever the query followed a long
+        JVM-only stretch (the recurring 4-10x bench artifact
+        BENCH_BASELINE.md adjudicates)."""
         p = plan("emb_quantize", spark, sf_dir, mode="simple")
-        assert "ArrowEvalPython" in p, p
+        assert "EvalPython" not in p, p  # Arrow/BatchEvalPython both
         # the only exchange is _spread's round-robin rebalance
         assert p.count("Exchange") <= 1, p
 
