@@ -90,3 +90,51 @@ def test_concurrent_engine_sql_with_predicate_transfer(spark, sf_dir):
         assert r == baseline, f"call {i} ({mode}) diverged under concurrency"
     # views restored for everyone afterwards
     assert sorted(map(tuple, eng.sql(q).collect())) == baseline
+
+
+def test_concurrent_engine_sql_with_cache_routing(spark, sf_dir):
+    """Concurrent Engine.sql in HYBRID mode — the third view-swapping
+    resolution path (cache routing), completing the docstring's 'either
+    mode' thread-safety claim. N threads run two different query texts
+    through one Engine's SegmentCacheManager; the failure modes are (a) a
+    call resolving against another call's routed (column-pruned) views —
+    an AnalysisException or silently missing columns — and (b) cache-state
+    races corrupting a served projection. Every result must match its
+    single-threaded plain-mode baseline, both on first-seen working sets
+    (admissions) and on repeats (InMemoryRelation hits), and the cache
+    must end up actually serving hits (the routing really engaged)."""
+    from pysparkdb import Engine
+
+    eng = Engine(spark)
+    eng.attach(sf_dir, validate=False)
+    q_narrow = """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_quantity < 25 GROUP BY l_returnflag
+    """
+    q_join = """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders, customer
+        WHERE o_custkey = c_custkey GROUP BY c_mktsegment
+    """
+    baselines = {
+        q: sorted(map(tuple, eng.sql(q).collect())) for q in (q_narrow, q_join)
+    }
+    eng.set_mode("hybrid")
+    try:
+
+        def run(i):
+            q = q_narrow if i % 2 == 0 else q_join
+            return q, sorted(map(tuple, eng.sql(q).collect()))
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            results = list(pool.map(run, range(12)))  # repeats → cache hits
+        for i, (q, r) in enumerate(results):
+            assert r == baselines[q], f"call {i} diverged under hybrid routing"
+        cache = eng._segment_cache
+        assert cache is not None and cache.hit_count > 0, "routing never engaged"
+    finally:
+        eng.clear_segment_cache()  # never leak pins into the shared session
+        eng.set_mode("pushdown")
+    # views restored and mode reset for everyone afterwards
+    for q, b in baselines.items():
+        assert sorted(map(tuple, eng.sql(q).collect())) == b
