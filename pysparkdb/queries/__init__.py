@@ -69,9 +69,11 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # text_fingerprint, op_join_theta, op_percentile, op_salted_agg,
 # op_union_merge, op_join_semi, op_join_right, op_expr_substr_cast,
 # op_group_multi, op_intersect, op_join_full, op_join_multikey,
-# op_expr_isnull, op_expr_datefuncs — the last seven displaced by the
-# ninth wave's de-vacuified group and the late-r8 additions below
-# (pipeline_schema_evolution, the emb_quantize built-ins rework):
+# op_expr_datefuncs, op_except — the last six displaced by the ninth
+# wave's de-vacuified group and the late-r8 additions below
+# (pipeline_schema_evolution, the emb_quantize built-ins rework, the
+# op_expr_isnull de-vacuification; op_expr_isnull itself re-enters the
+# window rather than rolling to the queue):
 # the displacements are mid-round
 # review-wave reshapes that take priority — ev_stateful (memory-sink
 # cleanup), text_domain_mix / text_repetition / text_dup_chunks /
@@ -109,13 +111,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_case_in_like",
     # queries/streaming.py reshaped round 8 (memory-sink cleanup)
     "ev_stateful",
-    # de-vacuified round 8 (ninth wave): these six were structurally EMPTY
-    # at sf0.01 (every custkey has an order; the old SSB city pairs name
-    # unpopulated cities), so their banked green rows proved only 0 == 0.
-    # Reshaped to probe populated domains (urgent-order anti probe; city
-    # pairs chosen from the corpus's joint fact distribution) — all six now
-    # return rows at sf0.01 AND sf0.1 and need fresh driver evidence.
+    # de-vacuified round 8 (ninth wave + a late straggler): the first six
+    # were structurally EMPTY at sf0.01 (every custkey has an order; the
+    # old SSB city pairs name unpopulated cities), so their banked green
+    # rows proved only 0 == 0; op_expr_isnull slipped the wave-9 guard by
+    # returning one count=0 row — its IS NULL branch was never exercised.
+    # All reshaped to probe populated domains (urgent-order probes; city
+    # pairs chosen from the corpus's joint fact distribution) and need
+    # fresh driver evidence.
     "op_join_anti", "q22", "ssb3_3", "ssb3_4", "ssb_t3_3", "ssb_t3_4",
+    "op_expr_isnull",
     # pipeline/text.py reshaped round 8 (third review wave: NULL-domain
     # mixing, left-join repetition, cross-doc-only dup chunks, empty-doc
     # chunking)
@@ -125,7 +130,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_resize", "mm_audio_features", "mm_chunk_audio", "mm_image_dedup",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
     "dedup_exact", "mm_binary_meta", "mm_frame_sample", "op_agg_scalar",
-    "op_count_distinct", "op_cross_join", "op_except",
+    "op_count_distinct", "op_cross_join",
 )
 
 

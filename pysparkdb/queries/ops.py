@@ -334,18 +334,40 @@ def op_expr_datefuncs(spark, sf_dir):
 @register(
     "op_expr_isnull",
     """
-    SELECT CAST(COUNT(*) AS BIGINT) AS lonely
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    WHERE o_orderkey IS NULL
+    SELECT c_mktsegment,
+           CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_no_urgent,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_urgent_orders
+    FROM customer LEFT JOIN (SELECT * FROM orders
+                             WHERE o_orderpriority = '1-URGENT') o
+      ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
     """,
     "ops", "is_null", "outer_join",
 )
 def op_expr_isnull(spark, sf_dir):
     """IsNull (deser :304-311) over left-outer-introduced nulls — the
-    testdata itself is null-free, exactly like the reference's TPC-H CSVs."""
+    testdata itself is null-free, exactly like the reference's TPC-H CSVs.
+    The probe side is the URGENT orders subset (the op_join_anti / q22
+    de-vacuification): this corpus gives every custkey at least one order,
+    so the original unfiltered probe made the IS NULL branch count ZERO at
+    every SF — a result an implementation that dropped all rows would
+    also produce. Both branches are now populated and counted: IS NULL
+    rows per segment (customers with no urgent order) AND the null-
+    skipping COUNT(col) of matched order rows."""
     t = tables(spark, sf_dir)
-    j = O.hash_join(t["customer"], t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
-    return O.aggregate(O.filter_(j, X.is_null("o_orderkey")), {"lonely": bigint(F.count(F.lit(1)))})
+    urgent = O.filter_(t["orders"], X.eq("o_orderpriority", "1-URGENT"))
+    j = O.hash_join(
+        t["customer"], urgent, F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    return O.group(
+        j,
+        ["c_mktsegment"],
+        {
+            "n_no_urgent": bigint(F.count(F.when(X.is_null("o_orderkey"), 1))),
+            "n_urgent_orders": bigint(F.count("o_orderkey")),
+        },
+    )
 
 
 @register(
