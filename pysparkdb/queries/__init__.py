@@ -69,11 +69,12 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # text_fingerprint, op_join_theta, op_percentile, op_salted_agg,
 # op_union_merge, op_join_semi, op_join_right, op_expr_substr_cast,
 # op_group_multi, op_intersect, op_join_full, op_join_multikey,
-# op_expr_datefuncs, op_except — the last six displaced by the ninth
-# wave's de-vacuified group and the late-r8 additions below
-# (pipeline_schema_evolution, the emb_quantize built-ins rework, the
-# op_expr_isnull de-vacuification; op_expr_isnull itself re-enters the
-# window rather than rolling to the queue):
+# op_expr_datefuncs, op_except, op_count_distinct, op_cross_join — the
+# last eight displaced by the ninth wave's de-vacuified group and the
+# late-r8 additions below (pipeline_schema_evolution, the emb_quantize
+# built-ins rework, the vacuity-straggler reshapes op_expr_isnull /
+# text_pack / op_profile, which re-enter the window rather than rolling
+# to the queue):
 # the displacements are mid-round
 # review-wave reshapes that take priority — ev_stateful (memory-sink
 # cleanup), text_domain_mix / text_repetition / text_dup_chunks /
@@ -120,7 +121,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # pairs chosen from the corpus's joint fact distribution) and need
     # fresh driver evidence.
     "op_join_anti", "q22", "ssb3_3", "ssb3_4", "ssb_t3_3", "ssb_t3_4",
-    "op_expr_isnull",
+    # late-r8 vacuity stragglers, found by the systematic all-zero-output
+    # oracle scan: op_expr_isnull (IS NULL branch counted zero — one
+    # count=0 row slipped the empty-RESULT guard), text_pack (2048-token
+    # windows never advance past bin 0 at sf0.01 — repacked at 256),
+    # op_profile (null-free corpus made every n_null zero — now profiles
+    # a derived NULLIF column with real nulls)
+    "op_expr_isnull", "text_pack", "op_profile",
     # pipeline/text.py reshaped round 8 (third review wave: NULL-domain
     # mixing, left-join repetition, cross-doc-only dup chunks, empty-doc
     # chunking)
@@ -130,7 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_resize", "mm_audio_features", "mm_chunk_audio", "mm_image_dedup",
     # top-up: oldest banked evidence (round-2 rows, unchanged form since)
     "dedup_exact", "mm_binary_meta", "mm_frame_sample", "op_agg_scalar",
-    "op_count_distinct", "op_cross_join",
 )
 
 

@@ -1419,6 +1419,14 @@ def op_weighted_sample(spark, sf_dir):
            CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
            CAST(SUM(length(o_orderpriority)) AS DOUBLE) / COUNT(o_orderpriority)
     FROM orders
+    UNION ALL
+    SELECT 'o_status_open', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(NULLIF(o_orderstatus, 'F')) AS BIGINT),
+           CAST(COUNT(DISTINCT NULLIF(o_orderstatus, 'F')) AS BIGINT),
+           CAST(-1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+           CAST(SUM(length(NULLIF(o_orderstatus, 'F'))) AS DOUBLE)
+             / COUNT(NULLIF(o_orderstatus, 'F'))
+    FROM orders
     """,
     "ops", "profiling", "stats",
 )
@@ -1436,10 +1444,17 @@ def op_profile(spark, sf_dir):
     Expand; op_approx_distinct is the certified scale path); everything
     else is already partial-aggregable. Non-applicable metrics carry a
     -1.0 sentinel, not NULL (compare sorts rows; None breaks ordering —
-    the op_grouping_sets convention)."""
-    o = tables(spark, sf_dir)["orders"]
+    the op_grouping_sets convention). The profiled set includes one
+    DERIVED column with real nulls (o_status_open = NULLIF(status, 'F')):
+    this corpus is null-free, so every base column's n_null is zero —
+    a broken null counter that always emits 0 would go undetected (the
+    round-8 vacuity lens); NULLIF gives the counter a large non-trivial
+    answer (every filled order) in both engines identically."""
+    o = tables(spark, sf_dir)["orders"].withColumn(
+        "o_status_open", F.expr("nullif(o_orderstatus, 'F')")
+    )
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
-    str_cols = ["o_orderstatus", "o_orderpriority"]
+    str_cols = ["o_orderstatus", "o_orderpriority", "o_status_open"]
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in num_cols + str_cols:
         aggs += [

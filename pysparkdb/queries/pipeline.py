@@ -1139,7 +1139,7 @@ def text_domain_mix(spark, sf_dir):
                       CAST(FLOOR(COALESCE(SUM(nt) OVER (
                           PARTITION BY source, bucket ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        0) / 2048) AS BIGINT) AS bin
+                        0) / 256) AS BIGINT) AS bin
                FROM d)
     SELECT source, bucket, bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1158,8 +1158,15 @@ def text_pack(spark, sf_dir):
     the cumulative sum parallel when one domain is 10 TB (production:
     thousands of buckets). All-BIGINT output, oracle-exact; the per-bin
     rollup's keys extend the window's partition keys, so Catalyst plans
-    it without a second exchange."""
-    return text.pack_sequences(tables(spark, sf_dir)["documents"])
+    it without a second exchange. The registered query packs into
+    256-token windows, NOT the library's 2048 default: at the driver's
+    correctness SF the largest (source, bucket) group holds ~870 tokens,
+    so a 2048 window never advances past bin 0 and the cutover arithmetic
+    — the whole point of packing — would go unexercised (every group at
+    sf0.01 fits bin 0, the vacuity class the round-8 de-vacuifications
+    target); at 256 the groups span bins 0-3 at sf0.01 and more at
+    sf0.1."""
+    return text.pack_sequences(tables(spark, sf_dir)["documents"], seq_len=256)
 
 
 @register(
