@@ -261,8 +261,14 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
     Soft codec dependency: ``fake=False`` probes for soundfile and, when
     present, decodes for real (RMS + zero-crossings over the decoded
     mono float samples); without it, raises. ``fake=True`` treats the
-    bytes as signed 8-bit samples through the real mapInPandas plumbing —
-    deterministic, numpy-vectorized per Arrow batch.
+    bytes as signed 8-bit samples CENTERED at 64 (sample = int8 − 64)
+    through the real mapInPandas plumbing — deterministic,
+    numpy-vectorized per Arrow batch. The centering matters: raw ASCII
+    text bytes are all positive, so an uncentered fake would make the
+    zero-crossing count a constant 0 on any text corpus — a sign-change
+    kernel that never sees a sign change proves nothing (the round-8
+    vacuity lens); 64 sits mid-printable-range, so ordinary text
+    alternates sign and the counter does real work.
     """
     out_schema = T.StructType(
         [
@@ -310,7 +316,10 @@ def decode_audio(df: DataFrame, fake: bool = False) -> DataFrame:
                 if p is None:
                     rms.append(None); zc.append(None)
                     continue
-                x = np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
+                x = (
+                    np.frombuffer(bytes(p), dtype=np.int8).astype(np.float64)
+                    - 64.0
+                )
                 if x.size == 0:
                     rms.append(0.0); zc.append(0)
                     continue

@@ -516,15 +516,18 @@ def text_tokens_bpe(spark, sf_dir):
 @register(
     "mm_audio_features",
     # Full value oracle: bytes-as-signed-int8 on a pure-ASCII corpus are
-    # the ascii() codes (all ≤ 127 ⇒ sign-extension is the identity).
-    # Sums of squared int8 samples are exact integers in double (≤ 127²·n
-    # ≪ 2^53), so rms = sqrt(sum/n) is bit-identical regardless of
-    # summation order; zero-crossings are exact integer counts.
+    # the ascii() codes (all ≤ 127 ⇒ sign-extension is the identity),
+    # CENTERED at 64 to match the fake decode (sample = code − 64, so the
+    # sign-change kernel sees real crossings — raw ASCII is all-positive
+    # and would pin zero_crossings to a vacuous constant 0). Sums of
+    # squared samples are exact integers in double (≤ 192²·n ≪ 2^53), so
+    # rms = sqrt(sum/n) is bit-identical regardless of summation order;
+    # zero-crossings are exact integer counts.
     """
     WITH b AS (
       SELECT doc_id,
              [CASE WHEN ascii(c) > 127 THEN ascii(c) - 256 ELSE ascii(c) END
-              for c in string_split(text, '')] AS s
+              - 64 for c in string_split(text, '')] AS s
       FROM documents)
     SELECT doc_id,
            sqrt(list_sum([CAST(x * x AS DOUBLE) for x in s]) / len(s)) AS rms,
@@ -540,7 +543,8 @@ def mm_audio_features(spark, sf_dir):
     zero-crossing features via numpy-vectorized mapInPandas. Value-exact
     vs the oracle: integer sums of squares are order-insensitive in
     double, and the corpus is pure ASCII so DuckDB sees the same
-    signed-int8 samples."""
+    centered signed-int8 samples (see decode_audio for why the fake
+    centers at 64)."""
     d = tables(spark, sf_dir)["documents"]
     return multimodal.decode_audio(multimodal.to_binary_column(d), fake=True)
 
@@ -790,25 +794,26 @@ def emb_norm_stats(spark, sf_dir):
 
 @register(
     "mm_chunk_audio",
-    # Full value oracle (same ASCII/int8 argument as mm_audio_features):
-    # window starts are 0, 512, …; the last window is the first whose
-    # start+1024 reaches the payload end, so the window count is
-    # ceil(max(len−1024, 0)/512)+1 — the text_chunk formula at
-    # (size=1024, stride=512). Per-window RMS over exact integer sums.
+    # Full value oracle (same ASCII/int8 argument as mm_audio_features,
+    # uncentered — framing is byte-layout work, not feature math):
+    # window starts are 0, 128, …; the last window is the first whose
+    # start+256 reaches the payload end, so the window count is
+    # ceil(max(len−256, 0)/128)+1 — the text_chunk formula at
+    # (size=256, stride=128). Per-window RMS over exact integer sums.
     """
     WITH idx AS (
       SELECT doc_id, text,
-             unnest(range(0, CAST(ceil(greatest(length(text) - 1024, 0) / 512.0)
+             unnest(range(0, CAST(ceil(greatest(length(text) - 256, 0) / 128.0)
                              AS BIGINT) + 1)) AS w
       FROM documents),
     seg AS (
       SELECT doc_id, w,
              [CASE WHEN ascii(c) > 127 THEN ascii(c) - 256 ELSE ascii(c) END
               for c in string_split(
-                substr(text, CAST(w * 512 + 1 AS INTEGER), 1024), '')] AS s
+                substr(text, CAST(w * 128 + 1 AS INTEGER), 256), '')] AS s
       FROM idx)
     SELECT doc_id, CAST(w AS BIGINT) AS window_id,
-           CAST(w * 512 AS BIGINT) AS start_byte,
+           CAST(w * 128 AS BIGINT) AS start_byte,
            CAST(len(s) AS BIGINT) AS n_bytes,
            sqrt(list_sum([CAST(x * x AS DOUBLE) for x in s]) / len(s)) AS rms
     FROM seg
@@ -816,14 +821,19 @@ def emb_norm_stats(spark, sf_dir):
     "pipeline", "multimodal",
 )
 def mm_chunk_audio(spark, sf_dir):
-    """Overlapping fixed-byte audio framing (1 KiB windows, 512 B hop) with
-    per-window RMS over document payloads-as-audio — the framing step
-    before any spectral feature, through the real mapInPandas plumbing.
-    Value-exact vs the oracle on the pure-ASCII corpus (integer
-    sums-of-squares → deterministic doubles)."""
+    """Overlapping fixed-byte audio framing (256 B windows, 128 B hop)
+    with per-window RMS over document payloads-as-audio — the framing
+    step before any spectral feature, through the real mapInPandas
+    plumbing. The registered query frames at 256/128, NOT the library's
+    1024/512 default: the longest sf0.01 document is 553 bytes, so a
+    1 KiB window never advances past window 0 and the overlap/cutover
+    arithmetic — the point of framing — would go unexercised at the
+    correctness SF (the round-8 vacuity lens); at 256/128 most documents
+    span 2-4 windows. Value-exact vs the oracle on the pure-ASCII corpus
+    (integer sums-of-squares → deterministic doubles)."""
     d = tables(spark, sf_dir)["documents"]
     audio = multimodal.to_binary_column(d)
-    return multimodal.chunk_audio(audio, fake=True)
+    return multimodal.chunk_audio(audio, window_bytes=256, hop_bytes=128, fake=True)
 
 
 @register(
