@@ -73,6 +73,20 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    def empty_job_ms(n: int = 20) -> float:
+        """Mean scheduling latency of an empty job — the host-phase stamp.
+        Barrier-heavy queries (streams, iterative graph) run dozens of
+        sequential jobs, so a host phase that inflates per-job latency
+        (measured 114 ms vs the ~15 ms typical for this box) inflates THEM
+        2-3x while scan-bound queries barely move; recording the probe
+        beside the medians lets a regression call separate code drift from
+        host phase (the round-8 ev_stateful adjudication)."""
+        t0 = time.perf_counter()
+        for _ in range(n):
+            spark.range(1).count()
+        return round((time.perf_counter() - t0) / n * 1000, 1)
+
+    latency_before = empty_job_ms()
     repeats = int(os.environ.get("PYSPARKDB_BENCH_REPEATS", "3"))
     times: dict[str, list[float]] = {name: [] for name in names}
     for _rep in range(repeats):
@@ -104,6 +118,10 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
+                # host-phase stamps (see empty_job_ms): extra keys, ignored
+                # by consumers that only read metric/value/queries
+                "empty_job_ms_before": latency_before,
+                "empty_job_ms_after": empty_job_ms(),
             }
         )
     )
