@@ -254,7 +254,9 @@ def _click_purchase_frames(spark, sf_dir):
 def _events_stream_dir(sf_dir: str) -> str:
     d = _STAGED_EVENTS.get(sf_dir)
     if d is None:
+        import atexit
         import os
+        import shutil
         import tempfile
 
         d = tempfile.mkdtemp(prefix="pysparkdb_events_")
@@ -264,6 +266,10 @@ def _events_stream_dir(sf_dir: str) -> str:
             os.path.abspath(os.path.join(sf_dir, "events.parquet")),
             os.path.join(d, "events.parquet"),
         )
+        # the staging dir must outlive every stream read in this process
+        # (hence no finally-rmtree), but without an exit hook each process
+        # leaked one tmpdir forever — 80 had accumulated over one bench day
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         _STAGED_EVENTS[sf_dir] = d
     return d
 
