@@ -1687,3 +1687,112 @@ def op_unpivot(spark, sf_dir):
             "metric", "val",
         )
     )
+
+
+@register(
+    "op_corr",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(({_ds('l_quantity * l_extendedprice')}
+                  - {_ds('l_quantity')} * {_ds('l_extendedprice')} / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS cov_qty_price,
+           ROUND((COUNT(*) * {_ds('l_quantity * l_extendedprice')}
+                  - {_ds('l_quantity')} * {_ds('l_extendedprice')})
+                 / SQRT((COUNT(*) * {_ds('l_quantity * l_quantity')}
+                         - {_ds('l_quantity')} * {_ds('l_quantity')})
+                        * (COUNT(*) * {_ds('l_extendedprice * l_extendedprice')}
+                           - {_ds('l_extendedprice')} * {_ds('l_extendedprice')})),
+                 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "ops", "aggregate", "correlation",
+)
+def op_corr(spark, sf_dir):
+    """Sample covariance + Pearson correlation per group — beyond-reference
+    (SURVEY §2.5 lists no second-moment cross-column aggregates in the
+    reference's AggregateFunction set, fpdb-executor/src/physical/aggregate/
+    function/). Spark's built-in covar_samp/corr are streaming-double
+    kernels whose summation order is nondeterministic, so the registered
+    form expands both to exact decimal moments (Σxy, Σx, Σy, Σx², Σy² as
+    DECIMAL(25,6) partial-aggregable sums — identical distributed shape,
+    one Exchange) and finishes with one deterministic double expression
+    per group; the final ROUND(...,6) absorbs any last-ulp SQRT
+    difference between the JVM and libm."""
+    l = tables(spark, sf_dir)["lineitem"]
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sq, sp = dsum(q), dsum(p)
+    sqq, spp, sqp = dsum(q * q), dsum(p * p), dsum(q * p)
+    return l.groupBy("l_returnflag").agg(
+        bigint(n).alias("n"),
+        F.round((sqp - sq * sp / n) / (n - 1), 6).alias("cov_qty_price"),
+        F.round(
+            (n * sqp - sq * sp)
+            / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "op_agg_pushdown",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_linenumber) AS BIGINT) AS min_line,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_okey,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           TRUE AS agg_pushed
+    FROM lineitem
+    """,
+    "ops", "pushdown", "aggregate",
+)
+def op_agg_pushdown(spark, sf_dir):
+    """Aggregate pushdown INTO the parquet scan — COUNT/MIN/MAX answered
+    from row-group footer statistics without materializing a single data
+    page. This is the deepest Spark analog of the reference's
+    storage-side aggregation (SelectPOp.cpp pushes SUM/COUNT/MIN/MAX into
+    S3 Select; FlightHandler.cpp:337 evaluates aggregates at the store):
+    the scan itself returns the aggregate. Spark supports it only on the
+    DSv2 parquet path (spark.sql.parquet.aggregatePushdown +
+    useV1SourceList minus parquet), and only for un-filtered scans over
+    non-nested, non-timestamp columns — exactly parquet's footer-stats
+    envelope. Both confs are session-scoped, so the query materializes
+    its one row eagerly under a try/finally that restores them (the
+    q6_modes precedent), leaking nothing into the shared session. The
+    emitted agg_pushed boolean is read from the OPTIMIZED PLAN
+    (PushedAggregation), not assumed: if the pushdown ever silently
+    stops applying, the row hash-mismatches the oracle's TRUE.
+
+    Scale: at 100 TB this is the difference between ~0 I/O (footer reads,
+    one per row-group) and a full-table scan — the same economics the
+    reference measures for storage-side aggregation."""
+    from pysparkdb.plans.pushdown import explain_str
+
+    v1_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    old_v1 = spark.conf.get(v1_key)
+    old_push = spark.conf.get(push_key)
+    try:
+        spark.conf.set(push_key, "true")
+        spark.conf.set(
+            v1_key, ",".join(s for s in old_v1.split(",") if s != "parquet")
+        )
+        agg = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            bigint(F.count(F.lit(1))).alias("n_rows"),
+            bigint(F.min("l_linenumber")).alias("min_line"),
+            bigint(F.max("l_orderkey")).alias("max_okey"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        pushed = "PushedAggregation: [COUNT(*)" in explain_str(agg)
+        row = agg.collect()[0]
+    finally:
+        spark.conf.set(v1_key, old_v1)
+        spark.conf.set(push_key, old_push)
+    return spark.createDataFrame(
+        [(*row, bool(pushed))],
+        "n_rows long, min_line long, max_okey long, "
+        "min_qty double, max_qty double, agg_pushed boolean",
+    )

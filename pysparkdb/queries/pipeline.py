@@ -2122,3 +2122,167 @@ def pipeline_schema_evolution(spark, sf_dir):
         "lang string, n_docs long, n_scored long, sum_quality double, "
         "v1_lacked_quality boolean",
     )
+
+
+@register(
+    "pipeline_expectations",
+    """
+    WITH ord AS (
+      SELECT CAST(COUNT(o_orderpriority) AS DOUBLE) / COUNT(*) AS complete_priority,
+             CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*) AS unique_okey,
+             CAST(COUNT(c.c_custkey) AS DOUBLE) / COUNT(*) AS ri_custkey
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    li AS (
+      SELECT CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS disc_in_range,
+             CAST(SUM(CASE WHEN l_quantity <= 30
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS qty_le_30
+      FROM lineitem
+    ),
+    doc AS (
+      SELECT CAST(COUNT(lang) AS DOUBLE) / COUNT(*) AS complete_lang,
+             CAST(SUM(CASE WHEN n_chars >= 100
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS min_len_100
+      FROM documents
+    )
+    SELECT entity, expectation, metric, threshold,
+           metric >= threshold AS ok
+    FROM (
+      SELECT 'orders' AS entity, 'complete_o_orderpriority' AS expectation,
+             complete_priority AS metric, CAST(0.999 AS DOUBLE) AS threshold FROM ord
+      UNION ALL
+      SELECT 'orders', 'unique_o_orderkey', unique_okey, CAST(0.999 AS DOUBLE) FROM ord
+      UNION ALL
+      SELECT 'orders', 'ri_o_custkey', ri_custkey, CAST(0.999 AS DOUBLE) FROM ord
+      UNION ALL
+      SELECT 'lineitem', 'range_l_discount', disc_in_range, CAST(0.999 AS DOUBLE) FROM li
+      UNION ALL
+      SELECT 'lineitem', 'range_l_quantity_le_30', qty_le_30, CAST(0.99 AS DOUBLE) FROM li
+      UNION ALL
+      SELECT 'documents', 'complete_lang', complete_lang, CAST(0.999 AS DOUBLE) FROM doc
+      UNION ALL
+      SELECT 'documents', 'min_len_100', min_len_100, CAST(0.95 AS DOUBLE) FROM doc
+    ) t
+    """,
+    "pipeline", "quality", "expectations",
+)
+def pipeline_expectations(spark, sf_dir):
+    """Declarative data-quality expectation suite (Deequ/Great-Expectations
+    shape, beyond-reference): completeness, key-uniqueness, referential
+    integrity, and range-conformance metrics computed as ONE aggregation
+    pass per table plus one broadcast key-join for RI, then unpivoted to
+    (entity, expectation, metric, threshold, ok) verdict rows — the gate a
+    100 TB ingest runs before promoting a snapshot.
+
+    Shape: 3 table scans, each partial-aggregated (conditional counts
+    fold map-side; the distinct-count expands one extra Exchange on
+    orders); customer's key column broadcasts for RI. No row ever leaves
+    the executors unaggregated. All metrics are exact-integer ratios
+    (COUNT/SUM(CASE) over COUNT) — one deterministic double division per
+    metric, hash-stable with no rounding. The suite is deliberately
+    mixed-verdict at every SF (range_l_quantity_le_30 ≈ 0.60 and
+    min_len_100 ≈ 0.93 fail their thresholds; the rest pass) so the ok
+    column is never vacuously uniform."""
+    t = tables(spark, sf_dir)
+    o, c, l, d = t["orders"], t["customer"], t["lineitem"], t["documents"]
+    n = F.count(F.lit(1))
+
+    ord_agg = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left",
+        ).agg(
+            (F.count("o_orderpriority").cast("double") / n).alias("complete_priority"),
+            (F.count_distinct("o_orderkey").cast("double") / n).alias("unique_okey"),
+            (F.count("c_custkey").cast("double") / n).alias("ri_custkey"),
+        )
+    )
+    li_agg = l.agg(
+        (
+            F.sum(F.col("l_discount").between(0.0, 0.1).cast("long")).cast("double") / n
+        ).alias("disc_in_range"),
+        (
+            F.sum((F.col("l_quantity") <= 30).cast("long")).cast("double") / n
+        ).alias("qty_le_30"),
+    )
+    doc_agg = d.agg(
+        (F.count("lang").cast("double") / n).alias("complete_lang"),
+        (
+            F.sum((F.col("n_chars") >= 100).cast("long")).cast("double") / n
+        ).alias("min_len_100"),
+    )
+
+    def verdicts(agg_df, entity, spec):
+        # spec: [(metric_col, expectation_name, threshold)]
+        out = None
+        for col, name, thr in spec:
+            row = agg_df.select(
+                F.lit(entity).alias("entity"),
+                F.lit(name).alias("expectation"),
+                F.col(col).alias("metric"),
+                F.lit(thr).alias("threshold"),
+            )
+            out = row if out is None else out.unionAll(row)
+        return out
+
+    combined = (
+        verdicts(ord_agg, "orders", [
+            ("complete_priority", "complete_o_orderpriority", 0.999),
+            ("unique_okey", "unique_o_orderkey", 0.999),
+            ("ri_custkey", "ri_o_custkey", 0.999),
+        ])
+        .unionAll(verdicts(li_agg, "lineitem", [
+            ("disc_in_range", "range_l_discount", 0.999),
+            ("qty_le_30", "range_l_quantity_le_30", 0.99),
+        ]))
+        .unionAll(verdicts(doc_agg, "documents", [
+            ("complete_lang", "complete_lang", 0.999),
+            ("min_len_100", "min_len_100", 0.95),
+        ]))
+    )
+    return combined.withColumn("ok", F.col("metric") >= F.col("threshold"))
+
+
+@register(
+    "pipeline_mix_divergence",
+    """
+    WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM g)
+    SELECT lang, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share,
+           ROUND((CAST(cnt AS DOUBLE) / n)
+                 * ln((CAST(cnt AS DOUBLE) / n) * k), 6) AS kl_term,
+           ROUND(-(CAST(cnt AS DOUBLE) / n)
+                 * ln(CAST(cnt AS DOUBLE) / n), 6) AS entropy_term
+    FROM g CROSS JOIN tot
+    """,
+    "pipeline", "text", "mix",
+)
+def pipeline_mix_divergence(spark, sf_dir):
+    """Training-mix monitoring: per-language corpus share, KL-divergence
+    contribution against a uniform target mix (p·ln(p/q), q = 1/k), and
+    Shannon-entropy contribution (−p·ln p) — the dashboard numbers a
+    data-curation pipeline tracks to detect language drift between crawl
+    snapshots (beyond-reference). One group-by over documents plus a
+    broadcast 1-row totals frame; integer counts make every share an
+    exact ratio, and the ln() results round to 6dp on both sides (the
+    text_tfidf last-ulp convention). kl_term is signed — positive for
+    over-represented languages (en), negative for under-represented —
+    so the column is structurally non-vacuous on the skewed lang mix."""
+    d = tables(spark, sf_dir)["documents"]
+    g = d.groupBy("lang").agg(bigint(F.count(F.lit(1))).alias("cnt"))
+    tot = g.agg(
+        bigint(F.sum("cnt")).alias("n"), bigint(F.count(F.lit(1))).alias("k")
+    )
+    share = F.col("cnt").cast("double") / F.col("n")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        F.round(share, 6).alias("share"),
+        F.round(share * F.log(share * F.col("k")), 6).alias("kl_term"),
+        F.round(-share * F.log(share), 6).alias("entropy_term"),
+    )

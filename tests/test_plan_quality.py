@@ -417,3 +417,23 @@ def test_zscore_events_join_is_broadcast(spark, sf_dir):
     p = plan("ev_zscore_outliers", spark, sf_dir, mode="simple")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_agg_pushdown_restores_session_confs(spark, sf_dir):
+    """op_agg_pushdown flips the session to the DSv2 parquet path while it
+    materializes; the shared session must come back EXACTLY as it was
+    (every other registered query plans against the v1 path), and the
+    emitted agg_pushed flag must be plan-derived truth, not a constant."""
+    from pysparkdb.queries import load_all
+
+    v1_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    before_v1 = spark.conf.get(v1_key)
+    before_push = spark.conf.get(push_key)
+    assert "parquet" in before_v1  # engine default: v1 path everywhere else
+
+    out = load_all()["op_agg_pushdown"].fn(spark, sf_dir).collect()
+    assert len(out) == 1 and out[0]["agg_pushed"] is True
+
+    assert spark.conf.get(v1_key) == before_v1
+    assert spark.conf.get(push_key) == before_push
