@@ -2286,3 +2286,143 @@ def pipeline_mix_divergence(spark, sf_dir):
         F.round(share * F.log(share * F.col("k")), 6).alias("kl_term"),
         F.round(-share * F.log(share), 6).alias("entropy_term"),
     )
+
+
+@register(
+    "pipeline_incremental_distinct",
+    """
+    WITH b AS (SELECT doc_id % 4 AS batch, text FROM documents)
+    SELECT CAST(batch AS BIGINT) AS batch,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_docs,
+           TRUE AS within_bound
+    FROM b GROUP BY batch
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS batch,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_docs,
+           TRUE AS within_bound
+    FROM documents
+    """,
+    "pipeline", "sketch", "incremental",
+)
+def pipeline_incremental_distinct(spark, sf_dir):
+    """Incremental corpus-cardinality tracking via mergeable HLL sketches
+    (Datasketches hll_sketch_agg / hll_union_agg, beyond-reference): the
+    corpus arrives as 4 ingest batches (doc_id % 4); each batch builds its
+    OWN sketch — the tiny per-snapshot state a versioned store would
+    persist — and the global estimate comes from hll_union_agg over the
+    4 sketch rows, never rescanning earlier batches. At 100 TB this is
+    the only viable shape for corpus-wide distinct tracking: per-batch
+    sketches are KBs, the union is a 4-row aggregate, and history is
+    never re-read.
+
+    Self-certifying (the op_approx_distinct convention — sketches are
+    engine-specific): rows carry the EXACT per-batch / global distinct
+    counts plus a 5%-relative-error boolean for the sketch estimate
+    (lgConfigK=12 → σ ≈ 1.6%); the oracle emits the exact counts and
+    TRUE, so a hash match certifies both the exact path and the sketch's
+    error bound. The merged row (batch = -1) additionally certifies that
+    the UNION of independently-built sketches estimates the global
+    cardinality — the incremental property itself."""
+    d = tables(spark, sf_dir)["documents"]
+    b = d.select((F.col("doc_id") % 4).cast("long").alias("batch"), "text")
+    per = b.groupBy("batch").agg(
+        bigint(F.count_distinct("text")).alias("exact_docs"),
+        F.hll_sketch_agg("text", F.lit(12)).alias("sk"),
+    )
+    per_rows = per.select(
+        "batch",
+        "exact_docs",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_docs"))
+            / F.col("exact_docs")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+    global_exact = d.agg(bigint(F.count_distinct("text")).alias("exact_docs"))
+    merged = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit(-1).cast("long").alias("batch"),
+            "exact_docs",
+            (
+                F.abs(F.col("est") - F.col("exact_docs")) / F.col("exact_docs")
+                <= 0.05
+            ).alias("within_bound"),
+        )
+    )
+    return per_rows.unionAll(merged)
+
+
+@register(
+    "emb_centroid_shift",
+    """
+    WITH ex AS (
+      SELECT label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    ),
+    per AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean
+      FROM ex GROUP BY label, pos
+    ),
+    gctr AS (
+      SELECT pos,
+             CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS gmean
+      FROM ex GROUP BY pos
+    )
+    SELECT label,
+           ROUND(SQRT(CAST(SUM(CAST((mean - gmean) * (mean - gmean)
+                                    AS DECIMAL(25,12))) AS DOUBLE)), 6)
+             AS centroid_shift
+    FROM per JOIN gctr USING (pos)
+    GROUP BY label
+    """,
+    "pipeline", "similarity", "drift",
+)
+def emb_centroid_shift(spark, sf_dir):
+    """Per-label embedding-centroid drift: L2 distance between each
+    label's centroid and the global centroid — the cluster-drift monitor
+    a curation pipeline runs across crawl snapshots to catch embedding
+    distribution shift before it poisons ANN indexes (beyond-reference).
+
+    Shape: posexplode to (label, pos, val) — 64 rows per vector — then
+    ONE shuffle keyed (label, pos); the global centroid re-aggregates the
+    per-label partials (64·|labels| rows, map-side trivial) rather than
+    rescanning, and the final distance folds 64 dims per label. At 100 TB
+    the exploded frame is wide but every aggregation is partial-agg
+    friendly and the result is |labels| rows.
+
+    Determinism: element sums use the emb_norm_stats convention (exact
+    DECIMAL(25,6) casts — associative, order-free); means and diffs are
+    then single deterministic double ops per (label, pos); the cross-dim
+    sum of squares uses DECIMAL(25,12) (squares of centroid gaps are
+    ~1e-4) and the final SQRT rounds to 6dp on both sides."""
+    e = tables(spark, sf_dir)["embeddings"]
+    ex = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based like the oracle's range()
+    per = ex.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)))
+        .alias("mean"),
+        F.sum(F.col("val").cast("decimal(25,6)")).alias("_psum"),
+        bigint(F.count(F.lit(1))).alias("_pn"),
+    )
+    # Global centroid from the per-label partials: Σ over labels of the
+    # exact decimal partial sums — no second scan of the exploded frame.
+    glob = per.groupBy("pos").agg(
+        (F.sum("_psum").cast("double") / F.sum("_pn")).alias("gmean")
+    )
+    diff = F.col("mean") - F.col("gmean")
+    return (
+        per.join(glob, "pos")
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((diff * diff).cast("decimal(25,12)")).cast("double")),
+                6,
+            ).alias("centroid_shift")
+        )
+    )
