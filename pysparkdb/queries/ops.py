@@ -1768,29 +1768,35 @@ def op_agg_pushdown(spark, sf_dir):
     Scale: at 100 TB this is the difference between ~0 I/O (footer reads,
     one per row-group) and a full-table scan — the same economics the
     reference measures for storage-side aggregation."""
+    from pysparkdb.engine import _RESOLVE_LOCK
     from pysparkdb.plans.pushdown import explain_str
 
     v1_key = "spark.sql.sources.useV1SourceList"
     push_key = "spark.sql.parquet.aggregatePushdown"
-    old_v1 = spark.conf.get(v1_key)
-    old_push = spark.conf.get(push_key)
-    try:
-        spark.conf.set(push_key, "true")
-        spark.conf.set(
-            v1_key, ",".join(s for s in old_v1.split(",") if s != "parquet")
-        )
-        agg = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
-            bigint(F.count(F.lit(1))).alias("n_rows"),
-            bigint(F.min("l_linenumber")).alias("min_line"),
-            bigint(F.max("l_orderkey")).alias("max_okey"),
-            F.min("l_quantity").alias("min_qty"),
-            F.max("l_quantity").alias("max_qty"),
-        )
-        pushed = "PushedAggregation: [COUNT(*)" in explain_str(agg)
-        row = agg.collect()[0]
-    finally:
-        spark.conf.set(v1_key, old_v1)
-        spark.conf.set(push_key, old_push)
+    # The conf flip is session-global: hold the engine's resolution lock so
+    # a concurrently-PLANNING Engine.sql thread can never see the DSv2 path
+    # (execution of already-planned queries is unaffected and stays
+    # parallel — the same serialize-resolution contract engine.py uses).
+    with _RESOLVE_LOCK:
+        old_v1 = spark.conf.get(v1_key)
+        old_push = spark.conf.get(push_key)
+        try:
+            spark.conf.set(push_key, "true")
+            spark.conf.set(
+                v1_key, ",".join(s for s in old_v1.split(",") if s != "parquet")
+            )
+            agg = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+                bigint(F.count(F.lit(1))).alias("n_rows"),
+                bigint(F.min("l_linenumber")).alias("min_line"),
+                bigint(F.max("l_orderkey")).alias("max_okey"),
+                F.min("l_quantity").alias("min_qty"),
+                F.max("l_quantity").alias("max_qty"),
+            )
+            pushed = "PushedAggregation: [COUNT(*)" in explain_str(agg)
+            row = agg.collect()[0]
+        finally:
+            spark.conf.set(v1_key, old_v1)
+            spark.conf.set(push_key, old_push)
     return spark.createDataFrame(
         [(*row, bool(pushed))],
         "n_rows long, min_line long, max_okey long, "
