@@ -595,6 +595,56 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def quantized_topk_neighbors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 1,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors scored on int8-QUANTIZED codes — the
+    memory-bandwidth scale path: candidates stream as int8 (4× smaller
+    than float32), and because symmetric quantization divides every
+    component by the same per-vector scale, the scales CANCEL in cosine —
+    cos(a, b) ≈ Σqa·qb / (√Σqa² · √Σqb²) needs no dequantization at all.
+    Integer dot products are exact associative long sums (no float
+    accumulation order to worry about); the only doubles are the final
+    sqrt/divide per pair. Ranked through the shared ``_topk`` contract so
+    recall certificates against the exact path stay meaningful.
+
+    At 100 TB this is the standard first rerank tier: int8 scan (this) →
+    exact float rerank of the survivors (``topk_neighbors`` on the
+    candidate subset)."""
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    codes = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5))
+        ).cast("long"),
+    )
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    base = _non_null_vecs(df, vec_col).select(
+        "vec_id", codes.alias("v"), F.sqrt(idot(codes, codes).cast("double")).alias("nrm")
+    )
+    q = base if query_filter is None else base.filter(query_filter)
+    q = _spread(q).withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})
+    c = base.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn"})
+    scored = q.join(c, F.col("qid") != F.col("cid")).select(
+        "qid", "cid",
+        (idot(F.col("qv"), F.col("cv")).cast("double")
+         / (F.col("qn") * F.col("cn"))).alias("cosine"),
+    )
+    return _topk(scored, k)
+
+
 def hard_negatives(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1210,6 +1210,36 @@ def emb_quantize(spark, sf_dir):
 
 
 @register(
+    "ann_quantized",
+    # Self-certifying (the ann_lsh convention): the int8 metric is an
+    # engine-side approximation DuckDB has no reason to reproduce, so the
+    # Spark side emits the checked quality invariant — quantized top-1
+    # matches exact top-1 ≥ 90% of the time over queries whose true
+    # nearest neighbor is genuinely near (cosine ≥ 0.8; int8 direction
+    # error is ~1/127 per component, far inside that regime's margins).
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS quant_recall_ok
+    FROM embeddings WHERE vec_id < 50
+    """,
+    "pipeline", "similarity", "quantization",
+)
+def ann_quantized(spark, sf_dir):
+    """Approximate top-1 neighbor over int8-quantized codes
+    (similarity.quantized_topk_neighbors) — the memory-bandwidth tier of
+    a 100 TB vector-serving stack: scan int8 (4× smaller), scales cancel
+    in cosine, integer dots are exact long sums; exact float rerank
+    (topk_neighbors) remains the verification tier. The registered form
+    is the recall certificate of quantized-vs-exact top-1, both
+    distributed, joined on query id — no collect."""
+    e = tables(spark, sf_dir)["embeddings"]
+    qf = F.col("vec_id") < 50
+    approx = similarity.quantized_topk_neighbors(e, k=1, query_filter=qf)
+    exact = similarity.topk_neighbors(e, k=1, query_filter=qf)
+    return _ann_recall_certificate(e, approx, exact, near_cos=0.8, floor=0.9,
+                                   ok_col="quant_recall_ok", query_filter=qf)
+
+
+@register(
     "pipeline_clean_near",
     f"""
     WITH RECURSIVE quality AS (
