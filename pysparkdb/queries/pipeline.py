@@ -2218,9 +2218,12 @@ def pipeline_expectations(spark, sf_dir):
     o, c, l, d = t["orders"], t["customer"], t["lineitem"], t["documents"]
     n = F.count(F.lit(1))
 
+    # RI key join: the dimension's single key column is small enough for
+    # AQE to pick broadcast at test SF, but it is NOT forced — at 100 TB a
+    # fact-sized "dimension" must be allowed to shuffle-join.
     ord_agg = (
         o.join(
-            F.broadcast(c.select("c_custkey")),
+            c.select("c_custkey"),
             o["o_custkey"] == c["c_custkey"],
             "left",
         ).agg(
