@@ -552,6 +552,26 @@ def ivf_topk_from_index(
     return _probe_and_score(q, cand, k=k, nprobe=nprobe, exclude_self=exclude_self)
 
 
+def _int8_codes(v: Column) -> Column:
+    """Symmetric int8 codes for a double-array column: scale = max|v|/127
+    (1.0 for zero vectors), q_i = floor(v_i/scale + 0.5) clamped to
+    [-127, 127], as LONGs. THE quantization rule, defined once — the
+    storage path (quantize_embeddings) and the scoring path
+    (quantized_topk_neighbors) must quantize identically or the
+    ann_quantized recall certificate silently measures a different code
+    space than the corpus stores. floor(x+0.5) is the explicit half-up
+    rule both engines share (round() is half-even in one, half-up in the
+    other)."""
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    return F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5))
+        ).cast("long"),
+    )
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization, per vector: scale = max|v_i|/127,
     q_i = floor(v_i/scale + 0.5) clamped to [-127, 127] — the 4× storage
@@ -575,23 +595,10 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     v = _as_double(F.col(vec_col))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
-    out = _spread(_non_null_vecs(df, vec_col)).select(
-        "vec_id", v.alias("_v"), scale.alias("_scale")
-    )
-    q = F.array_join(
-        F.transform(
-            F.col("_v"),
-            lambda x: F.greatest(
-                F.lit(-127.0),
-                F.least(F.lit(127.0), F.floor(x / F.col("_scale") + 0.5)),
-            ).cast("long"),
-        ),
-        ",",
-    )
-    return out.select(
+    return _spread(_non_null_vecs(df, vec_col)).select(
         "vec_id",
-        F.round(F.col("_scale"), 6).alias("scale"),
-        q.alias("q"),
+        F.round(scale, 6).alias("scale"),
+        F.array_join(_int8_codes(v), ",").alias("q"),
     )
 
 
@@ -614,15 +621,7 @@ def quantized_topk_neighbors(
     At 100 TB this is the standard first rerank tier: int8 scan (this) →
     exact float rerank of the survivors (``topk_neighbors`` on the
     candidate subset)."""
-    v = _as_double(F.col(vec_col))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
-    codes = F.transform(
-        v,
-        lambda x: F.greatest(
-            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5))
-        ).cast("long"),
-    )
+    codes = _int8_codes(_as_double(F.col(vec_col)))
 
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(

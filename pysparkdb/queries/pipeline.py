@@ -2207,8 +2207,13 @@ def pipeline_expectations(spark, sf_dir):
 
     Shape: 3 table scans, each partial-aggregated (conditional counts
     fold map-side; the distinct-count expands one extra Exchange on
-    orders); customer's key column broadcasts for RI. No row ever leaves
-    the executors unaggregated. All metrics are exact-integer ratios
+    orders); the RI join carries only the dimension's key column and AQE
+    picks broadcast when it fits. Each table's 1-row aggregate unpivots
+    to verdict rows through ONE inline-table explode — a union of
+    per-metric selects would instead re-execute the whole aggregation per
+    constraint (column pruning specializes each branch, so nothing
+    reuses; the round-7 recompute bug class). No row ever leaves the
+    executors unaggregated. All metrics are exact-integer ratios
     (COUNT/SUM(CASE) over COUNT) — one deterministic double division per
     metric, hash-stable with no rounding. The suite is deliberately
     mixed-verdict at every SF (range_l_quantity_le_30 ≈ 0.60 and
@@ -2248,17 +2253,23 @@ def pipeline_expectations(spark, sf_dir):
     )
 
     def verdicts(agg_df, entity, spec):
-        # spec: [(metric_col, expectation_name, threshold)]
-        out = None
-        for col, name, thr in spec:
-            row = agg_df.select(
-                F.lit(entity).alias("entity"),
-                F.lit(name).alias("expectation"),
-                F.col(col).alias("metric"),
-                F.lit(thr).alias("threshold"),
-            )
-            out = row if out is None else out.unionAll(row)
-        return out
+        # spec: [(metric_col, expectation_name, threshold)] — ONE select
+        # consuming the 1-row aggregate once: explode an inline array of
+        # (expectation, metric, threshold) structs.
+        rows = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("expectation"),
+                    F.col(col).alias("metric"),
+                    F.lit(thr).alias("threshold"),
+                )
+                for col, name, thr in spec
+            ])
+        )
+        return agg_df.select(rows.alias("_r")).select(
+            F.lit(entity).alias("entity"),
+            "_r.expectation", "_r.metric", "_r.threshold",
+        )
 
     combined = (
         verdicts(ord_agg, "orders", [
@@ -2356,12 +2367,18 @@ def pipeline_incremental_distinct(spark, sf_dir):
     error bound. The merged row (batch = -1) additionally certifies that
     the UNION of independently-built sketches estimates the global
     cardinality — the incremental property itself."""
+    from pyspark.storagelevel import StorageLevel
+
     d = tables(spark, sf_dir)["documents"]
     b = d.select((F.col("doc_id") % 4).cast("long").alias("batch"), "text")
+    # `per` (4 rows: one sketch + exact count per batch) feeds BOTH the
+    # per-batch verdict rows and the union row; left lazy, column pruning
+    # specializes each branch and the whole corpus-wide sketch/distinct
+    # build runs twice (round-7 recompute bug class) — pin the 4-row frame.
     per = b.groupBy("batch").agg(
         bigint(F.count_distinct("text")).alias("exact_docs"),
         F.hll_sketch_agg("text", F.lit(12)).alias("sk"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per_rows = per.select(
         "batch",
         "exact_docs",

@@ -204,6 +204,58 @@ def test_ann_lsh_structure_and_recall(spark, sf_dir):
     assert near_recall >= 0.9, f"near-neighbor recall {near_recall:.0%}"
 
 
+def test_ann_quantized_recall_and_metric_fidelity(spark, sf_dir):
+    """The int8 scoring path: (a) top-1 over quantized codes recovers the
+    exact top-1 for planted genuinely-near neighbors (the regime the
+    ann_quantized certificate prices), (b) the quantized cosine itself
+    stays within the int8 error envelope of the exact cosine — a clamp or
+    rounding-rule drift in _int8_codes would break (b) long before the
+    0.9 recall floor moves, and (c) NULL embeddings are excluded like
+    every other path."""
+    from pysparkdb.pipeline import similarity
+    from pysparkdb.queries.base import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    qf = F.col("vec_id") < 50
+    exact = {r.qid: (r.cid, r.cosine)
+             for r in similarity.topk_neighbors(e, k=1, query_filter=qf).collect()}
+    quant = {r.qid: (r.cid, r.cosine)
+             for r in similarity.quantized_topk_neighbors(
+                 e, k=1, query_filter=qf).collect()}
+    assert quant and set(quant) == set(exact)
+    assert all(cid not in (None, qid) for qid, (cid, _) in quant.items())
+    # (b) metric fidelity on agreeing pairs: |cos_int8 − cos_float| small
+    # (64 dims, per-component error ≤ scale/2 → observed ≪ 0.02)
+    agree = [q for q in exact if quant[q][0] == exact[q][0]]
+    assert agree, "vacuous: no agreeing top-1 pairs at all"
+    worst = max(abs(quant[q][1] - exact[q][1]) for q in agree)
+    assert worst <= 0.02, f"int8 cosine drifted {worst:.4f} from exact"
+    # (a) planted near neighbors (the ann_lsh planting construction)
+    pert = F.transform(
+        "embedding", lambda v, i: v * (1.0 + 0.01 * ((i % 3) - 1))
+    )
+    planted = (
+        e.filter(qf)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                pert.alias("embedding"))
+    )
+    seeded = e.select("vec_id", "embedding").unionByName(planted)
+    near_exact = {r.qid: r.cid for r in similarity.topk_neighbors(
+        seeded, k=1, query_filter=qf).collect()}
+    near_quant = {r.qid: r.cid for r in similarity.quantized_topk_neighbors(
+        seeded, k=1, query_filter=qf).collect()}
+    near_recall = sum(
+        1 for q in near_exact if near_quant.get(q) == near_exact[q]
+    ) / len(near_exact)
+    assert near_recall >= 0.9, f"quantized near recall {near_recall:.0%}"
+    # (c) NULL exclusion
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert 99 not in {r.qid for r in
+                      similarity.quantized_topk_neighbors(df, k=1).collect()}
+
+
 def test_multimodal_decode_stub(spark, sf_dir):
     from pysparkdb.pipeline import multimodal
     from pysparkdb.queries.base import tables
