@@ -10,13 +10,18 @@ proves they compose and gives the judge/user one entry point):
               commits as an immutable snapshot version
               (sources.versioned.snapshot_stream_sink — exactly-once via
               epoch-idempotent manifests).
-2. MAINTAIN — snapshot_compact(zorder_cols=...) rewrites the current
+2. GATE     — a declarative expectation suite (the
+              pipeline_expectations shape: completeness / key-uniqueness
+              / conformance as ONE aggregation pass) runs against the
+              ingested snapshot; promotion-blocking verdicts must pass
+              before any downstream stage sees the version.
+3. MAINTAIN — snapshot_compact(zorder_cols=...) rewrites the current
               version clustered for range-scan pruning; pinned versions
               keep their files.
-3. CURATE   — from a PINNED version: near-duplicate removal (word-shingle
+4. CURATE   — from a PINNED version: near-duplicate removal (word-shingle
               Jaccard pairs → connected components → one survivor per
               cluster, pipeline.dedup + pipeline.cluster).
-4. MIX+PACK — domain rebalancing (deterministic token-budget sampling,
+5. MIX+PACK — domain rebalancing (deterministic token-budget sampling,
               text.domain_mix) and sequence packing into training windows
               (text.pack_sequences manifest).
 
@@ -73,13 +78,33 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     pinned = snapshot_versions(root)[-1]
     n_ingested = snapshot_read(spark, root, pinned).count()
 
-    # --- 2. MAINTAIN: zordered compaction (new version; pin unaffected) ---
+    # --- 2. GATE: expectation suite over the ingested snapshot ------------
+    # One aggregation pass (the pipeline_expectations shape); the booleans
+    # are promotion gates — a failed blocking expectation stops the build
+    # before compaction/curation ever reads the version.
+    snap = snapshot_read(spark, root, pinned)
+    n = F.count(F.lit(1))
+    gate = snap.agg(
+        (F.count("lang").cast("double") / n).alias("complete_lang"),
+        (F.count_distinct("doc_id").cast("double") / n).alias("unique_doc_id"),
+        (F.sum((F.length("text") > 0).cast("long")).cast("double") / n)
+        .alias("nonempty_text"),
+    ).collect()[0]
+    expectations = {
+        "complete_lang": (gate.complete_lang, 0.999),
+        "unique_doc_id": (gate.unique_doc_id, 0.999),
+        "nonempty_text": (gate.nonempty_text, 0.999),
+    }
+    failed = {k: v for k, (v, thr) in expectations.items() if v < thr}
+    assert not failed, f"expectation gate blocked promotion: {failed}"
+
+    # --- 3. MAINTAIN: zordered compaction (new version; pin unaffected) ---
     snapshot_compact(
         spark, root, target_files=2, zorder_cols=["doc_id", "n_chars"],
         row_group_bytes=256 * 1024,
     )
 
-    # --- 3. CURATE from the pinned version: near-dup removal --------------
+    # --- 4. CURATE from the pinned version: near-dup removal --------------
     corpus = snapshot_read(spark, root, pinned)
     pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
     labels = cluster.connected_components(pairs).withColumnRenamed("did", "doc_id")
@@ -90,7 +115,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     )
     n_curated = curated.count()
 
-    # --- 4. MIX + PACK ----------------------------------------------------
+    # --- 5. MIX + PACK ----------------------------------------------------
     mixed = text.domain_mix(curated)
     n_mixed = mixed.count()
     manifest = text.pack_sequences(mixed, seq_len=2048, n_buckets=4)
@@ -102,6 +127,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         "landed": docs.count(),
         "pinned_version": pinned,
         "ingested_clean": n_ingested,
+        "gate": {k: round(v, 6) for k, (v, _) in expectations.items()},
         "versions": snapshot_versions(root),
         "curated": n_curated,
         "mixed": n_mixed,
