@@ -437,3 +437,56 @@ def test_agg_pushdown_restores_session_confs(spark, sf_dir):
 
     assert spark.conf.get(v1_key) == before_v1
     assert spark.conf.get(push_key) == before_push
+
+
+def test_partition_grouped_aggregate_pushdown(spark, sf_dir, tmp_path):
+    """Group-by pushdown INTO the scan on PARTITION columns: a
+    partition-directory layout answers per-partition COUNT/MIN from
+    footer statistics alone (PushedGroupBy + PushedAggregation on the
+    DSv2 path) — the partitioned complement of op_agg_pushdown's scalar
+    form, and the deepest analog of the reference's storage-side grouped
+    aggregation. At 100 TB this turns a per-domain corpus census into
+    directory-metadata reads. Values must match the plain v1 path
+    bit-for-bit (COUNT/MIN are exact), and the session confs restore."""
+    import pyspark.sql.functions as F
+
+    from pysparkdb.queries.base import tables
+
+    root = str(tmp_path / "orders_by_priority")
+    o = tables(spark, sf_dir)["orders"]
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(root)
+
+    def build(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.min("o_totalprice").alias("lo")
+        )
+
+    def census(agg_df):
+        return {r.o_orderpriority: (r.n, r.lo) for r in agg_df.collect()}
+
+    plain = census(build(spark.read.parquet(root)))
+
+    v1_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    before_v1 = spark.conf.get(v1_key)
+    before_push = spark.conf.get(push_key)
+    try:
+        spark.conf.set(push_key, "true")
+        spark.conf.set(
+            v1_key, ",".join(s for s in before_v1.split(",") if s != "parquet")
+        )
+        agg = build(spark.read.parquet(root))
+        from pysparkdb.plans.pushdown import explain_str
+
+        p = explain_str(agg)
+        assert "PushedGroupBy: [o_orderpriority]" in p, p
+        assert "PushedAggregation: [COUNT(*), MIN(o_totalprice)]" in p, p
+        pushed = census(agg)
+    finally:
+        spark.conf.set(v1_key, before_v1)
+        spark.conf.set(push_key, before_push)
+
+    assert pushed == plain
+    assert spark.conf.get(v1_key) == before_v1

@@ -47,6 +47,7 @@ NOT_ANSI_PORTABLE = {
     "text_chunk",          # unnest(range()) offset materialization
     "emb_norm_stats",      # duck DOUBLE[] cast + list-comprehension dot
     "emb_centroid_shift",  # duck LATERAL unnest(range()) element explode
+    "text_winnowing",      # duck list comprehension + list_reduce + LATERAL
     "op_collect_set",      # duck list()/list_sort vs Spark collect_set
     "op_min_max_by",       # duck {'k': v} struct literal for the total argmin key
     "dedup_minhash_lsh",   # duck list comprehension for minhash signature bands
