@@ -122,6 +122,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |A∩B|/|A| and |A∩B|/|B| per
+    colliding pair, kept when either direction clears ``threshold``.
+    Jaccard misses size-mismatched duplication by construction (a doc
+    fully embedded in one 10× larger scores J ≤ 0.1); containment is the
+    standard detector for quote expansion, boilerplate wrapping and
+    doc-inside-doc duplication (Broder's resemblance/containment pair).
+
+    Same plan as ngram_jaccard_pairs — pinned shingle explode,
+    exact-shingle collision self-join (with the same broadcastable
+    stop-shingle cap when ``max_doc_freq`` is set: capping only drops
+    join pairs, so a reported containment is an UNDERESTIMATE and the
+    threshold filter can only lose pairs, never invent one), shuffle
+    joins against the per-doc set sizes. Divisions of exact BIGINTs →
+    deterministic doubles, oracle-exact when the cap is off."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
+    joinable = sh
+    if max_doc_freq is not None:
+        stop = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        joinable = sh.join(F.broadcast(stop), "sh", "left_anti")
+    a = joinable.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = joinable.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # sizes is one row per document — never force-broadcast (see
+    # ngram_jaccard_pairs).
+    na = sizes.select(F.col("did").alias("doc_a"), F.col("nsh").alias("na"))
+    nb = sizes.select(F.col("did").alias("doc_b"), F.col("nsh").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / F.col("na")).alias("cont_a"),
+            (F.col("common") / F.col("nb")).alias("cont_b"),
+        )
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_hashes: int = 32,

@@ -2479,6 +2479,40 @@ def emb_centroid_shift(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    f"""
+    WITH sh AS (SELECT doc_id,
+                       unnest({_DUCK_SHINGLES}) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           c * 1.0 / sa.n AS cont_a,
+           c * 1.0 / sb.n AS cont_b
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE GREATEST(c * 1.0 / sa.n, c * 1.0 / sb.n) >= 0.8
+    """,
+    "pipeline", "dedup", "text",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup pairs (|A∩B|/|A| ≥ 0.8 in
+    either direction) — the detector Jaccard structurally misses: a
+    document embedded verbatim in a 10× larger one has J ≤ 0.1 but
+    containment 1.0 (quote expansion, boilerplate wrapping — the classic
+    Broder containment case an LLM-data dedup pass must catch).
+    pipeline.dedup.containment_pairs: same bounded shingle-collision
+    join as dedup_ngram_jaccard (stop-shingle cap available at scale);
+    divisions of exact BIGINT counts, hash-stable unrounded."""
+    return dedup.containment_pairs(
+        tables(spark, sf_dir)["documents"], threshold=0.8
+    )
+
+
+@register(
     "text_winnowing",
     """
     WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
