@@ -26,6 +26,7 @@ NOT_ANSI_PORTABLE = {
     "emb_hard_negatives",  # same duck dot-product idiom
     "dedup_embedding",     # same
     "dedup_ngram_jaccard", # same corpus of duck list ops
+    "dedup_containment",   # same duck shingle list comprehension
     "dedup_exact",         # regexp_replace 'g' flag argument
     "text_fingerprint",    # same
     "ev_json",             # json_extract_string
