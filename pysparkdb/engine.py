@@ -405,6 +405,38 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
+    def register_function(self, name, fn, return_type, vectorized: bool = True):
+        """Register a user-defined scalar function for use in ``sql()`` —
+        the UDF surface the reference lacks entirely (SURVEY §2.10: Calcite
+        would not serialize one). Deliberately the LAST resort: everything
+        in this engine's own registry compiles to built-in Catalyst
+        expressions, and the docstring contract is that a UDF enters a
+        query only when no built-in composition can express the semantics.
+
+        ``vectorized=True`` (the default, and the only shape that belongs
+        anywhere near a hot path) wraps ``fn`` as an Arrow-batched pandas
+        UDF: ``fn`` receives and returns ``pandas.Series``, amortizing the
+        Python boundary over whole record batches (~10-100× the
+        row-at-a-time form). ``vectorized=False`` registers the plain
+        row-at-a-time Python UDF for quick non-performance-critical glue.
+        Either way the function becomes callable from SQL text AND from
+        the returned Column-producing handle.
+
+        At 100 TB: a pandas UDF still serializes every batch across the
+        JVM↔Python boundary — scan-dominant stages should stay built-in;
+        reserve this for genuinely opaque logic (model scoring, custom
+        codecs) and budget the extra cores Python workers occupy."""
+        if vectorized:
+            from pyspark.sql.functions import pandas_udf
+
+            udf = pandas_udf(fn, return_type)
+        else:
+            from pyspark.sql.functions import udf as _udf
+
+            udf = _udf(fn, return_type)
+        self.spark.udf.register(name, udf)
+        return udf
+
     def analyze_tables(self) -> None:
         """Collect table/column stats so Catalyst CBO can reorder joins —
         the role of the reference's stats.json + Calcite row-count metadata

@@ -907,3 +907,49 @@ class TestOperatorMetrics:
         assert scan["depth"] > 2
         txt = format_metrics(ops)
         assert "numOutputRows" in txt and "Scan parquet" in txt
+
+
+class TestEngineRegisterFunction:
+    def test_vectorized_udf_matches_builtin(self, spark, sf_dir):
+        """Engine.register_function (Arrow-batched default): the UDF is
+        callable from SQL text and agrees with the built-in expression
+        it mirrors — and the registration is the documented LAST resort,
+        not a hot-path pattern."""
+        import pandas as pd
+
+        from pysparkdb import Engine
+        from pysparkdb.queries.base import tables
+
+        eng = Engine(spark)
+        tables(spark, sf_dir)
+
+        def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+            return price * (1.0 - disc)
+
+        eng.register_function("net_price_udf", net_price, "double")
+        got = eng.sql(
+            "SELECT l_orderkey, l_linenumber,"
+            "       net_price_udf(l_extendedprice, l_discount) AS net"
+            " FROM lineitem WHERE l_orderkey < 50"
+        ).collect()
+        want = eng.sql(
+            "SELECT l_orderkey, l_linenumber,"
+            "       l_extendedprice * (1 - l_discount) AS net"
+            " FROM lineitem WHERE l_orderkey < 50"
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert got  # non-vacuous
+
+    def test_row_udf_registers(self, spark, sf_dir):
+        from pysparkdb import Engine
+        from pysparkdb.queries.base import tables
+
+        eng = Engine(spark)
+        tables(spark, sf_dir)
+        eng.register_function(
+            "shout_udf", lambda s: (s or "") + "!", "string", vectorized=False
+        )
+        row = eng.sql(
+            "SELECT shout_udf(o_orderpriority) AS p FROM orders LIMIT 1"
+        ).collect()[0]
+        assert row.p.endswith("!")
