@@ -46,6 +46,51 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _pair_overlap_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared core of ngram_jaccard_pairs / containment_pairs: pinned
+    shingle explode → optional stop-shingle cap → exact-shingle collision
+    self-join → (doc_a, doc_b, common, na, nb). ONE home for the two
+    load-bearing invariants: (a) the cap drops JOIN pairs only — set
+    sizes still count every shingle, so any derived overlap measure is an
+    UNDERESTIMATE and a threshold filter can only lose pairs, never
+    invent one (property-tested); (b) sizes has one row per document —
+    unbounded at corpus scale — and must never be force-broadcast (plain
+    shuffle joins; AQE may still pick broadcast when genuinely small).
+
+    The shingle explode feeds up to four consumers (sizes, the stop-set
+    scan, both join sides); left lazy each re-tokenizes the corpus, so it
+    pins spill-safe (MEMORY_AND_DISK; a production run would checkpoint
+    to parquet between stages). Pins live until
+    spark.catalog.clearCache() or session end — bench.py clears per
+    sweep; the lazily-returned result cannot unpersist its own input."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
+    joinable = sh
+    if max_doc_freq is not None:
+        stop = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        joinable = sh.join(F.broadcast(stop), "sh", "left_anti")
+    a = joinable.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = joinable.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
+    common = (
+        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("did").alias("doc_a"), F.col("nsh").alias("na"))
+    nb = sizes.select(F.col("did").alias("doc_b"), F.col("nsh").alias("nb"))
+    return common.join(na, "doc_a").join(nb, "doc_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -73,47 +118,9 @@ def ngram_jaccard_pairs(
     is small by construction (≤ total-occurrences / F entries) and
     broadcasts.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    # The shingle explode feeds up to four consumers (sizes, the stop-set
-    # scan, and both sides of the collision self-join); left lazy each
-    # re-tokenizes the corpus. Pin it spill-safe — at test scale it sits
-    # in memory; at 100 TB MEMORY_AND_DISK degrades to a disk-backed
-    # materialization, which still beats four full re-tokenizations (and
-    # a production run would checkpoint the shingle frame to parquet
-    # between stages, as pipeline_clean_near documents for survivors).
-    # Lifecycle: pins live until spark.catalog.clearCache() or session
-    # end — long-lived servers clear between pipelines (bench.py does so
-    # per sweep); the lazily-returned result cannot unpersist its own
-    # input.
-    sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
-    joinable = sh
-    if max_doc_freq is not None:
-        stop = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("sh")
-        )
-        joinable = sh.join(F.broadcast(stop), "sh", "left_anti")
-    a = joinable.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = joinable.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
-    common = (
-        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    # sizes has ONE ROW PER DOCUMENT — unbounded at corpus scale, so it must
-    # never be force-broadcast (at 100 TB it is a multi-GB table and a forced
-    # broadcast OOMs driver and executors). Plain shuffle joins on the pair
-    # frame's own keys; AQE may still pick broadcast when genuinely small.
-    na = sizes.select(F.col("did").alias("doc_a"), F.col("nsh").alias("na"))
-    nb = sizes.select(F.col("did").alias("doc_b"), F.col("nsh").alias("nb"))
+    overlaps = _pair_overlap_counts(df, id_col, text_col, n, max_doc_freq)
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
+        overlaps.select(
             "doc_a",
             "doc_b",
             (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
@@ -144,33 +151,8 @@ def containment_pairs(
     threshold filter can only lose pairs, never invent one), shuffle
     joins against the per-doc set sizes. Divisions of exact BIGINTs →
     deterministic doubles, oracle-exact when the cap is off."""
-    from pyspark.storagelevel import StorageLevel
-
-    sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
-    joinable = sh
-    if max_doc_freq is not None:
-        stop = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("sh")
-        )
-        joinable = sh.join(F.broadcast(stop), "sh", "left_anti")
-    a = joinable.select(F.col("did").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = joinable.select(F.col("did").alias("doc_b"), F.col("sh").alias("sh_b"))
-    common = (
-        a.join(b, (F.col("sh_a") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    # sizes is one row per document — never force-broadcast (see
-    # ngram_jaccard_pairs).
-    na = sizes.select(F.col("did").alias("doc_a"), F.col("nsh").alias("na"))
-    nb = sizes.select(F.col("did").alias("doc_b"), F.col("nsh").alias("nb"))
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
+        _pair_overlap_counts(df, id_col, text_col, n, max_doc_freq)
         .select(
             "doc_a",
             "doc_b",

@@ -58,15 +58,16 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 #
 # ROUND-9 WINDOW. CORRECTNESS_r08 banked all 50 r8-window rows green, so
 # every registered query's current form now has driver evidence and the
-# window reverts to pure freshness rotation: round-9's seven NEW
+# window reverts to pure freshness rotation: round-9's nine NEW
 # registrations first (op_corr, op_agg_pushdown, pipeline_expectations,
 # pipeline_mix_divergence, pipeline_incremental_distinct,
-# emb_centroid_shift, ann_quantized), plus emb_quantize (its
-# quantize_embeddings body re-expressed through the shared _int8_codes
-# helper — outputs bit-identical, but the policy counts any body
-# reshape), then the whole round-2 bank (24 rows, the oldest evidence in
-# the union — the queue the round-8 comment staged), topped up to 50
-# with the oldest round-5 bank rows in registry order.
+# emb_centroid_shift, ann_quantized, text_winnowing,
+# dedup_containment), plus emb_quantize (its quantize_embeddings body
+# re-expressed through the shared _int8_codes helper — outputs
+# bit-identical, but the policy counts any body reshape) — 10 rows —
+# then the whole round-2 bank (24 rows, the oldest evidence in the
+# union — the queue the round-8 comment staged), topped up to 50 with
+# the 16 oldest round-5 bank rows in registry order.
 # The 26 remaining r5 rows roll to the round-10 queue: q15, q16, q17, q20, ssb1_1, ssb1_2,
 # ssb1_3, ssb2_1, ssb2_2, ssb2_3, ssb3_1, ssb3_2, ssb4_1, ssb4_2,
 # ssb4_3, ev_tumbling, ev_sliding, ev_session, ev_json, ev_range_join,
@@ -76,8 +77,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new round 9: correlation/covariance aggregates, parquet footer
     # aggregate pushdown, data-quality expectation suite, training-mix
     # divergence monitoring, mergeable-HLL incremental distinct,
-    # embedding centroid drift, int8-quantized ANN tier; plus
-    # emb_quantize (body re-expressed via the shared _int8_codes helper)
+    # embedding centroid drift, int8-quantized ANN tier, winnowing
+    # fingerprints, containment dedup; plus emb_quantize (body
+    # re-expressed via the shared _int8_codes helper)
     "op_corr", "op_agg_pushdown", "pipeline_expectations",
     "pipeline_mix_divergence", "pipeline_incremental_distinct",
     "emb_centroid_shift", "ann_quantized", "emb_quantize",

@@ -76,27 +76,33 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     land("arrival-2.parquet", docs.filter(F.col("doc_id") % 2 == 1))
     drain()
     pinned = snapshot_versions(root)[-1]
-    n_ingested = snapshot_read(spark, root, pinned).count()
 
     # --- 2. GATE: expectation suite over the ingested snapshot ------------
-    # One aggregation pass (the pipeline_expectations shape); the booleans
-    # are promotion gates — a failed blocking expectation stops the build
-    # before compaction/curation ever reads the version.
+    # One aggregation pass (the pipeline_expectations shape) that also
+    # carries the row count — no separate count() scan. The verdicts are
+    # promotion gates: a failed (or NULL — empty snapshot) blocking
+    # expectation raises and stops the build before compaction/curation
+    # ever reads the version. A real raise, not an assert: the gate must
+    # survive python -O.
     snap = snapshot_read(spark, root, pinned)
     n = F.count(F.lit(1))
     gate = snap.agg(
+        n.alias("n_rows"),
         (F.count("lang").cast("double") / n).alias("complete_lang"),
         (F.count_distinct("doc_id").cast("double") / n).alias("unique_doc_id"),
         (F.sum((F.length("text") > 0).cast("long")).cast("double") / n)
         .alias("nonempty_text"),
     ).collect()[0]
+    n_ingested = gate.n_rows
     expectations = {
         "complete_lang": (gate.complete_lang, 0.999),
         "unique_doc_id": (gate.unique_doc_id, 0.999),
         "nonempty_text": (gate.nonempty_text, 0.999),
     }
-    failed = {k: v for k, (v, thr) in expectations.items() if v < thr}
-    assert not failed, f"expectation gate blocked promotion: {failed}"
+    failed = {k: v for k, (v, thr) in expectations.items()
+              if v is None or v < thr}
+    if failed:
+        raise RuntimeError(f"expectation gate blocked promotion: {failed}")
 
     # --- 3. MAINTAIN: zordered compaction (new version; pin unaffected) ---
     snapshot_compact(
