@@ -58,17 +58,17 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 #
 # ROUND-9 WINDOW. CORRECTNESS_r08 banked all 50 r8-window rows green, so
 # every registered query's current form now has driver evidence and the
-# window reverts to pure freshness rotation: round-9's nine NEW
+# window reverts to pure freshness rotation: round-9's ten NEW
 # registrations first (op_corr, op_agg_pushdown, pipeline_expectations,
 # pipeline_mix_divergence, pipeline_incremental_distinct,
-# emb_centroid_shift, ann_quantized, text_winnowing,
-# dedup_containment), plus emb_quantize (its quantize_embeddings body
+# emb_centroid_shift, ann_quantized, text_winnowing, dedup_containment,
+# op_window_ntile), plus emb_quantize (its quantize_embeddings body
 # re-expressed through the shared _int8_codes helper — outputs
 # bit-identical, but the policy counts any body reshape) — 10 rows —
 # then the whole round-2 bank (24 rows, the oldest evidence in the
 # union — the queue the round-8 comment staged), topped up to 50 with
-# the 16 oldest round-5 bank rows in registry order.
-# The 26 remaining r5 rows roll to the round-10 queue: q15, q16, q17, q20, ssb1_1, ssb1_2,
+# the 15 oldest round-5 bank rows in registry order.
+# The 27 remaining r5 rows roll to the round-10 queue: q11, q15, q16, q17, q20, ssb1_1, ssb1_2,
 # ssb1_3, ssb2_1, ssb2_2, ssb2_3, ssb3_1, ssb3_2, ssb4_1, ssb4_2,
 # ssb4_3, ev_tumbling, ev_sliding, ev_session, ev_json, ev_range_join,
 # ev_rollup, op_project, op_sort_multikey, op_limit_sort, op_limit,
@@ -83,7 +83,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "op_corr", "op_agg_pushdown", "pipeline_expectations",
     "pipeline_mix_divergence", "pipeline_incremental_distinct",
     "emb_centroid_shift", "ann_quantized", "emb_quantize",
-    "text_winnowing", "dedup_containment",
+    "text_winnowing", "dedup_containment", "op_window_ntile",
     # round-2 bank (oldest evidence; unchanged form since r2)
     "op_count_distinct", "op_group_multi", "op_join_multikey",
     "op_join_right", "op_join_full", "op_join_theta", "op_union_merge",
@@ -94,7 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_rolling_hash", "pipeline_clean",
     # top-up: oldest round-5 bank rows, registry order
     "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q12", "q13",
-    "q14", "q18", "q19", "q2", "q11",
+    "q14", "q18", "q19", "q2",
 )
 
 

@@ -1802,3 +1802,40 @@ def op_agg_pushdown(spark, sf_dir):
         "n_rows long, min_line long, max_okey long, "
         "min_qty double, max_qty double, agg_pushed boolean",
     )
+
+
+@register(
+    "op_window_ntile",
+    """
+    SELECT c_mktsegment, c_name,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_name)
+    """,
+    "ops", "window_function",
+)
+def op_window_ntile(spark, sf_dir):
+    """Distribution-rank window functions — ntile quartiles,
+    percent_rank, cume_dist per market segment (beyond-reference: SURVEY
+    §2.10, no OVER functions in the reference; completes the window
+    family beside op_window_rank/lead_lag/range_frame). Total ordering
+    (acctbal DESC, name) makes every rank deterministic; percent_rank =
+    (rank−1)/(n−1) and cume_dist = rank/n are single divisions of exact
+    integers, so the doubles are bit-identical across engines. One
+    segment-keyed Exchange + in-partition sort, no extra passes for the
+    three functions (they share the window frame)."""
+    from pyspark.sql import Window
+
+    c = tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_name"
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_name",
+        bigint(F.ntile(4).over(w)).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
