@@ -68,7 +68,7 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # then the whole round-2 bank (24 rows, the oldest evidence in the
 # union — the queue the round-8 comment staged), topped up to 50 with
 # the 15 oldest round-5 bank rows in registry order.
-# The 27 remaining r5 rows roll to the round-10 queue: q11, q15, q16, q17, q20, ssb1_1, ssb1_2,
+# The 32 remaining r5 rows roll to the round-10 queue: q13, q14, q18, q19, q2, q11, q15, q16, q17, q20, ssb1_1, ssb1_2,
 # ssb1_3, ssb2_1, ssb2_2, ssb2_3, ssb3_1, ssb3_2, ssb4_1, ssb4_2,
 # ssb4_3, ev_tumbling, ev_sliding, ev_session, ev_json, ev_range_join,
 # ev_rollup, op_project, op_sort_multikey, op_limit_sort, op_limit,
@@ -84,6 +84,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_mix_divergence", "pipeline_incremental_distinct",
     "emb_centroid_shift", "ann_quantized", "emb_quantize",
     "text_winnowing", "dedup_containment", "op_window_ntile",
+    # consumers of the shared _pair_overlap_counts refactor (wave 2)
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_cluster",
+    "pipeline_clean_near", "pipeline_snapshot_curation",
     # round-2 bank (oldest evidence; unchanged form since r2)
     "op_count_distinct", "op_group_multi", "op_join_multikey",
     "op_join_right", "op_join_full", "op_join_theta", "op_union_merge",
@@ -93,8 +96,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality", "text_langid", "text_fingerprint", "text_tokens_bpe",
     "text_rolling_hash", "pipeline_clean",
     # top-up: oldest round-5 bank rows, registry order
-    "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q12", "q13",
-    "q14", "q18", "q19", "q2",
+    "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q12",
 )
 
 
