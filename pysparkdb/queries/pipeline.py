@@ -2587,10 +2587,14 @@ def text_winnowing(spark, sf_dir):
         .select("doc_id", "m")
         .distinct()
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = sel.withColumnsRenamed({"doc_id": "doc_a"})
-    b = sel.withColumnsRenamed({"doc_id": "doc_b"})
+    # explicit per-side column names: df["m"] == df2["m"] on a shared
+    # persisted frame relies on Spark's self-join disambiguation and
+    # warns "trivially true predicate" — rename instead, so the join
+    # condition is unambiguous by construction
+    a = sel.withColumnsRenamed({"doc_id": "doc_a", "m": "ma"})
+    b = sel.withColumnsRenamed({"doc_id": "doc_b", "m": "mb"})
     return (
-        a.join(b, (a["m"] == b["m"]) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(b, (F.col("ma") == F.col("mb")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(bigint(F.count(F.lit(1))).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)

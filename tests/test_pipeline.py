@@ -100,6 +100,42 @@ def test_minhash_lane_agreement_tracks_jaccard(spark):
     assert agree >= 16, f"lane agreement {agree}/32 too low for J≈0.86"
 
 
+def test_containment_cap_never_adds_pairs(spark):
+    """Same underestimate-only invariant for the containment measure —
+    both pair functions share _pair_overlap_counts, so this pins the
+    invariant through the OTHER consumer of the shared core (a cap
+    regression that inflated `common` would surface here even if the
+    jaccard twin's threshold hid it)."""
+    from pysparkdb.pipeline import dedup
+
+    boiler = "terms of service apply"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " alpha beta gamma delta zeta"),
+        (3, boiler + " one two three four five"),
+        (4, boiler + " six seven eight nine ten"),
+        (5, boiler + " alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def collectc(**kw):
+        return {
+            (r.doc_a, r.doc_b): (r.cont_a, r.cont_b)
+            for r in dedup.containment_pairs(
+                docs, threshold=0.01, **kw
+            ).collect()
+        }
+
+    full = collectc()
+    assert full, "vacuous: engineered near-dups produced no pairs"
+    for cap in (1, 2, 4):
+        capped = collectc(max_doc_freq=cap)
+        assert set(capped) <= set(full), (cap, capped, full)
+        for pair, (ca, cb) in capped.items():
+            assert ca <= full[pair][0] + 1e-12 and cb <= full[pair][1] + 1e-12
+    assert collectc(max_doc_freq=100) == full
+
+
 def test_stop_shingle_cap_never_adds_pairs(spark):
     """The stop-shingle guard may only REMOVE pairs, and any surviving
     pair's jaccard is ≤ its uncapped value (sizes count every shingle; only
