@@ -56,47 +56,37 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # e2e TPC-H/SSB/events corpus banked green in rounds 3, 4 AND 5 and sits
 # outside it this round). Rotate this list every round as sweeps bank.
 #
-# ROUND-9 WINDOW. CORRECTNESS_r08 banked all 50 r8-window rows green, so
-# every registered query's current form now has driver evidence and the
-# window reverts to pure freshness rotation: round-9's ten NEW
-# registrations first (op_corr, op_agg_pushdown, pipeline_expectations,
-# pipeline_mix_divergence, pipeline_incremental_distinct,
-# emb_centroid_shift, ann_quantized, text_winnowing, dedup_containment,
-# op_window_ntile), plus emb_quantize (its quantize_embeddings body
-# re-expressed through the shared _int8_codes helper — outputs
-# bit-identical, but the policy counts any body reshape) — 10 rows —
-# then the whole round-2 bank (24 rows, the oldest evidence in the
-# union — the queue the round-8 comment staged), topped up to 50 with
-# the 15 oldest round-5 bank rows in registry order.
-# The 32 remaining r5 rows roll to the round-10 queue: q13, q14, q18, q19, q2, q11, q15, q16, q17, q20, ssb1_1, ssb1_2,
-# ssb1_3, ssb2_1, ssb2_2, ssb2_3, ssb3_1, ssb3_2, ssb4_1, ssb4_2,
-# ssb4_3, ev_tumbling, ev_sliding, ev_session, ev_json, ev_range_join,
-# ev_rollup, op_project, op_sort_multikey, op_limit_sort, op_limit,
-# op_distinct.
+# ROUND-10 WINDOW. CORRECTNESS_r09 banked all 50 r9-window rows green
+# (new r9 registrations, the refactor consumers, the r2 bank, and the 10
+# oldest r5 rows q1/q3-q10/q12). Evidence ages across the union are now
+# r5: 32 rows, r6: 34, r7: 32, r8: 44, r9: 50. Pure freshness rotation:
+# the 32 r5-banked rows staged by the round-9 comment go first (the
+# oldest evidence anywhere — TPC-H tail, SSB flat core, events windows,
+# relational op_ basics), topped up to 50 with the 18 oldest r6-bank
+# rows in registry order. Any round-10 NEW or reshaped query must be
+# prepended here (displacing top-ups) per the window policy above.
+# The 16 remaining r6 rows roll to the round-11 queue: op_rollup,
+# op_window_lead_lag, op_min_max_by, op_hash_sample, op_sessionize,
+# op_pivot, op_histogram, op_collect_set, op_string_funcs,
+# op_date_trunc, op_grouping_sets, op_window_analytics,
+# text_stratified_sample, emb_norm_stats, text_inverted_index,
+# text_tfidf (verify against the CORRECTNESS files when rotating).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # new round 9: correlation/covariance aggregates, parquet footer
-    # aggregate pushdown, data-quality expectation suite, training-mix
-    # divergence monitoring, mergeable-HLL incremental distinct,
-    # embedding centroid drift, int8-quantized ANN tier, winnowing
-    # fingerprints, containment dedup; plus emb_quantize (body
-    # re-expressed via the shared _int8_codes helper)
-    "op_corr", "op_agg_pushdown", "pipeline_expectations",
-    "pipeline_mix_divergence", "pipeline_incremental_distinct",
-    "emb_centroid_shift", "ann_quantized", "emb_quantize",
-    "text_winnowing", "dedup_containment", "op_window_ntile",
-    # consumers of the shared _pair_overlap_counts refactor (wave 2)
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_cluster",
-    "pipeline_clean_near", "pipeline_snapshot_curation",
-    # round-2 bank (oldest evidence; unchanged form since r2)
-    "op_count_distinct", "op_group_multi", "op_join_multikey",
-    "op_join_right", "op_join_full", "op_join_theta", "op_union_merge",
-    "op_expr_substr_cast", "op_expr_datefuncs", "op_join_semi",
-    "op_cross_join", "op_salted_agg", "op_percentile", "op_variance",
-    "op_window_rank", "op_intersect", "op_except", "text_tokens",
-    "text_quality", "text_langid", "text_fingerprint", "text_tokens_bpe",
-    "text_rolling_hash", "pipeline_clean",
-    # top-up: oldest round-5 bank rows, registry order
-    "q1", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q12",
+    # r5-banked (oldest evidence in the union): TPC-H tail
+    "q13", "q14", "q18", "q19", "q2", "q11", "q15", "q16", "q17", "q20",
+    # r5-banked: SSB flat core
+    "ssb1_1", "ssb1_2", "ssb1_3", "ssb2_1", "ssb2_2", "ssb2_3",
+    "ssb3_1", "ssb3_2", "ssb4_1", "ssb4_2", "ssb4_3",
+    # r5-banked: events windows + relational basics
+    "ev_tumbling", "ev_sliding", "ev_session", "ev_json",
+    "ev_range_join", "ev_rollup",
+    "op_project", "op_sort_multikey", "op_limit_sort", "op_limit",
+    "op_distinct",
+    # top-up: the 18 oldest r6-bank rows, registry order
+    "q21", "q2_orig", "q11_orig", "q16_orig", "q20_orig",
+    "q5_jo1", "q5_jo2", "q9_orig", "q_co_join", "q9_jo2", "q_co_join3",
+    "ssb_gen1", "ssb_gen2", "ssb_gen3", "ssb_gen4", "ssb_gen5",
+    "op_approx_percentile", "op_approx_distinct",
 )
 
 
