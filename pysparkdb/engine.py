@@ -405,7 +405,9 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
-    def register_function(self, name, fn, return_type, vectorized: bool = True):
+    def register_function(
+        self, name, fn, return_type, vectorized: bool = True, replace: bool = False
+    ):
         """Register a user-defined scalar function for use in ``sql()`` —
         the UDF surface the reference lacks entirely (SURVEY §2.10: Calcite
         would not serialize one). Deliberately the LAST resort: everything
@@ -425,7 +427,20 @@ class Engine:
         At 100 TB: a pandas UDF still serializes every batch across the
         JVM↔Python boundary — scan-dominant stages should stay built-in;
         reserve this for genuinely opaque logic (model scoring, custom
-        codecs) and budget the extra cores Python workers occupy."""
+        codecs) and budget the extra cores Python workers occupy.
+
+        Name collisions raise: ``spark.udf.register`` would silently
+        shadow a Spark built-in (a UDF named ``abs`` hijacks every
+        subsequent ``sql()`` on the shared session) or clobber a prior
+        registration. Pass ``replace=True`` to overwrite deliberately
+        (re-registering the same logical function across engine
+        restarts is the legitimate case)."""
+        if not replace and self.spark.catalog.functionExists(name):
+            raise ValueError(
+                f"function {name!r} already exists (Spark built-in or prior "
+                f"registration) and would be silently shadowed session-wide; "
+                f"pass replace=True to overwrite deliberately"
+            )
         if vectorized:
             from pyspark.sql.functions import pandas_udf
 

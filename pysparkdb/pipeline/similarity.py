@@ -607,20 +607,32 @@ def quantized_topk_neighbors(
     vec_col: str = "embedding",
     k: int = 1,
     query_filter: Column | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k cosine neighbors scored on int8-QUANTIZED codes — the
-    memory-bandwidth scale path: candidates stream as int8 (4× smaller
-    than float32), and because symmetric quantization divides every
-    component by the same per-vector scale, the scales CANCEL in cosine —
-    cos(a, b) ≈ Σqa·qb / (√Σqa² · √Σqb²) needs no dequantization at all.
-    Integer dot products are exact associative long sums (no float
-    accumulation order to worry about); the only doubles are the final
-    sqrt/divide per pair. Ranked through the shared ``_topk`` contract so
-    recall certificates against the exact path stay meaningful.
+    """Top-k cosine neighbors scored on int8-QUANTIZED codes — the int8
+    scoring KERNEL, not a standalone scale path: because symmetric
+    quantization divides every component by the same per-vector scale,
+    the scales CANCEL in cosine — cos(a, b) ≈ Σqa·qb / (√Σqa² · √Σqb²)
+    needs no dequantization, candidates stream as int8 (4× smaller than
+    float32), and integer dot products are exact associative long sums
+    (no float accumulation order to worry about); the only doubles are
+    the final sqrt/divide per pair. Ranked through the shared ``_topk``
+    contract so recall certificates against the exact path stay
+    meaningful.
 
-    At 100 TB this is the standard first rerank tier: int8 scan (this) →
-    exact float rerank of the survivors (``topk_neighbors`` on the
-    candidate subset)."""
+    Candidate bounding is the caller's job, same convention as the
+    lsh/ivf tiers: pass ``candidates`` — a (qid, cid) pair frame, e.g.
+    the bucket join of ``lsh_topk_neighbors`` / ``ivf_topk_neighbors`` —
+    and only those pairs are scored (two hash joins on the id keys).
+    With ``candidates=None`` the kernel scores ALL query×corpus pairs —
+    the exact-recall certificate form (ann_quantized bounds the query
+    set instead), O(|q|·|corpus|) like the brute-force float tier; int8
+    shrinks bytes 4× but does NOT bound the pair count, so never ship
+    the unbounded form against an unbounded query set at scale.
+
+    At 100 TB the standard stack is: LSH/IVF candidate generation →
+    int8 scan (this, bounded) → exact float rerank of the survivors
+    (``topk_neighbors`` on the candidate subset)."""
     codes = _int8_codes(_as_double(F.col(vec_col)))
 
     def idot(a: Column, b: Column) -> Column:
@@ -636,7 +648,16 @@ def quantized_topk_neighbors(
     q = base if query_filter is None else base.filter(query_filter)
     q = _spread(q).withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})
     c = base.withColumnsRenamed({"vec_id": "cid", "v": "cv", "nrm": "cn"})
-    scored = q.join(c, F.col("qid") != F.col("cid")).select(
+    if candidates is None:
+        pairs = q.join(c, F.col("qid") != F.col("cid"))
+    else:
+        pairs = (
+            candidates.select("qid", "cid")
+            .where(F.col("qid") != F.col("cid"))
+            .join(q, "qid")
+            .join(c, "cid")
+        )
+    scored = pairs.select(
         "qid", "cid",
         (idot(F.col("qv"), F.col("cv")).cast("double")
          / (F.col("qn") * F.col("cn"))).alias("cosine"),

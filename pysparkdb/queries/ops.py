@@ -1777,6 +1777,12 @@ def op_agg_pushdown(spark, sf_dir):
     # a concurrently-PLANNING Engine.sql thread can never see the DSv2 path
     # (execution of already-planned queries is unaffected and stays
     # parallel — the same serialize-resolution contract engine.py uses).
+    # The lock spans only conf-set + PLANNING: explain_str("formatted")
+    # forces QueryExecution.executedPlan, which is cached on the DataFrame,
+    # so the collect() below — outside the lock, confs restored — reuses
+    # the already-planned DSv2 scan. Planners that bypass Engine.sql (a
+    # concurrent direct query-fn call) can now only race the ~ms planning
+    # window, not the full materialization.
     with _RESOLVE_LOCK:
         old_v1 = spark.conf.get(v1_key)
         old_push = spark.conf.get(push_key)
@@ -1793,10 +1799,10 @@ def op_agg_pushdown(spark, sf_dir):
                 F.max("l_quantity").alias("max_qty"),
             )
             pushed = "PushedAggregation: [COUNT(*)" in explain_str(agg)
-            row = agg.collect()[0]
         finally:
             spark.conf.set(v1_key, old_v1)
             spark.conf.set(push_key, old_push)
+    row = agg.collect()[0]
     return spark.createDataFrame(
         [(*row, bool(pushed))],
         "n_rows long, min_line long, max_okey long, "

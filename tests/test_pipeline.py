@@ -292,6 +292,37 @@ def test_ann_quantized_recall_and_metric_fidelity(spark, sf_dir):
                       similarity.quantized_topk_neighbors(df, k=1).collect()}
 
 
+def test_quantized_candidates_bounding(spark, sf_dir):
+    """The candidates parameter (the lsh/ivf bounding convention): a
+    (qid, cid) frame restricts scoring to exactly those pairs — the
+    bounded form agrees with the unbounded kernel whenever the true
+    top-1 pair is inside the candidate set, and never emits a pair
+    outside it. This is the shape that makes the int8 kernel usable at
+    scale: candidate generation (LSH/IVF buckets) bounds the join, int8
+    only shrinks the bytes."""
+    from pysparkdb.pipeline import similarity
+    from pysparkdb.queries.base import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    qf = F.col("vec_id") < 20
+    unbounded = {r.qid: (r.cid, r.cosine)
+                 for r in similarity.quantized_topk_neighbors(
+                     e, k=1, query_filter=qf).collect()}
+    # full pair set as candidates → identical result
+    ids = e.select(F.col("vec_id").alias("qid"))
+    full = ids.filter(F.col("qid") < 20).crossJoin(
+        e.select(F.col("vec_id").alias("cid")))
+    bounded = {r.qid: (r.cid, r.cosine)
+               for r in similarity.quantized_topk_neighbors(
+                   e, k=1, query_filter=qf, candidates=full).collect()}
+    assert bounded == unbounded
+    # restricted candidate set → only those pairs are scored
+    two = full.filter(F.col("cid").isin(100, 101))
+    narrow = similarity.quantized_topk_neighbors(
+        e, k=5, query_filter=qf, candidates=two).collect()
+    assert narrow and {r.cid for r in narrow} <= {100, 101}
+
+
 def test_multimodal_decode_stub(spark, sf_dir):
     from pysparkdb.pipeline import multimodal
     from pysparkdb.queries.base import tables

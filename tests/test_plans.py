@@ -953,3 +953,34 @@ class TestEngineRegisterFunction:
             "SELECT shout_udf(o_orderpriority) AS p FROM orders LIMIT 1"
         ).collect()[0]
         assert row.p.endswith("!")
+
+    def test_collision_guard(self, spark):
+        """A UDF may not silently shadow a built-in or a prior
+        registration on the shared session; replace=True is the
+        deliberate overwrite path."""
+        import pandas as pd
+        import pytest
+
+        from pysparkdb import Engine
+
+        eng = Engine(spark)
+        with pytest.raises(ValueError, match="already exists"):
+            eng.register_function("abs", lambda s: s, "double")
+        eng.register_function(
+            "collision_probe_udf", lambda s: s * 2.0, "double",
+            vectorized=False,
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            eng.register_function(
+                "collision_probe_udf", lambda s: s * 3.0, "double",
+                vectorized=False,
+            )
+        eng.register_function(
+            "collision_probe_udf", lambda s: s * 3.0, "double",
+            vectorized=False, replace=True,
+        )
+        assert eng.sql(
+            "SELECT collision_probe_udf(CAST(2.0 AS DOUBLE)) AS v"
+        ).collect()[0].v == 6.0
+        # built-in untouched throughout
+        assert spark.sql("SELECT abs(-1.5) AS v").collect()[0].v == 1.5
