@@ -67,11 +67,28 @@ def main() -> None:
     # JVM/codegen/shuffle-service warmup is not billed to the first query
     specs["q6"].fn(spark, sf_dir).collect()
     specs["q3"].fn(spark, sf_dir).collect()
-    # pre-fork the Python/Arrow worker pool so the first mapInPandas query
-    # isn't billed ~3s of per-executor-thread worker spinup
-    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
-        lambda it: it, schema="id long"
-    ).count()
+    # Python/Arrow worker-pool warmth: PythonWorkerFactory reaps idle
+    # workers after a HARDCODED 60 s (IDLE_WORKER_TIMEOUT_NS — no conf),
+    # so a long JVM-only stretch leaves the NEXT pandas_udf /
+    # applyInPandasWithState query paying a 2-7 s pool restart that is
+    # that query's position in the sweep, not its cost (the adjudicated
+    # emb_quantize/ev_stateful artifact, BENCH_BASELINE.md). Re-probe
+    # between timed queries whenever >30 s have passed since the last
+    # probe: the pool's idle clock then never reaches 30 s + one query
+    # (< 60 s), and the warm probe costs ~0.5 s × ~2/min — outside every
+    # timed region, ~1-2 % sweep wall-clock, zero effect on medians.
+    _last_warm = 0.0
+
+    def keep_python_pool_warm() -> None:
+        nonlocal _last_warm
+        if time.perf_counter() - _last_warm < 30.0:
+            return
+        spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        _last_warm = time.perf_counter()
+
+    keep_python_pool_warm()  # initial pre-fork (first probe pays spinup)
 
     def empty_job_ms(n: int = 20) -> float:
         """Mean scheduling latency of an empty job — the host-phase stamp.
@@ -92,6 +109,7 @@ def main() -> None:
     for _rep in range(repeats):
         for name in names:
             spec = specs[name]
+            keep_python_pool_warm()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             times[name].append(time.perf_counter() - t0)
