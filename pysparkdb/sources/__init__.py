@@ -12,6 +12,12 @@ from pysparkdb.sources.files import (
     write_orc,
     write_parquet,
 )
+from pysparkdb.sources.arrow_s3 import (
+    S3Conf,
+    arrow_s3_list,
+    arrow_s3_read_parquet,
+    arrow_s3_write_parquet,
+)
 from pysparkdb.sources.layout import compact_parquet, write_zordered
 from pysparkdb.sources.objectstore import (
     configure_s3a,
@@ -43,6 +49,10 @@ __all__ = [
     "write_parquet",
     "compact_parquet",
     "write_zordered",
+    "S3Conf",
+    "arrow_s3_list",
+    "arrow_s3_read_parquet",
+    "arrow_s3_write_parquet",
     "configure_s3a",
     "hadoop_list_names",
     "hadoop_path_exists",

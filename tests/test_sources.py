@@ -1092,3 +1092,139 @@ class TestObjectStore:
         nation.write.mode("overwrite").parquet(f"{prefix}/nation.parquet")
         cat = Catalog(spark, prefix).register_all(validate=False)
         assert cat.tables["nation"].count() == nation.count()
+
+
+class TestArrowObjectStore:
+    """The jar-less object-store path (sources/arrow_s3.py): pyarrow's
+    bundled S3FileSystem issues GETs from executor tasks — the S3GetPOp
+    execution shape (fpdb-executor/src/physical/s3/S3GetPOp.cpp:1-527) —
+    against a LIVE in-process S3 endpoint (moto). Unlike the s3a smoke
+    (blocked on the hadoop-aws jars this distribution doesn't ship),
+    these tests execute real PUT/LIST/HEAD/GET round-trips in-sandbox."""
+
+    @pytest.fixture(scope="class")
+    def moto_s3(self):
+        try:
+            from moto.server import ThreadedMotoServer
+        except ImportError:
+            pytest.skip("moto not installed")
+        import logging
+
+        logging.getLogger("werkzeug").setLevel(logging.ERROR)
+        server = ThreadedMotoServer(port=0, verbose=False)
+        server.start()
+        _, port = server.get_host_and_port()
+        endpoint = f"http://127.0.0.1:{port}"
+        from pysparkdb.sources.arrow_s3 import S3Conf, _boto3_client
+
+        conf = S3Conf(endpoint=endpoint, access_key="ak", secret_key="sk",
+                      region="us-east-1")
+        _boto3_client(conf).create_bucket(Bucket="testbkt")
+        yield conf
+        server.stop()
+
+    def test_live_roundtrip_distributed(self, spark, sf_dir, moto_s3):
+        """Write from 3 executor partitions (3 single-PUT objects), ONE
+        list RPC discovers them, read back through mapInPandas GETs —
+        row-for-row identical to the local table."""
+        from pysparkdb.sources import (
+            arrow_s3_list,
+            arrow_s3_read_parquet,
+            arrow_s3_write_parquet,
+        )
+
+        nation = tables(spark, sf_dir)["nation"]
+        wrote = arrow_s3_write_parquet(
+            nation.repartition(3), "s3://testbkt/rt/nation", moto_s3)
+        assert wrote == nation.count()
+        objs = arrow_s3_list(moto_s3, "s3://testbkt/rt/nation")
+        assert len(objs) == 3 and all(size > 0 for _, size in objs)
+        back = arrow_s3_read_parquet(spark, "s3://testbkt/rt/nation", moto_s3)
+        assert sorted(map(tuple, back.collect())) == \
+            sorted(map(tuple, nation.collect()))
+
+    def test_column_pruning_and_exact_filters(self, spark, sf_dir, moto_s3):
+        """columns prunes the decoded schema to exactly the request;
+        DNF filters are EXACT (residual rows dropped during decode, no
+        Spark-side re-filter) and match the local-plan answer."""
+        from pysparkdb.sources import arrow_s3_read_parquet, arrow_s3_write_parquet
+
+        supplier = tables(spark, sf_dir)["supplier"]
+        arrow_s3_write_parquet(supplier, "s3://testbkt/pr/supplier", moto_s3)
+        got = arrow_s3_read_parquet(
+            spark, "s3://testbkt/pr/supplier", moto_s3,
+            columns=["s_suppkey", "s_acctbal"],
+            filters=[("s_acctbal", ">", 0.0), ("s_suppkey", "<=", 60)],
+        )
+        assert got.columns == ["s_suppkey", "s_acctbal"]
+        want = (supplier.filter((F.col("s_acctbal") > 0.0)
+                                & (F.col("s_suppkey") <= 60))
+                .select("s_suppkey", "s_acctbal"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+        assert 0 < got.count() < supplier.count()  # non-vacuous filter
+
+    def test_row_group_stats_skip(self, spark, moto_s3):
+        """Row-group skipping mechanism: a 5-row-group object with
+        disjoint sorted ranges; footer min/max statistics alone select
+        1/5 row groups for a point-range filter (split_by_row_group is
+        the exact pre-GET pruning the dataset scanner applies), and the
+        scan result through arrow_s3_read_parquet is exact."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from pysparkdb.sources import arrow_s3_read_parquet
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        buf = pa.BufferOutputStream()
+        writer = pq.ParquetWriter(buf, pa.schema([("x", pa.int64())]))
+        for g in range(5):
+            writer.write_table(
+                pa.table({"x": list(range(g * 1000, (g + 1) * 1000))}))
+        writer.close()
+        _boto3_client(moto_s3).put_object(
+            Bucket="testbkt", Key="rg/t.parquet",
+            Body=buf.getvalue().to_pybytes())
+
+        fs = moto_s3.filesystem()
+        frag = pads.ParquetFileFormat().make_fragment(
+            "testbkt/rg/t.parquet", fs)
+        assert frag.num_row_groups == 5
+        surviving = list(frag.split_by_row_group(
+            pads.field("x") >= 4200, frag.physical_schema))
+        assert len(surviving) == 1  # 4/5 row groups never fetched
+
+        got = arrow_s3_read_parquet(
+            spark, "s3://testbkt/rg/t.parquet", moto_s3,
+            filters=[("x", ">=", 4200)])
+        assert got.count() == 800
+        assert got.agg(F.min("x")).collect()[0][0] == 4200
+
+    def test_split_row_groups_tasks(self, spark, moto_s3):
+        """split_row_groups=True makes one task per row group — the
+        ranged-GET split for single-giant-object corpora — with
+        identical results."""
+        from pysparkdb.sources import arrow_s3_read_parquet
+
+        got = arrow_s3_read_parquet(
+            spark, "s3://testbkt/rg/t.parquet", moto_s3,
+            split_row_groups=True)
+        assert got.count() == 5000
+        assert got.rdd.getNumPartitions() == 5
+
+    def test_missing_prefix_and_declared_schema(self, spark, moto_s3):
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from pysparkdb.sources import arrow_s3_read_parquet
+
+        with pytest.raises(FileNotFoundError):
+            arrow_s3_read_parquet(spark, "s3://testbkt/nope", moto_s3)
+        declared = StructType([StructField("x", LongType())])
+        got = arrow_s3_read_parquet(
+            spark, "s3://testbkt/rg/t.parquet", moto_s3, schema=declared)
+        assert got.schema == declared and got.count() == 5000
+        with pytest.raises(ValueError, match="must equal columns"):
+            arrow_s3_read_parquet(
+                spark, "s3://testbkt/rg/t.parquet", moto_s3,
+                schema=declared, columns=["y"])
