@@ -561,6 +561,28 @@ class TestModeAxis:
             eng.set_mode("pushdown")
             eng.clear_segment_cache()
 
+    def test_four_modes_identical_results_join_query(self, spark, sf_dir):
+        """Mode identity on the join+group shape (SSB 2.1 — the
+        HybridTest.cpp scenario scripts/mode_bench.py measures): cache
+        routing must stay transparent where the cached scans feed JOINS,
+        not just the scan-aggregate Q6 shape above — a cache segment
+        projected to the wrong column working set would break the join
+        sides here long before it broke a single-table aggregate."""
+        from pysparkdb.engine import MODES, Engine
+        from pysparkdb.queries import load_all
+
+        sql = load_all()["ssb2_1"].oracle
+        eng = Engine(spark).attach(sf_dir, validate=False)
+        try:
+            results = {m: eng.sql(sql, mode=m).collect() for m in MODES}
+            base = results["pushdown"]
+            assert base, "vacuous: ssb2_1 returned no rows"
+            for m, rows in results.items():
+                assert rows == base, f"mode {m} diverged"
+        finally:
+            eng.set_mode("pushdown")
+            eng.clear_segment_cache()
+
     def test_mode_scan_mechanics(self, spark, sf_dir):
         from pysparkdb.engine import Engine
 
