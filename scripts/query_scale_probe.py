@@ -1,0 +1,126 @@
+"""Registered-query scale probe: measured wall-clock growth sf0.1 → ~sf1.
+
+VERDICT r9 #6: the sublinear-growth evidence (dedup_scale_probe.py)
+covers the dedup KERNELS at 2.5× data; this probe measures the four most
+expensive REGISTERED query bodies end-to-end — `pipeline_clean_near`,
+`text_winnowing`, `dedup_containment`, `graph_pagerank` — at k ∈ {2, 5,
+10} × the sf0.1 documents corpus (k=10 ≈ sf1), and reports the fitted
+growth exponent α in t ∝ n^α (α from the k=2 → k=10 endpoints). α ≈ 1 is
+the shuffle-shaped claim; α ≈ 2 would mean a pairwise blow-up hiding in
+a registered body.
+
+Staging reuses dedup_scale_probe's replication scheme — k-fold documents
+with per-replica token tagging (each replica keeps its internal
+near-dup/fingerprint structure, zero cross-replica shingle or winnowing
+fingerprint collisions; doc_id offset per replica keeps the synthetic
+link graph a union of k disjoint copies for pagerank). Each staged corpus
+is written as a full sf-dir layout (other tables copied verbatim) so the
+UNMODIFIED registered query fns run against it — this times the shipped
+code, not a probe-side re-expression.
+
+Run:  python scripts/query_scale_probe.py [k ...]    (default 2 5 10)
+Scratch under spark-warehouse/scale_probe/ (gitignored). The measured
+table lives in SCALE.md ("Measured registered-query scaling").
+"""
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pysparkdb.session import get_spark  # noqa: E402
+
+SRC = Path("/root/testdata/sf0.1")
+SCRATCH = Path(__file__).resolve().parent.parent / "spark-warehouse" / "scale_probe"
+QUERIES = ("dedup_containment", "text_winnowing", "pipeline_clean_near",
+           "graph_pagerank")
+
+
+def stage(spark, k: int) -> str:
+    """Write a full sf-dir layout with k-fold token-tagged documents."""
+    out = SCRATCH / f"k{k}"
+    if (out / "_STAGED").exists():
+        return str(out)
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+    for f in SRC.glob("*.parquet"):
+        if f.name != "documents.parquet":
+            shutil.copy(f, out / f.name)
+    d = spark.read.parquet(str(SRC / "documents.parquet"))
+    parts = []
+    for i in range(k):
+        tag = F.lit(f"_r{i}")
+        parts.append(
+            d.select(
+                (F.col("doc_id") + i * 10**9).alias("doc_id"),
+                F.array_join(
+                    F.transform(F.split("text", " "),
+                                lambda t: F.concat(t, tag)),
+                    " ",
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    staged = parts[0]
+    for p in parts[1:]:
+        staged = staged.unionByName(p)
+    staged.coalesce(max(k // 2, 1)).write.mode("overwrite").parquet(
+        str(out / "documents.parquet"))
+    (out / "_STAGED").touch()
+    return str(out)
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [2, 5, 10]
+    spark = get_spark(
+        "query-scale-probe", master="local[32]",
+        extra_confs={"spark.ui.enabled": "false",
+                     "spark.driver.memory": "16g",
+                     "spark.sql.shuffle.partitions": "32"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pysparkdb.queries import load_all
+
+    specs = load_all()
+    # one warm-up execution at the smallest k so JVM/codegen/Python-pool
+    # startup is not billed to the first timed cell
+    warm_dir = stage(spark, ks[0])
+    for q in QUERIES:
+        specs[q].fn(spark, warm_dir).count()
+    spark.catalog.clearCache()
+
+    walls: dict[tuple[str, int], tuple[float, int, int]] = {}
+    for k in ks:
+        sf_dir = stage(spark, k)
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        for q in QUERIES:
+            t0 = time.perf_counter()
+            rows = specs[q].fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            walls[(q, k)] = (dt, rows, n_docs)
+            print(f"k={k:3d} docs={n_docs:>7,}  {q:22s} "
+                  f"out_rows={rows:>9,}  {dt:7.2f}s")
+            # clean the per-query persist pins so the next cell is not
+            # served by this one's cached frames (the bench-protocol rule)
+            spark.catalog.clearCache()
+
+    if len(ks) >= 2:
+        import math
+
+        lo, hi = ks[0], ks[-1]
+        print(f"\nfitted growth exponent alpha (t ~ n^alpha), "
+              f"k={lo} -> k={hi} ({hi / lo:.1f}x data):")
+        for q in QUERIES:
+            t_lo, _, _ = walls[(q, lo)]
+            t_hi, _, _ = walls[(q, hi)]
+            alpha = math.log(t_hi / t_lo) / math.log(hi / lo)
+            print(f"  {q:22s} t({lo})={t_lo:6.2f}s  t({hi})={t_hi:6.2f}s  "
+                  f"alpha={alpha:5.2f}")
+
+
+if __name__ == "__main__":
+    main()
