@@ -468,3 +468,97 @@ def dup_chunk_stats(
             F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
     )
+
+
+def naive_bayes_predict(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    train_mod: int = 2,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier, trained and scored
+    entirely in relational algebra — the fastText-style label filter
+    every pretraining pipeline runs (language ID, quality buckets) as a
+    hash-join/group-by plan, no model server, no UDF. Documents with
+    ``id % train_mod == 0`` train; the rest are scored. Returns
+    (id, actual, predicted) for the scored split.
+
+    Add-one smoothing over the train vocabulary; test-only (OOV) tokens
+    are IGNORED (the standard choice, and the deterministic one — they
+    shift every class score by the same unseen-mass constant anyway).
+    Determinism contract: every log term is rounded to 1e-6 and cast
+    DECIMAL(25,6) BEFORE summation, so per-class scores are exact sums of
+    exact quantities — identical across engines and partition orders (a
+    raw double log-sum would be summation-order-nondeterministic, the
+    same trap dsum documents) — and argmax ties break on label order.
+
+    Scale shape: token explode → one (label, token) count Exchange
+    (partial-aggregated); scoring is test-tokens ⋈ count-table on token
+    (Zipf-skewed — AQE skew split applies), one (doc, label) aggregation,
+    and a 5-row broadcast of per-label constants; the argmax is one
+    window over doc. Nothing driver-side, nothing quadratic."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("actual"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    train = tok.filter(F.col("id") % train_mod == 0)
+    test = tok.filter(F.col("id") % train_mod != 0)
+
+    tl = train.groupBy("actual", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = train.select("tok").distinct()
+    # per-label constants + shared vocab size / doc total: a tiny frame
+    # (one row per label) broadcast into the per-doc score expansion
+    nl = train.groupBy("actual").agg(F.count(F.lit(1)).alias("n_lang"))
+    nd = (
+        train.select("id", "actual").distinct()
+        .groupBy("actual").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    consts = (
+        nl.join(nd, "actual")
+        .crossJoin(vocab.agg(F.count(F.lit(1)).alias("v")))
+        .crossJoin(
+            train.select("id").distinct().agg(F.count(F.lit(1)).alias("t")))
+        .select(
+            F.col("actual").alias("label"),
+            F.round(F.log(F.col("n_docs") / F.col("t")), 6)
+            .cast("decimal(25,6)").alias("log_prior"),
+            F.round(F.log(F.col("n_lang") + F.col("v")), 6)
+            .cast("decimal(25,6)").alias("log_denom"),
+        )
+    )
+
+    test_iv = test.join(vocab, "tok", "left_semi")  # OOV dropped
+    doc_stats = test_iv.groupBy("id", "actual").agg(
+        F.count(F.lit(1)).alias("m"))
+    matched = (
+        test_iv.withColumnRenamed("actual", "_actual")
+        .join(tl.withColumnRenamed("actual", "label"), "tok")
+        .groupBy("id", "label")
+        .agg(
+            F.sum(
+                F.round(F.log(F.col("c") + 1), 6).cast("decimal(25,6)")
+            ).alias("s")
+        )
+    )
+    scores = (
+        doc_stats.crossJoin(F.broadcast(consts))
+        .join(matched, ["id", "label"], "left")
+        .select(
+            "id", "actual", "label",
+            (
+                F.col("log_prior")
+                - F.col("m") * F.col("log_denom")
+                + F.coalesce(F.col("s"), F.lit(0).cast("decimal(25,6)"))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), "label")
+    return (
+        scores.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "actual", F.col("label").alias("predicted"))
+    )

@@ -1924,3 +1924,183 @@ def s3_scan_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "region_key long, n_nations long, min_key long, max_key long"
     )
+
+
+@register(
+    "op_skew_join",
+    """
+    SELECT l_returnflag AS rflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS price_sum,
+           TRUE AS skew_split
+    FROM lineitem JOIN orders
+      ON o_orderkey = CASE WHEN l_orderkey % 100 < 50
+                           THEN 1 ELSE l_orderkey END
+    GROUP BY l_returnflag ORDER BY rflag
+    """,
+    "ops", "join", "skew", "aqe",
+)
+def op_skew_join(spark, sf_dir):
+    """Runtime skew-join splitting — the hot-key join failure mode at
+    100 TB (SURVEY §2.7's shuffle distribution axis; the reference
+    hash-partitions S3 objects statically and has no runtime re-plan,
+    fpdb-executor/src/physical/shuffle/). Half of lineitem is steered
+    onto ONE join key (a CASE over l_orderkey), so one reduce partition
+    carries ~30 000× the median — the partition that, at cluster scale,
+    runs hours after every other task finished or OOMs its executor.
+    AQE's OptimizeSkewedJoin detects it from map-output statistics at
+    RUNTIME and splits it into advisory-sized sub-partitions, replicating
+    the matching build rows per split (the same remedy op_salted_agg
+    applies statically to aggregation).
+
+    Honesty flag: skew_split is read from the FINAL adaptive plan
+    (``skew=true`` on the SortMergeJoin) after execution — if the split
+    ever silently stops firing, the row hash-mismatches the oracle's
+    TRUE. Mechanics this query pins: (a) block-level splits need
+    MULTIPLE map tasks (one map block per reduce partition is
+    unsplittable — measured: a single-file scan defeats the rule), hence
+    the repartition(16) staging, which at production scale is the
+    already-plentiful map side and vanishes; (b) skew thresholds are
+    sized for this SF under a try/finally conf scope — AQE reads them at
+    runtime, NOT plan time (measured: restoring confs before collect()
+    un-fires the split), so the flip spans the eager materialization;
+    every flipped conf is performance-shaping only (broadcast threshold,
+    advisory sizes), never correctness-affecting for concurrent
+    planners."""
+    l = tables(spark, sf_dir)["lineitem"]
+    o = tables(spark, sf_dir)["orders"]
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        jk = F.when(F.col("l_orderkey") % 100 < 50, F.lit(1)).otherwise(
+            F.col("l_orderkey"))
+        agg = (
+            l.repartition(16)  # multi-map-task staging (see docstring)
+            .withColumn("jk", jk)
+            .join(o, F.col("jk") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                bigint(F.count(F.lit(1))).alias("n_rows"),
+                dsum(F.col("l_extendedprice")).alias("price_sum"),
+            )
+            .select(F.col("l_returnflag").alias("rflag"),
+                    "n_rows", "price_sum")
+            .orderBy("rflag")
+        )
+        rows = agg.collect()
+        split = "skew=true" in (
+            agg._jdf.queryExecution().executedPlan().toString())
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    return spark.createDataFrame(
+        [(*r, bool(split)) for r in rows],
+        "rflag string, n_rows long, price_sum double, skew_split boolean",
+    )
+
+
+@register(
+    "op_null_safe_join",
+    """
+    WITH a AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS k, o_totalprice
+      FROM orders
+    ), b AS (SELECT DISTINCT k FROM a)
+    SELECT COALESCE(b.k, 'NULL') AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(a.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS price_sum
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY b.k ORDER BY key
+    """,
+    "ops", "join", "null_semantics",
+)
+def op_null_safe_join(spark, sf_dir):
+    """NULL-safe equi join (<=> / IS NOT DISTINCT FROM) — the join
+    semantics row plain equality cannot express: under ordinary `=`,
+    NULL keys match NOTHING (both sides silently drop), the classic
+    lost-rows bug when a dimension key is legitimately absent. One
+    priority class is nulled via NULLIF, and the null-safe join must
+    route exactly those orders to the NULL dimension row — a plain-equi
+    plan would return one group fewer, so the oracle catches any
+    regression to `=` semantics. Spark plans <=> as a HASH join key
+    (EqualNullSafe is still an equi predicate — no nested-loop fallback;
+    same Exchange shape as any equi join, null keys co-partition to one
+    reducer, which at scale is exactly the hot-partition case
+    op_skew_join's runtime split handles)."""
+    o = tables(spark, sf_dir)["orders"]
+    a = o.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("k"),
+        "o_totalprice",
+    )
+    b = a.select("k").distinct().withColumnRenamed("k", "bk")
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("bk")))
+        .groupBy("bk")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("price_sum"),
+        )
+        .select(F.coalesce(F.col("bk"), F.lit("NULL")).alias("key"),
+                "n_orders", "price_sum")
+        .orderBy("key")
+    )
+
+
+@register(
+    "op_bag_set_ops",
+    """
+    WITH ex AS (
+      SELECT l_returnflag FROM lineitem WHERE l_linenumber <= 2
+      EXCEPT ALL
+      SELECT l_returnflag FROM lineitem WHERE l_linenumber = 1
+    ), ia AS (
+      SELECT l_returnflag FROM lineitem WHERE l_linenumber <= 2
+      INTERSECT ALL
+      SELECT l_returnflag FROM lineitem WHERE l_linenumber = 3
+    )
+    SELECT op, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'except_all' AS op, l_returnflag FROM ex
+      UNION ALL
+      SELECT 'intersect_all' AS op, l_returnflag FROM ia
+    ) GROUP BY op, l_returnflag ORDER BY op, l_returnflag
+    """,
+    "ops", "set_op", "bag_semantics",
+)
+def op_bag_set_ops(spark, sf_dir):
+    """EXCEPT ALL / INTERSECT ALL — BAG (multiset) set operations,
+    semantically distinct from the DISTINCT-flavored op_except /
+    op_intersect rows: duplicates carry multiplicity, so the result
+    counts are count_left − count_right (positive part) and
+    min(count_left, count_right) per value — invisible to the DISTINCT
+    variants, which collapse every group to one row. Spark plans both as
+    a single aggregation computing per-row multiplicities then a
+    generate (no sort, no join) — one Exchange on the value, the same
+    shape a hand-written count-diff would need, so there is nothing to
+    hand-optimize at 100 TB."""
+    l = tables(spark, sf_dir)["lineitem"]
+    left = l.filter(F.col("l_linenumber") <= 2).select("l_returnflag")
+    ex = left.exceptAll(
+        l.filter(F.col("l_linenumber") == 1).select("l_returnflag"))
+    ia = left.intersectAll(
+        l.filter(F.col("l_linenumber") == 3).select("l_returnflag"))
+    tagged = ex.select(F.lit("except_all").alias("op"), "l_returnflag").unionByName(
+        ia.select(F.lit("intersect_all").alias("op"), "l_returnflag"))
+    return (
+        tagged.groupBy("op", "l_returnflag")
+        .agg(bigint(F.count(F.lit(1))).alias("n"))
+        .orderBy("op", "l_returnflag")
+    )

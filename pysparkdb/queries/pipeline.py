@@ -2599,3 +2599,98 @@ def text_winnowing(spark, sf_dir):
         .agg(bigint(F.count(F.lit(1))).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "text_naive_bayes",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id, lang AS actual,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    train AS (SELECT * FROM tok WHERE id % 2 = 0),
+    test  AS (SELECT * FROM tok WHERE id % 2 <> 0),
+    tl AS (SELECT actual AS label, tok, COUNT(*) AS c
+           FROM train GROUP BY actual, tok),
+    vocab AS (SELECT DISTINCT tok FROM train),
+    consts AS (
+      SELECT nl.actual AS label,
+             CAST(ROUND(LN(nd.n_docs * 1.0 / t.t), 6) AS DECIMAL(25,6))
+                 AS log_prior,
+             CAST(ROUND(LN(nl.n_lang + v.v), 6) AS DECIMAL(25,6))
+                 AS log_denom
+      FROM (SELECT actual, COUNT(*) AS n_lang FROM train GROUP BY actual) nl
+      JOIN (SELECT actual, COUNT(DISTINCT id) AS n_docs
+            FROM train GROUP BY actual) nd USING (actual)
+      CROSS JOIN (SELECT COUNT(*) AS v FROM vocab) v
+      CROSS JOIN (SELECT COUNT(DISTINCT id) AS t FROM train) t
+    ),
+    test_iv AS (SELECT te.* FROM test te
+                WHERE te.tok IN (SELECT tok FROM vocab)),
+    doc_stats AS (SELECT id, actual, COUNT(*) AS m
+                  FROM test_iv GROUP BY id, actual),
+    matched AS (
+      SELECT te.id, tl.label,
+             SUM(CAST(ROUND(LN(tl.c + 1), 6) AS DECIMAL(25,6))) AS s
+      FROM test_iv te JOIN tl USING (tok)
+      GROUP BY te.id, tl.label
+    ),
+    scores AS (
+      SELECT d.id, d.actual, c.label,
+             c.log_prior - d.m * c.log_denom
+             + COALESCE(m2.s, CAST(0 AS DECIMAL(25,6))) AS score
+      FROM doc_stats d CROSS JOIN consts c
+      LEFT JOIN matched m2 ON m2.id = d.id AND m2.label = c.label
+    ),
+    pred AS (
+      SELECT id, actual, label AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY score DESC, label) AS rk
+      FROM scores
+    )
+    SELECT actual AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS accuracy
+    FROM pred WHERE rk = 1
+    GROUP BY actual ORDER BY lang
+    """,
+    "pipeline", "text", "classifier",
+)
+def text_naive_bayes(spark, sf_dir):
+    """Relational Naive Bayes language classifier — train AND inference as
+    one Catalyst plan (pipeline/text.py:naive_bayes_predict): the
+    fastText-style label filter of pretraining pipelines (lang-ID /
+    quality bucketing) with no model artifact, no UDF, no serving tier.
+    Even doc_ids train, odd doc_ids score; output is the per-language
+    confusion summary (n_test, n_correct, accuracy). Beyond-reference:
+    the reference has no learning operator at all (SURVEY §2.10).
+
+    Honesty note: the synthetic corpus draws every language's text from
+    ONE shared vocabulary, so languages are not text-separable here —
+    the measured accuracies reflect prior dominance (en) plus weak count
+    noise, which is exactly what NB should output on this data. The
+    LEARNING certificate lives in pytest
+    (test_pipeline.py::test_naive_bayes_learns_separable_corpus): on a
+    planted separable corpus the same plan scores ≥ 95 %.
+
+    Determinism: every log term rounds to 1e-6 and sums as
+    DECIMAL(25,6) — class scores are exact, argmax ties break on label —
+    so the full train→score→argmax pipeline hash-matches the oracle
+    exactly despite double-log math inside. Scale: one (label, token)
+    count Exchange, token-keyed scoring join (Zipf skew → AQE), one
+    window argmax; the per-label constants frame broadcasts."""
+    pred = text.naive_bayes_predict(tables(spark, sf_dir)["documents"])
+    correct = F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)
+    return (
+        pred.groupBy(F.col("actual").alias("lang"))
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_test"),
+            bigint(F.sum(correct)).alias("n_correct"),
+            F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )

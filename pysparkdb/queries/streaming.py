@@ -740,3 +740,76 @@ def ev_resample_ffill(spark, sf_dir):
             F.last("hourly_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@register(
+    "ev_interval_overlap",
+    """
+    WITH act AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), camp(cid, cs, ce) AS (
+      VALUES
+        (1, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-03 12:00:00'),
+        (2, TIMESTAMP '2024-01-06 00:00:00', TIMESTAMP '2024-01-08 12:00:00'),
+        (3, TIMESTAMP '2024-01-11 00:00:00', TIMESTAMP '2024-01-13 12:00:00'),
+        (4, TIMESTAMP '2024-01-16 00:00:00', TIMESTAMP '2024-01-18 12:00:00'),
+        (5, TIMESTAMP '2024-01-21 00:00:00', TIMESTAMP '2024-01-23 12:00:00'),
+        (6, TIMESTAMP '2024-01-26 00:00:00', TIMESTAMP '2024-01-28 12:00:00')
+    )
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(epoch_us(LEAST(e, ce)) - epoch_us(GREATEST(s, cs)))
+                AS BIGINT) AS overlap_us
+    FROM act JOIN camp ON s <= ce AND cs <= e
+    GROUP BY cid ORDER BY cid
+    """,
+    "events", "interval_join",
+)
+def ev_interval_overlap(spark, sf_dir):
+    """Interval × interval OVERLAP join — both sides are ranges, the shape
+    ev_range_join's point-in-range and ev_asof's nearest-point do NOT
+    cover (attribution windows, maintenance blackouts, ad flights vs
+    session spans). Per-user DAILY activity intervals [min ts, max ts]
+    overlap-join six fixed campaign windows; per campaign: overlapping
+    user-days, distinct users, and the total overlap duration in exact
+    integer microseconds (unix_micros BIGINTs — the double-epoch ulp trap
+    the as-of family documents).
+
+    Plan shape: the activity rollup is one partial-aggregated Exchange on
+    (user, day); the interval set is tiny and BROADCAST, so the overlap
+    predicate evaluates map-side (BroadcastNestedLoopJoin — the one
+    NLJ-legitimate shape beside op_join_theta: 6 interval probes per row,
+    no shuffle). At 100 TB with a LARGE interval side, bucket both sides
+    onto a time grid (the ev_range_join pattern) so the range predicate
+    joins equi-first on the grid key; the overlap math is unchanged."""
+    e = tables(spark, sf_dir)["events"]
+    act = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    camp = spark.createDataFrame(
+        [(i + 1, f"2024-01-{1 + 5 * i:02d} 00:00:00",
+          f"2024-01-{3 + 5 * i:02d} 12:00:00") for i in range(6)],
+        "cid long, css string, ces string",
+    ).select(
+        "cid",
+        F.col("css").cast("timestamp").alias("cs"),
+        F.col("ces").cast("timestamp").alias("ce"),
+    )
+    j = act.join(
+        F.broadcast(camp),
+        (F.col("s") <= F.col("ce")) & (F.col("cs") <= F.col("e")),
+    )
+    return (
+        j.groupBy("cid")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_overlaps"),
+            bigint(F.countDistinct("user_id")).alias("n_users"),
+            F.sum(
+                F.unix_micros(F.least("e", "ce"))
+                - F.unix_micros(F.greatest("s", "cs"))
+            ).cast("long").alias("overlap_us"),
+        )
+        .orderBy("cid")
+    )

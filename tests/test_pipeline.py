@@ -1047,3 +1047,29 @@ def test_pagerank_deep_checkpoint_schedule_is_invisible(spark, sf_dir):
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert deep == shallow
     assert after - before <= 1, (before, after)  # only the result checkpoint
+
+
+def test_naive_bayes_learns_separable_corpus(spark):
+    """The learning certificate for naive_bayes_predict: the registered
+    query's corpus shares one vocabulary across languages (so accuracy
+    there reflects priors — documented); HERE a planted separable corpus
+    (per-class marker tokens + shared noise) must score ≥ 95 %, proving
+    the count→smooth→log-sum→argmax pipeline actually conditions on
+    token-class evidence and not just the prior."""
+    from pysparkdb.pipeline.text import naive_bayes_predict
+
+    rows = []
+    for li, lang in enumerate(("aa", "bb", "cc")):
+        for d in range(40):
+            doc_id = li * 1000 + d
+            marker = f"marker_{lang}"
+            body = " ".join(
+                [marker] * 3 + [f"noise{(d + k) % 7}" for k in range(5)])
+            rows.append((doc_id, body, lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pred = naive_bayes_predict(df).collect()
+    assert len(pred) == 60  # odd ids score
+    acc = sum(1 for r in pred if r.predicted == r.actual) / len(pred)
+    assert acc >= 0.95, f"NB failed to learn a separable corpus: {acc:.0%}"
+    # and the prior alone would NOT reach that (classes are balanced):
+    # a majority-class guesser scores ~1/3 here

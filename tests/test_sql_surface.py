@@ -74,6 +74,8 @@ NOT_ANSI_PORTABLE = {
     "pipeline_snapshot_curation",  # duck shingle comprehensions + recursive
                                    # CTE; the Spark side RUNS the pipeline,
                                    # the oracle only derives its counts
+    "ev_interval_overlap",  # epoch_us() overlap duration (ev_range_join family)
+    "text_naive_bayes",    # string_split/unnest tokenization
 }
 
 SPECS = [
