@@ -405,6 +405,37 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
+    def attach_arrow_s3(self, prefix: str, conf) -> dict[str, DataFrame]:
+        """Register every parquet table under an object-store prefix as a
+        temp view through the JAR-LESS arrow_s3 scan path — the
+        Client::getCatalogueEntry front door for environments without the
+        hadoop-aws jars (sources/arrow_s3.py; the s3a path uses
+        ``attach()`` on an s3a:// URI instead). Discovery is ONE LIST:
+        objects group by their first path segment under the prefix
+        (``<prefix>/<table>.parquet/part-*.parquet`` layouts and single
+        ``<prefix>/<table>.parquet`` objects both resolve to view
+        ``<table>``). Returns {table: DataFrame}. After this,
+        ``engine.sql()`` runs the full registered query surface against
+        the remote store — executor-side GETs, pruned decode."""
+        from pysparkdb.sources.arrow_s3 import (
+            _strip_scheme,
+            arrow_s3_list,
+            arrow_s3_read_parquet,
+        )
+
+        base = _strip_scheme(prefix).rstrip("/")
+        groups: dict[str, str] = {}
+        for path, _ in arrow_s3_list(conf, base):
+            seg = path[len(base) + 1:].split("/", 1)[0]
+            name = seg.removesuffix(".parquet")
+            groups[name] = f"{base}/{seg}"
+        out: dict[str, DataFrame] = {}
+        for name, uri in sorted(groups.items()):
+            df = arrow_s3_read_parquet(self.spark, uri, conf)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        return out
+
     def register_function(
         self, name, fn, return_type, vectorized: bool = True, replace: bool = False
     ):

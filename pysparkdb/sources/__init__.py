@@ -15,6 +15,7 @@ from pysparkdb.sources.files import (
 from pysparkdb.sources.arrow_s3 import (
     S3Conf,
     arrow_s3_list,
+    arrow_s3_read_csv,
     arrow_s3_read_parquet,
     arrow_s3_write_parquet,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "write_zordered",
     "S3Conf",
     "arrow_s3_list",
+    "arrow_s3_read_csv",
     "arrow_s3_read_parquet",
     "arrow_s3_write_parquet",
     "configure_s3a",

@@ -225,6 +225,73 @@ def arrow_s3_read_parquet(
     return task_df.mapInPandas(read_tasks, schema=schema)
 
 
+def arrow_s3_read_csv(
+    spark: SparkSession,
+    uri: str,
+    conf: S3Conf,
+    schema,
+    delimiter: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """Distributed CSV read from an S3-compatible store without
+    hadoop-aws — the S3GetPOp CSV-parse shape (the reference GETs whole
+    CSV objects and parses locally, S3GetPOp.cpp; its aws-config names
+    the same delimiter knobs files.py's local read_csv exposes). One
+    driver LIST; each executor task GETs its object (transparently
+    decompressed — .gz/.bz2/.zst by extension, pyarrow 'detect') and
+    Arrow-parses it with the DECLARED schema (required: CSV carries no
+    types; same contract as files.py's local scans).
+
+    One task per object: CSV splits poorly (no row-group structure;
+    compressed objects not at all), so object count IS the parallelism —
+    which is also the reference's model (one S3GetPOp per object). Lay
+    out CSV corpora as many objects."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    path = _strip_scheme(uri)
+    fs = conf.filesystem()
+    from pyarrow.fs import FileSelector, FileType
+
+    sel = FileSelector(path.rstrip("/"), recursive=True, allow_not_found=True)
+    files = sorted(
+        fi.path for fi in fs.get_file_info(sel)
+        if fi.type == FileType.File and fi.size > 0
+    )
+    if not files:
+        fi = fs.get_file_info(path)
+        if fi.type == FileType.File:
+            files = [path]
+    if not files:
+        raise FileNotFoundError(f"no objects under {uri!r}")
+
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+
+    def read_files(iterator: Iterator) -> Iterator:
+        import pyarrow.csv as pacsv
+
+        fs = conf.filesystem()
+        read_opts = pacsv.ReadOptions(
+            column_names=None if header else names, use_threads=False)
+        parse_opts = pacsv.ParseOptions(delimiter=delimiter)
+        conv_opts = pacsv.ConvertOptions(
+            column_types={f.name: f.type for f in arrow_schema})
+        for pdf in iterator:
+            for (file,) in pdf.itertuples(index=False):
+                with fs.open_input_stream(file, compression="detect") as f:
+                    table = pacsv.read_csv(
+                        f, read_options=read_opts,
+                        parse_options=parse_opts, convert_options=conv_opts)
+                for batch in table.select(names).to_batches():
+                    if batch.num_rows:
+                        yield batch.to_pandas()
+
+    task_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(len(files))
+    return task_df.mapInPandas(read_files, schema=schema)
+
+
 def _boto3_client(conf: S3Conf):
     import boto3
 
