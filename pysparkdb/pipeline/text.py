@@ -70,11 +70,15 @@ def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -
 
 
 def quality_metrics(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document quality features: token count, mean word length,
     stopword ratio, and a composite score. All double arithmetic is
-    per-row deterministic (oracle-exact)."""
+    per-row deterministic (oracle-exact). ``keep_cols`` pass through
+    untouched — downstream strata keys (lang, source) ride the same
+    map-side projection instead of re-joining the source frame on id
+    (a pointless self-join at any scale)."""
     n_tok = token_count(text_col)
     n_chars = F.length(F.col(text_col)).cast("long")
     avg_word_len = (n_chars - n_tok + 1) / n_tok  # single-space separated
@@ -86,6 +90,7 @@ def quality_metrics(
     ) / 3.0
     return df.select(
         id_col,
+        *keep_cols,
         n_tok.alias("n_tokens"),
         avg_word_len.alias("avg_word_len"),
         stop_ratio.alias("stopword_ratio"),

@@ -65,8 +65,8 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # relational op_ basics), topped up to 50 with the 18 oldest r6-bank
 # rows in registry order. Any round-10 NEW or reshaped query must be
 # prepended here (displacing top-ups) per the window policy above.
-# The 24 remaining r6 rows roll to the round-11 queue: q_co_join3,
-# ssb_gen1, ssb_gen2, ssb_gen3, ssb_gen4, ssb_gen5,
+# The 25 remaining r6 rows roll to the round-11 queue: q9_jo2,
+# q_co_join3, ssb_gen1, ssb_gen2, ssb_gen3, ssb_gen4, ssb_gen5,
 # op_approx_percentile, op_approx_distinct, op_rollup,
 # op_window_lead_lag, op_min_max_by, op_hash_sample, op_sessionize,
 # op_pivot, op_histogram, op_collect_set, op_string_funcs,
@@ -80,8 +80,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # interval×interval overlap join; relational Naive Bayes classifier
     # (train+inference as one plan, exact-decimal log scoring); null-safe
     # equi join; EXCEPT ALL / INTERSECT ALL bag semantics
+    # (+ pipeline_token_budget: stratified token-budget curation with a
+    # membership checksum and a pinned single-stratum-Exchange plan)
     "s3_scan_roundtrip", "op_skew_join", "ev_interval_overlap",
     "text_naive_bayes", "op_null_safe_join", "op_bag_set_ops",
+    "pipeline_token_budget",
     # reshaped round 10: op_agg_pushdown narrowed its _RESOLVE_LOCK to
     # conf-set + planning (collect moved outside); ann_quantized's
     # quantized_topk_neighbors kernel gained the candidates bounding
@@ -98,9 +101,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ev_range_join", "ev_rollup",
     "op_project", "op_sort_multikey", "op_limit_sort", "op_limit",
     "op_distinct",
-    # top-up: the 10 oldest r6-bank rows, registry order
+    # top-up: the 9 oldest r6-bank rows, registry order
     "q21", "q2_orig", "q11_orig", "q16_orig", "q20_orig",
-    "q5_jo1", "q5_jo2", "q9_orig", "q_co_join", "q9_jo2",
+    "q5_jo1", "q5_jo2", "q9_orig", "q_co_join",
 )
 
 

@@ -2694,3 +2694,90 @@ def text_naive_bayes(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_token_budget",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                   THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_filter(string_split(text, ' '),
+                                          t -> t = 'a' OR t = 'the'))
+                          / len(string_split(text, ' ')) > 0.02
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN (length(text) - len(string_split(text, ' ')) + 1)
+                          / len(string_split(text, ' ')) < 10
+                     THEN 1.0 ELSE 0.0 END) / 3.0 AS score
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+             CAST(FLOOR(SUM(n_tokens) OVER (PARTITION BY lang) * 3 / 10.0)
+                  AS BIGINT) AS budget
+      FROM q
+    )
+    SELECT lang, MIN(budget) AS budget_tokens,
+           CAST(COUNT(*) FILTER (WHERE cum_before < budget) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(n_tokens) FILTER (WHERE cum_before < budget)
+                AS BIGINT) AS kept_tokens,
+           CAST(SUM(doc_id) FILTER (WHERE cum_before < budget)
+                AS BIGINT) AS kept_checksum
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    "pipeline", "text", "curation",
+)
+def pipeline_token_budget(spark, sf_dir):
+    """Token-budgeted corpus selection — the curation op that turns 'we
+    can afford 30 % of each language's tokens' into an exact, reproducible
+    keep-set: within every language, documents rank by quality score
+    (desc, doc_id tie-break) and are kept while the EXCLUSIVE running
+    token sum is under the stratum's budget (floor of 30 % of its token
+    mass) — the last kept doc may overshoot by part of itself, the
+    standard take-while convention, and every stratum keeps ≥ 1 doc.
+    kept_checksum (Σ doc_id) certifies exact MEMBERSHIP, not just counts
+    (the text_domain_cap convention).
+
+    Scale shape: ONE hash Exchange on lang serves both windows AND the
+    final rollup (total-mass window, running-sum window and groupBy all
+    share the partition spec; Catalyst plans one sort — gated in
+    test_plan_quality); the only other exchange is the ORDER BY's range
+    partition of the per-language result rows. Parallelism is
+    per-stratum, which is why the budget is allocated per language
+    rather than as one global cumsum (a global quality order would
+    serialize the corpus through one partition; with finer strata —
+    language × domain-bucket, the text_pack knob — the same plan scales
+    to any corpus)."""
+    from pyspark.sql import Window
+
+    d = tables(spark, sf_dir)["documents"]
+    q = text.quality_metrics(d, keep_cols=("lang",))
+    w_lang = Window.partitionBy("lang")
+    w_run = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality_score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = q.select(
+        "doc_id", "lang", "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w_run), F.lit(0)).alias("cum_before"),
+        F.floor(F.sum("n_tokens").over(w_lang) * 3 / 10.0)
+        .cast("long").alias("budget"),
+    )
+    kept = F.col("cum_before") < F.col("budget")
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.min("budget").alias("budget_tokens"),
+            bigint(F.count(F.when(kept, 1))).alias("n_kept"),
+            bigint(F.sum(F.when(kept, F.col("n_tokens")))).alias("kept_tokens"),
+            bigint(F.sum(F.when(kept, F.col("doc_id")))).alias("kept_checksum"),
+        )
+        .orderBy("lang")
+    )

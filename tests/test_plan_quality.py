@@ -490,3 +490,22 @@ def test_partition_grouped_aggregate_pushdown(spark, sf_dir, tmp_path):
 
     assert pushed == plain
     assert spark.conf.get(v1_key) == before_v1
+
+
+def test_token_budget_single_stratum_exchange(spark, sf_dir):
+    """pipeline_token_budget's docstring contract: one hash Exchange on
+    lang serves the total-mass window, the running-sum window AND the
+    rollup; the only other exchange is the final ORDER BY's range
+    partition of the per-language rows. A drift to per-window exchanges
+    (e.g. a window spec whose partition keys stop matching) would add a
+    third."""
+    from pysparkdb.plans.pushdown import explain_str
+    from pysparkdb.queries import load_all
+
+    df = load_all()["pipeline_token_budget"].fn(spark, sf_dir)
+    p = explain_str(df)
+    import re
+
+    kinds = re.findall(r"Arguments: (hashpartitioning|rangepartitioning)", p)
+    assert kinds.count("hashpartitioning") == 1, p
+    assert kinds.count("rangepartitioning") == 1, p
