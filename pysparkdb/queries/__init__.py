@@ -58,13 +58,13 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 #
 # ROUND-10 WINDOW. CORRECTNESS_r09 banked all 50 r9-window rows green
 # (new r9 registrations, the refactor consumers, the r2 bank, and the 10
-# oldest r5 rows q1/q3-q10/q12). Evidence ages across the union are now
-# r5: 32 rows, r6: 34, r7: 32, r8: 44, r9: 50. Pure freshness rotation:
-# the 32 r5-banked rows staged by the round-9 comment go first (the
-# oldest evidence anywhere — TPC-H tail, SSB flat core, events windows,
-# relational op_ basics), topped up to 50 with the 18 oldest r6-bank
-# rows in registry order. Any round-10 NEW or reshaped query must be
-# prepended here (displacing top-ups) per the window policy above.
+# oldest r5 rows q1/q3-q10/q12). Evidence ages before this round were
+# r5: 32 rows, r6: 34, r7: 32, r8: 44, r9: 50. Composition (7 + 2 + 32
+# + 9 = 50 rows): the 7 round-10 NEW registrations first, then the 2
+# round-10 reshaped bodies, then the 32 r5-banked rows staged by the
+# round-9 comment (the oldest evidence anywhere — TPC-H tail, SSB flat
+# core, events windows, relational op_ basics), topped up with the 9
+# oldest r6-bank rows in registry order.
 # The 25 remaining r6 rows roll to the round-11 queue: q9_jo2,
 # q_co_join3, ssb_gen1, ssb_gen2, ssb_gen3, ssb_gen4, ssb_gen5,
 # op_approx_percentile, op_approx_distinct, op_rollup,
