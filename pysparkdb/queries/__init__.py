@@ -59,14 +59,14 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # ROUND-10 WINDOW. CORRECTNESS_r09 banked all 50 r9-window rows green
 # (new r9 registrations, the refactor consumers, the r2 bank, and the 10
 # oldest r5 rows q1/q3-q10/q12). Evidence ages before this round were
-# r5: 32 rows, r6: 34, r7: 32, r8: 44, r9: 50. Composition (7 + 2 + 32
-# + 9 = 50 rows): the 7 round-10 NEW registrations first, then the 2
+# r5: 32 rows, r6: 34, r7: 32, r8: 44, r9: 50. Composition (8 + 2 + 32
+# + 8 = 50 rows): the 8 round-10 NEW registrations first, then the 2
 # round-10 reshaped bodies, then the 32 r5-banked rows staged by the
 # round-9 comment (the oldest evidence anywhere — TPC-H tail, SSB flat
-# core, events windows, relational op_ basics), topped up with the 9
+# core, events windows, relational op_ basics), topped up with the 8
 # oldest r6-bank rows in registry order.
-# The 25 remaining r6 rows roll to the round-11 queue: q9_jo2,
-# q_co_join3, ssb_gen1, ssb_gen2, ssb_gen3, ssb_gen4, ssb_gen5,
+# The 26 remaining r6 rows roll to the round-11 queue: q_co_join,
+# q9_jo2, q_co_join3, ssb_gen1, ssb_gen2, ssb_gen3, ssb_gen4, ssb_gen5,
 # op_approx_percentile, op_approx_distinct, op_rollup,
 # op_window_lead_lag, op_min_max_by, op_hash_sample, op_sessionize,
 # op_pivot, op_histogram, op_collect_set, op_string_funcs,
@@ -82,9 +82,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # equi join; EXCEPT ALL / INTERSECT ALL bag semantics
     # (+ pipeline_token_budget: stratified token-budget curation with a
     # membership checksum and a pinned single-stratum-Exchange plan)
+    # (+ ev_stream_join: stream-stream watermarked interval join through
+    # a real micro-batch run, batch-oracle-checked)
     "s3_scan_roundtrip", "op_skew_join", "ev_interval_overlap",
     "text_naive_bayes", "op_null_safe_join", "op_bag_set_ops",
-    "pipeline_token_budget",
+    "pipeline_token_budget", "ev_stream_join",
     # reshaped round 10: op_agg_pushdown narrowed its _RESOLVE_LOCK to
     # conf-set + planning (collect moved outside); ann_quantized's
     # quantized_topk_neighbors kernel gained the candidates bounding
@@ -101,9 +103,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ev_range_join", "ev_rollup",
     "op_project", "op_sort_multikey", "op_limit_sort", "op_limit",
     "op_distinct",
-    # top-up: the 9 oldest r6-bank rows, registry order
+    # top-up: the 8 oldest r6-bank rows, registry order
     "q21", "q2_orig", "q11_orig", "q16_orig", "q20_orig",
-    "q5_jo1", "q5_jo2", "q9_orig", "q_co_join",
+    "q5_jo1", "q5_jo2", "q9_orig",
 )
 
 

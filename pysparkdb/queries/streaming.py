@@ -813,3 +813,51 @@ def ev_interval_overlap(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+@register(
+    "ev_stream_join",
+    """
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS lag_us
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    "events", "streaming", "stream_stream_join",
+)
+def ev_stream_join(spark, sf_dir):
+    """Stream-STREAM watermarked interval join through an actual stream
+    run — clicks and purchases as two unbounded sides of one
+    attribution join (streaming/windows.py:stream_interval_join — the
+    registered, oracle-checked form of the two-sided-state shape; state
+    on BOTH sides, evicted by watermark + interval bound). The events parquet replays as a file stream
+    (Trigger.AvailableNow) and the emitted pairs must equal the batch
+    interval join the oracle runs — exact because the staged landing dir
+    is one file → one micro-batch → no cross-batch late-arrival drops
+    (multi-file replays additionally exercise watermark eviction in
+    tests/test_streaming.py). Pair lags aggregate as exact integer
+    microseconds (unix_micros BIGINTs, the as-of family's convention)."""
+    from pysparkdb import streaming as S
+
+    tables(spark, sf_dir)  # conf side effect (nanosAsLong, UTC) — see ev_stateful
+    stream = S.read_events_stream(spark, _events_stream_dir(sf_dir))
+    pairs = S.stream_interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    out = S.run_to_memory(pairs, "ev_stream_join_sink", output_mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            bigint(F.count(F.lit(1))).alias("n_pairs"),
+            F.sum(
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("click_ts"))
+            ).cast("long").alias("lag_us"),
+        )
+        .orderBy("user_id")
+    )

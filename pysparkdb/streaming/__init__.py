@@ -7,6 +7,7 @@ from pysparkdb.streaming.windows import (
     stateful_user_counter,
     stream_clean_documents,
     stream_dedup,
+    stream_interval_join,
     stream_interval_self_join,
     tumbling_agg,
 )
@@ -14,6 +15,7 @@ from pysparkdb.streaming.windows import (
 __all__ = [
     "read_documents_stream", "read_events_stream", "run_to_memory",
     "session_agg", "sliding_counts", "stateful_user_counter",
-    "stream_clean_documents", "stream_dedup", "stream_interval_self_join",
+    "stream_clean_documents", "stream_dedup", "stream_interval_join",
+    "stream_interval_self_join",
     "tumbling_agg",
 ]

@@ -382,3 +382,38 @@ def stream_clean_documents(
         scrubbed, _counts = pii_scrub_cols("text")
         out = out.withColumn("text", scrubbed)
     return out
+
+
+def stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM inner join across TWO differently-typed streams (the
+    registered, oracle-checked form of the shape
+    stream_interval_self_join exercises in pytest): both sides are
+    unbounded, so
+    the engine must buffer each side's recent rows in state and emit a
+    pair the moment its partner arrives. The event-time bound
+    (purchase within [click.ts, click.ts + window]) plus the watermarks
+    is what makes that state FINITE: rows older than watermark + window
+    are provably unmatchable and are evicted — without the time bound
+    Spark would (correctly) refuse to plan the join, because state would
+    grow forever. At 100 TB/day this is the attribution-join shape:
+    state ≈ one window's worth of each stream per user shard, not
+    history.
+
+    Returns one row per (click, purchase) pair: (user_id, click_ts,
+    purchase_ts). Append output mode — pairs are final when emitted
+    (watermark passed), the exactly-once-friendly mode."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id"), F.col("ts").alias("click_ts"))
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+    ).select("user_id", "click_ts", "purchase_ts")

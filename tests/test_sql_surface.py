@@ -76,6 +76,8 @@ NOT_ANSI_PORTABLE = {
                                    # the oracle only derives its counts
     "ev_interval_overlap",  # epoch_us() overlap duration (ev_range_join family)
     "text_naive_bayes",    # string_split/unnest tokenization
+    "ev_stream_join",      # epoch_us() pair lags (as-of family convention)
+    "pipeline_token_budget",  # string_split token counts + FILTER clause
 }
 
 SPECS = [

@@ -463,3 +463,30 @@ def test_snapshot_stream_sink_versions_and_exactly_once(spark, sf_dir, tmp_path)
     assert len(snapshot_versions(root)) == len(v_after_first) + 1
     assert snapshot_read(spark, root).count() == 150
     assert snapshot_read(spark, root, v_after_first[-1]).count() == 100
+
+
+def test_stream_interval_join_two_sided_matches_batch(spark, sf_dir, events_stream):
+    """The TWO-stream form (ev_stream_join's kernel): typed click /
+    purchase sides through real micro-batches must emit exactly the batch
+    interval-join pair set — and the pair count must be non-vacuous."""
+    from pyspark.sql import functions as F
+
+    pairs = S.stream_interval_join(
+        events_stream.filter(F.col("event_type") == "click"),
+        events_stream.filter(F.col("event_type") == "purchase"),
+    )
+    got = S.run_to_memory(pairs, "t_ss2join", output_mode="append")
+    ev = tables(spark, sf_dir)["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("purchase_ts"))
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 hours")),
+    ).select("user_id", "click_ts", "purchase_ts")
+    got_set = set(map(tuple, got.collect()))
+    batch_set = set(map(tuple, batch.collect()))
+    assert got_set == batch_set and got_set
