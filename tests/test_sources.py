@@ -1286,3 +1286,73 @@ class TestArrowObjectStore:
             df.createOrReplaceTempView(t)  # restore local views
         want = sorted(map(tuple, eng.sql(sql).collect()))
         assert got == want and got
+
+    def test_dnf_filter_null_semantics_property(self, spark, moto_s3):
+        """Property: arrow_s3's DNF filters agree with SQL comparison
+        semantics on data WITH NULLs — a NULL in any conjunct's column
+        drops the row (three-valued logic), for every operator, matching
+        what the Spark plan above the scan would have done. One staged
+        object, hypothesis varies the filters (reads are cheap)."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pysparkdb.sources import arrow_s3_read_parquet
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        rows = [
+            (i,
+             None if i % 5 == 0 else (i * 7) % 11,
+             None if i % 7 == 0 else f"s{(i * 3) % 6}")
+            for i in range(60)
+        ]
+        buf = pa.BufferOutputStream()
+        pq.write_table(
+            pa.table({"id": [r[0] for r in rows],
+                      "a": pa.array([r[1] for r in rows], pa.int64()),
+                      "s": [r[2] for r in rows]}),
+            buf)
+        _boto3_client(moto_s3).put_object(
+            Bucket="testbkt", Key="prop/t.parquet",
+            Body=buf.getvalue().to_pybytes())
+
+        import operator as _op
+
+        PY_OPS = {"==": _op.eq, "!=": _op.ne, "<": _op.lt,
+                  "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+
+        def expected(filters):
+            out = []
+            for r in rows:
+                vals = {"id": r[0], "a": r[1], "s": r[2]}
+                ok = True
+                for col, op, lit in filters:
+                    v = vals[col]
+                    if v is None or not PY_OPS[op](v, lit):
+                        ok = False
+                        break
+                if ok:
+                    out.append(r[0])
+            return sorted(out)
+
+        conj = st.one_of(
+            st.tuples(st.just("a"),
+                      st.sampled_from(("==", "!=", "<", "<=", ">", ">=")),
+                      st.integers(min_value=-1, max_value=11)),
+            st.tuples(st.just("s"),
+                      st.sampled_from(("==", "!=", "<", ">=")),
+                      st.sampled_from(("s0", "s3", "s5", "zz"))),
+        )
+
+        @given(filters=st.lists(conj, min_size=1, max_size=3))
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        def check(filters):
+            got = arrow_s3_read_parquet(
+                spark, "s3://testbkt/prop/t.parquet", moto_s3,
+                columns=["id"], filters=[tuple(f) for f in filters])
+            assert sorted(r.id for r in got.collect()) == expected(filters)
+
+        check()
