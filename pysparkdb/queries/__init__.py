@@ -73,6 +73,16 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # op_date_trunc, op_grouping_sets, op_window_analytics,
 # text_stratified_sample, emb_norm_stats, text_inverted_index,
 # text_tfidf (verify against the CORRECTNESS files when rotating).
+#
+# ROTATION ARITHMETIC AT 200 QUERIES: a 50-slot window fully dedicated
+# to rotation refreshes the union every 4 rounds — exactly the "no
+# evidence older than 4 rounds" bar with ZERO slots left for new or
+# reshaped queries. Round 11 must take the 26 r6 rows above (age-5
+# otherwise) plus as much of the 32-row r7 bank (age-4 by then) as
+# fits; every new registration displaces one rotation slot and ages one
+# banked row past the bar. Either cap new registrations per round (~8)
+# and accept a 5-round worst-case freshness, or treat the 4-round bar
+# as the cap on registry growth.
 DRIVER_WINDOW: tuple[str, ...] = (
     # new round 10: the LIVE object-store round-trip (write/list/scan
     # through sources/arrow_s3.py against a real in-process S3 endpoint);
