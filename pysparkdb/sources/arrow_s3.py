@@ -29,10 +29,12 @@ Scale shape (100 TB lens):
 - Writes stream batches per partition through ``ParquetWriter`` onto the
   store (one object per non-empty partition) — no driver collect.
 
-Deliberate non-goals: this is a GET-side data path, not a catalog/commit
-protocol (no atomic multi-object commit — pair with sources/versioned.py's
-manifest snapshots for exactly-once publication), and filters beyond the
-DNF min/max form stay in the Spark plan above the scan.
+Multi-object atomicity: ``arrow_s3_snapshot_append/read/versions`` (end
+of this module) put versioned.py's manifest-snapshot protocol ON the
+object store — data objects land via the single-PUT writer, the commit
+point is one atomic manifest PUT, reads plan exactly a manifest's object
+list (time travel, no LIST, no eventual-consistency window). Filters
+beyond the DNF min/max form stay in the Spark plan above the scan.
 """
 
 from __future__ import annotations
@@ -151,8 +153,6 @@ def arrow_s3_read_parquet(
     a real address, not 127.0.0.1). Declared ``schema`` (Spark StructType)
     skips the inference footer GET — the declared-schema contract
     files.py's local scans use."""
-    from pyspark.sql.pandas.types import from_arrow_schema
-
     path = _strip_scheme(uri)
     infos = arrow_s3_list(conf, path)
     if not infos and path.endswith(".parquet"):
@@ -162,7 +162,26 @@ def arrow_s3_read_parquet(
         infos = [(path, fi.size)]
     if not infos:
         raise FileNotFoundError(f"no parquet objects under {uri!r}")
-    files = [p for p, _ in infos]
+    return _read_parquet_files(
+        spark, [p for p, _ in infos], conf, columns=columns,
+        filters=filters, schema=schema, split_row_groups=split_row_groups,
+        batch_size=batch_size)
+
+
+def _read_parquet_files(
+    spark: SparkSession,
+    files: list[str],
+    conf: S3Conf,
+    columns: list[str] | None = None,
+    filters: list[Conjunct] | None = None,
+    schema=None,
+    split_row_groups: bool = False,
+    batch_size: int = 1 << 16,
+) -> DataFrame:
+    """The reader body over an EXPLICIT file list — shared by the
+    prefix-listing scan above and the manifest-pinned snapshot reads
+    below (a snapshot plans exactly its manifest's objects; no LIST)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
 
     import pyarrow.parquet as pq
 
@@ -366,3 +385,119 @@ def arrow_s3_write_parquet(
 
     counts = df.mapInPandas(write_partition, schema="rows long").collect()
     return int(sum(r.rows for r in counts))
+
+
+# ---------------------------------------------------------------------------
+# Manifest snapshots ON the object store — the multi-object atomic-commit
+# protocol the single-PUT writer defers to (see arrow_s3_write_parquet).
+# Same design as sources/versioned.py's local snapshot store (immutable
+# batch objects + per-version JSON manifests; reads plan exactly the
+# manifest's file list), re-expressed for S3 semantics: the manifest PUT
+# is the atomic commit point (S3 PUTs are all-or-nothing), a crashed
+# append leaves only invisible orphan data objects (no manifest references
+# them), and single-writer version assignment is the documented contract
+# (the same one the local store carries; multi-writer CAS is what full
+# table formats add). Schema evolution stays the LOCAL store's feature —
+# these snapshots pin bytes, not schema history.
+# ---------------------------------------------------------------------------
+
+
+def arrow_s3_snapshot_versions(conf: S3Conf, uri: str) -> list[int]:
+    """Committed snapshot versions under the prefix (one LIST)."""
+    import re
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    from pyarrow.fs import FileSelector, FileType
+
+    fs = conf.filesystem()
+    sel = FileSelector(f"{prefix}/_manifests", recursive=False,
+                       allow_not_found=True)
+    out = []
+    for fi in fs.get_file_info(sel):
+        if fi.type == FileType.File:
+            m = re.fullmatch(r"v(\d+)\.json", fi.path.rsplit("/", 1)[-1])
+            if m:
+                out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
+    """Append ``df`` as a new immutable snapshot version on the object
+    store; returns the committed version. Data objects land under
+    ``data/batch-{version}-{uuid}/`` via the distributed single-PUT
+    writer; the commit is ONE manifest PUT listing the parent's objects
+    plus the new batch — readers before the PUT see the old version,
+    readers after see the new one, and a crash between data PUTs and the
+    manifest PUT leaves only unreferenced (invisible) objects for a GC
+    pass. Exactly-once publication of a multi-object write, which is the
+    contract a bare parquet prefix cannot offer."""
+    import json
+    import uuid
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, _, keyprefix = prefix.partition("/")
+    versions = arrow_s3_snapshot_versions(conf, uri)
+    version = (versions[-1] + 1) if versions else 0
+    client = _boto3_client(conf)
+    if versions:
+        prev = json.loads(
+            client.get_object(
+                Bucket=bucket, Key=f"{keyprefix}/_manifests/v{versions[-1]}.json"
+            )["Body"].read())
+    else:
+        prev = {"files": [], "n_rows": 0}
+
+    batch_dir = f"batch-{version}-{uuid.uuid4().hex}"
+    n_new = arrow_s3_write_parquet(df, f"{prefix}/data/{batch_dir}", conf)
+    new_files = [
+        p[len(prefix) + 1:]
+        for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
+    ]
+    body = {
+        "version": version,
+        "parent": versions[-1] if versions else None,
+        "files": prev["files"] + sorted(new_files),
+        "n_rows": prev["n_rows"] + n_new,
+    }
+    client.put_object(
+        Bucket=bucket,
+        Key=f"{keyprefix}/_manifests/v{version}.json",
+        Body=json.dumps(body).encode(),
+    )
+    return version
+
+
+def arrow_s3_snapshot_read(
+    spark: SparkSession,
+    uri: str,
+    conf: S3Conf,
+    version: int | None = None,
+    columns: list[str] | None = None,
+    filters: list[Conjunct] | None = None,
+) -> DataFrame:
+    """Read the snapshot as of ``version`` (default latest) — plans
+    EXACTLY the manifest's object list (no LIST over the data prefix, no
+    eventual-consistency window, identical bytes on every replay; the
+    time-travel contract of the local snapshot store on the jar-less
+    object-store path). Column pruning and DNF row-group skipping apply
+    as in arrow_s3_read_parquet."""
+    import json
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, _, keyprefix = prefix.partition("/")
+    versions = arrow_s3_snapshot_versions(conf, uri)
+    if not versions:
+        raise ValueError(f"no snapshot versions committed under {uri!r}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    m = json.loads(
+        _boto3_client(conf).get_object(
+            Bucket=bucket, Key=f"{keyprefix}/_manifests/v{version}.json"
+        )["Body"].read())
+    if not m["files"]:
+        raise ValueError(f"version {version} is empty")
+    return _read_parquet_files(
+        spark, [f"{prefix}/{f}" for f in m["files"]], conf,
+        columns=columns, filters=filters)

@@ -1356,3 +1356,44 @@ class TestArrowObjectStore:
             assert sorted(r.id for r in got.collect()) == expected(filters)
 
         check()
+
+    def test_snapshot_time_travel_on_object_store(self, spark, sf_dir, moto_s3):
+        """Manifest snapshots ON the object store: two appends → two
+        versions; reading v0 after v1 commits returns exactly v0's rows
+        (time travel pins bytes); latest = union; an extra ORPHAN data
+        object (a crashed append's leftovers) is invisible to every
+        snapshot read — manifest-pinned planning, not prefix listing."""
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_versions,
+        )
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        root = "s3://testbkt/snap/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        batch0 = nation.filter(F.col("n_nationkey") < 10)
+        batch1 = nation.filter(F.col("n_nationkey") >= 10)
+        v0 = arrow_s3_snapshot_append(batch0, root, moto_s3)
+        v1 = arrow_s3_snapshot_append(batch1, root, moto_s3)
+        assert (v0, v1) == (0, 1)
+        assert arrow_s3_snapshot_versions(moto_s3, root) == [0, 1]
+
+        # plant an orphan object where a crashed append would leave one
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        buf = pa.BufferOutputStream()
+        pq.write_table(pa.table({"n_nationkey": [999]}), buf)
+        _boto3_client(moto_s3).put_object(
+            Bucket="testbkt", Key="snap/nation/data/batch-orphan/x.parquet",
+            Body=buf.getvalue().to_pybytes())
+
+        got0 = arrow_s3_snapshot_read(spark, root, moto_s3, version=0)
+        assert sorted(map(tuple, got0.collect())) == \
+            sorted(map(tuple, batch0.collect()))
+        latest = arrow_s3_snapshot_read(
+            spark, root, moto_s3, columns=["n_nationkey"])
+        keys = sorted(r.n_nationkey for r in latest.collect())
+        assert keys == sorted(r.n_nationkey for r in nation.collect())
+        assert 999 not in keys  # the orphan never surfaces
