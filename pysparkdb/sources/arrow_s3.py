@@ -501,3 +501,52 @@ def arrow_s3_snapshot_read(
     return _read_parquet_files(
         spark, [f"{prefix}/{f}" for f in m["files"]], conf,
         columns=columns, filters=filters)
+
+
+def arrow_s3_snapshot_gc(
+    conf: S3Conf, uri: str, orphan_grace_s: float = 600.0
+) -> list[str]:
+    """Orphan cleanup for the object-store snapshot root — the VACUUM
+    analog of the local store's snapshot_gc, reduced to the orphan class
+    (version-horizon expiry composes on top exactly as there; this path
+    keeps the minimal core). Deletes ``data/`` objects NO manifest
+    references, and only once older than ``orphan_grace_s`` by the
+    store's own mtime: an in-flight append PUTs its data objects BEFORE
+    the manifest commit, so an unreferenced-but-young object may belong
+    to the version about to commit — deleting it would corrupt that
+    commit. Same writer-race guard as Delta/Iceberg VACUUM retention;
+    set the grace above your longest plausible commit. One LIST + one
+    GET per manifest + one DELETE per orphan; returns deleted keys
+    (root-relative)."""
+    import datetime
+    import json
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, _, keyprefix = prefix.partition("/")
+    client = _boto3_client(conf)
+    referenced: set[str] = set()
+    for v in arrow_s3_snapshot_versions(conf, uri):
+        m = json.loads(client.get_object(
+            Bucket=bucket, Key=f"{keyprefix}/_manifests/v{v}.json"
+        )["Body"].read())
+        referenced.update(m["files"])
+
+    from pyarrow.fs import FileSelector, FileType
+
+    fs = conf.filesystem()
+    now = datetime.datetime.now(datetime.timezone.utc)
+    deleted = []
+    sel = FileSelector(f"{prefix}/data", recursive=True, allow_not_found=True)
+    for fi in fs.get_file_info(sel):
+        if fi.type != FileType.File:
+            continue
+        rel = fi.path[len(prefix) + 1:]
+        if rel in referenced:
+            continue
+        mtime = fi.mtime if fi.mtime.tzinfo else fi.mtime.replace(
+            tzinfo=datetime.timezone.utc)
+        if (now - mtime).total_seconds() < orphan_grace_s:
+            continue  # possibly an append mid-commit — leave it
+        client.delete_object(Bucket=bucket, Key=f"{keyprefix}/{rel}")
+        deleted.append(rel)
+    return sorted(deleted)

@@ -1397,3 +1397,39 @@ class TestArrowObjectStore:
         keys = sorted(r.n_nationkey for r in latest.collect())
         assert keys == sorted(r.n_nationkey for r in nation.collect())
         assert 999 not in keys  # the orphan never surfaces
+
+    def test_snapshot_gc_orphans_respect_grace(self, spark, sf_dir, moto_s3):
+        """GC deletes only unreferenced-AND-old objects: a planted orphan
+        (a crashed append's leftovers) is younger than a huge grace
+        (kept), older than a zero grace (deleted); referenced objects
+        survive both, and the snapshot still reads intact after GC."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pysparkdb.sources import (
+            arrow_s3_list,
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_gc,
+            arrow_s3_snapshot_read,
+        )
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        root = "s3://testbkt/gc/region"
+        region = tables(spark, sf_dir)["region"]
+        arrow_s3_snapshot_append(region, root, moto_s3)
+        buf = pa.BufferOutputStream()
+        pq.write_table(pa.table({"r_regionkey": [999]}), buf)
+        _boto3_client(moto_s3).put_object(
+            Bucket="testbkt", Key="gc/region/data/batch-orphan/x.parquet",
+            Body=buf.getvalue().to_pybytes())
+
+        before = {p for p, _ in arrow_s3_list(moto_s3, root)}
+        assert any("batch-orphan" in p for p in before)
+        assert arrow_s3_snapshot_gc(moto_s3, root, orphan_grace_s=3600) == []
+        gone = arrow_s3_snapshot_gc(moto_s3, root, orphan_grace_s=0)
+        assert gone == ["data/batch-orphan/x.parquet"]
+        after = {p for p, _ in arrow_s3_list(moto_s3, root)}
+        assert after == {p for p in before if "batch-orphan" not in p}
+        got = arrow_s3_snapshot_read(spark, root, moto_s3)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, region.collect()))
