@@ -77,11 +77,14 @@ def main() -> None:
     # probe: the pool's idle clock then never reaches 30 s + one query
     # (< 60 s), and the warm probe costs ~0.5 s × ~2/min — outside every
     # timed region, ~1-2 % sweep wall-clock, zero effect on medians.
-    _last_warm = 0.0
+    _last_warm = None  # None, not 0.0: perf_counter's epoch is
+    # unspecified (seconds-since-boot on Linux), so on a freshly booted
+    # host a 0.0 sentinel would make the INITIAL probe a no-op and bill
+    # the first mapInPandas query the worker spinup again
 
     def keep_python_pool_warm() -> None:
         nonlocal _last_warm
-        if time.perf_counter() - _last_warm < 30.0:
+        if _last_warm is not None and time.perf_counter() - _last_warm < 30.0:
             return
         spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
             lambda it: it, schema="id long"

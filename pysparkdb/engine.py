@@ -410,28 +410,41 @@ class Engine:
         temp view through the JAR-LESS arrow_s3 scan path — the
         Client::getCatalogueEntry front door for environments without the
         hadoop-aws jars (sources/arrow_s3.py; the s3a path uses
-        ``attach()`` on an s3a:// URI instead). Discovery is ONE LIST:
-        objects group by their first path segment under the prefix
-        (``<prefix>/<table>.parquet/part-*.parquet`` layouts and single
-        ``<prefix>/<table>.parquet`` objects both resolve to view
-        ``<table>``). Returns {table: DataFrame}. After this,
-        ``engine.sql()`` runs the full registered query surface against
-        the remote store — executor-side GETs, pruned decode."""
+        ``attach()`` on an s3a:// URI instead). Discovery is ONE LIST —
+        literally: the listing's paths group by their first segment under
+        the prefix (``<prefix>/<table>.parquet/part-*.parquet`` layouts
+        and single ``<prefix>/<table>.parquet`` objects both resolve to
+        view ``<table>``) and each table's reader plans that EXPLICIT
+        file list, so attach issues no per-table re-LIST (at N tables on
+        real S3 that is N billable round-trips saved). A name backed by
+        BOTH layouts raises — silently serving only one layout's rows is
+        the partial-data bug this guard exists for. Returns
+        {table: DataFrame}. After this, ``engine.sql()`` runs the full
+        registered query surface against the remote store —
+        executor-side GETs, pruned decode."""
         from pysparkdb.sources.arrow_s3 import (
+            _read_parquet_files,
             _strip_scheme,
             arrow_s3_list,
-            arrow_s3_read_parquet,
         )
 
         base = _strip_scheme(prefix).rstrip("/")
-        groups: dict[str, str] = {}
+        groups: dict[str, list[str]] = {}
+        shapes: dict[str, str] = {}
         for path, _ in arrow_s3_list(conf, base):
-            seg = path[len(base) + 1:].split("/", 1)[0]
+            rel = path[len(base) + 1:]
+            seg = rel.split("/", 1)[0]
             name = seg.removesuffix(".parquet")
-            groups[name] = f"{base}/{seg}"
+            shape = "dir" if "/" in rel else "flat"
+            if shapes.setdefault(name, shape) != shape:
+                raise ValueError(
+                    f"table name {name!r} is backed by both a flat object "
+                    f"and a directory layout under {prefix!r}; attach "
+                    f"would silently drop one layout's rows — rename one")
+            groups.setdefault(name, []).append(path)
         out: dict[str, DataFrame] = {}
-        for name, uri in sorted(groups.items()):
-            df = arrow_s3_read_parquet(self.spark, uri, conf)
+        for name, files in sorted(groups.items()):
+            df = _read_parquet_files(self.spark, sorted(files), conf)
             df.createOrReplaceTempView(name)
             out[name] = df
         return out

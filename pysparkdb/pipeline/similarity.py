@@ -651,9 +651,15 @@ def quantized_topk_neighbors(
     if candidates is None:
         pairs = q.join(c, F.col("qid") != F.col("cid"))
     else:
+        # dropDuplicates BEFORE scoring: a raw LSH/IVF bucket join emits
+        # the same (qid, cid) once per colliding band/table, and duplicate
+        # pairs would score identically and occupy multiple _topk slots,
+        # displacing true neighbors (the internal LSH path dedups at the
+        # same point — _bucket_join_topk)
         pairs = (
             candidates.select("qid", "cid")
             .where(F.col("qid") != F.col("cid"))
+            .dropDuplicates(["qid", "cid"])
             .join(q, "qid")
             .join(c, "cid")
         )

@@ -1888,6 +1888,8 @@ def s3_scan_roundtrip(spark, sf_dir):
         arrow_s3_write_parquet,
     )
 
+    import uuid
+
     logging.getLogger("werkzeug").setLevel(logging.ERROR)
     server = ThreadedMotoServer(port=0, verbose=False)
     server.start()
@@ -1896,12 +1898,17 @@ def s3_scan_roundtrip(spark, sf_dir):
         conf = S3Conf(endpoint=f"http://127.0.0.1:{port}",
                       access_key="smoke", secret_key="smoke",
                       region="us-east-1")
-        _boto3_client(conf).create_bucket(Bucket="pysparkdb-smoke")
+        # unique bucket per run: moto's in-memory backend is
+        # PROCESS-global (shared across server instances), so a repeat
+        # run in the same process would otherwise find the previous
+        # run's objects and trip the writer's stale-prefix guard
+        bucket = f"pysparkdb-smoke-{uuid.uuid4().hex[:12]}"
+        _boto3_client(conf).create_bucket(Bucket=bucket)
         nation = tables(spark, sf_dir)["nation"]
         arrow_s3_write_parquet(
-            nation.repartition(2), "s3://pysparkdb-smoke/nation", conf)
+            nation.repartition(2), f"s3://{bucket}/nation", conf)
         remote = arrow_s3_read_parquet(
-            spark, "s3://pysparkdb-smoke/nation", conf,
+            spark, f"s3://{bucket}/nation", conf,
             columns=["n_nationkey", "n_regionkey"],
             filters=[("n_nationkey", ">=", 5)],
         )

@@ -15,7 +15,8 @@ path has.
 Scale shape (100 TB lens):
 - The driver issues ONE list RPC per scan (plus one footer GET for schema
   inference when no schema is declared). Every data GET happens inside an
-  executor task via ``mapInPandas`` — GET parallelism is the task count,
+  executor task via ``mapInArrow`` (typed Arrow passthrough — no pandas
+  hop, so nullable BIGINTs keep their type) — GET parallelism is the task count,
   exactly how the reference parallelizes S3GetPOp instances.
 - Column pruning is real: only requested columns are decoded (and with
   parquet's columnar layout, only their byte ranges fetched by pyarrow's
@@ -91,6 +92,19 @@ def _strip_scheme(uri: str) -> str:
     return uri
 
 
+def _bucket_key(prefix: str, uri: str) -> tuple[str, str]:
+    """Split 'bucket/keyprefix' rejecting bucket-root URIs: an empty key
+    prefix would mint leading-slash object keys on write and make GC's
+    DeleteObject a silent no-op against the real keys (S3 deletes of
+    nonexistent keys succeed)."""
+    bucket, _, keyprefix = prefix.partition("/")
+    if not keyprefix:
+        raise ValueError(
+            f"bucket-root URIs are not supported ({uri!r}); "
+            f"use a key prefix inside the bucket")
+    return bucket, keyprefix
+
+
 def _filter_expr(filters: list[Conjunct] | None):
     """Rebuild a pyarrow dataset expression from the picklable DNF form."""
     if not filters:
@@ -139,7 +153,7 @@ def arrow_s3_read_parquet(
 ) -> DataFrame:
     """Distributed parquet read from an S3-compatible store without
     hadoop-aws: one LIST + (if schema not declared) one footer GET on the
-    driver, then every data GET + Arrow decode inside ``mapInPandas``
+    driver, then every data GET + Arrow decode inside ``mapInArrow``
     tasks — the S3GetPOp execution shape on Spark executors.
 
     ``filters`` is an ANDed DNF list like ``[("n_nationkey", ">=", 5)]``:
@@ -156,10 +170,14 @@ def arrow_s3_read_parquet(
     path = _strip_scheme(uri)
     infos = arrow_s3_list(conf, path)
     if not infos and path.endswith(".parquet"):
-        # a single object, not a prefix of objects
-        fs = conf.filesystem()
-        fi = fs.get_file_info(path)
-        infos = [(path, fi.size)]
+        # a single object, not a prefix of objects — only if it EXISTS
+        # (FileType.NotFound must fall through to the designed error, not
+        # surface later as an obscure footer-read OSError)
+        from pyarrow.fs import FileType
+
+        fi = conf.filesystem().get_file_info(path)
+        if fi.type == FileType.File:
+            infos = [(path, fi.size)]
     if not infos:
         raise FileNotFoundError(f"no parquet objects under {uri!r}")
     return _read_parquet_files(
@@ -215,13 +233,18 @@ def _read_parquet_files(
         tasks = [(f, 0, -1) for f in files]
 
     def read_tasks(iterator: Iterator) -> Iterator:
+        # mapInArrow, NOT mapInPandas: a pandas hop converts any
+        # int64-with-nulls column to float64, silently altering nullable
+        # BIGINT values above 2^53; Arrow batches pass through typed
         import pyarrow.dataset as pads
         import pyarrow.parquet as pq  # noqa: F811 (executor-local import)
 
         fs = conf.filesystem()
         expr = _filter_expr(filters)
-        for pdf in iterator:
-            for file, first_rg, n_rgs in pdf.itertuples(index=False):
+        for task_batch in iterator:
+            for row in task_batch.to_pylist():
+                file, first_rg, n_rgs = (
+                    row["file"], row["first_rg"], row["n_rgs"])
                 if n_rgs < 0:
                     fragment = pads.dataset(
                         file, filesystem=fs, format="parquet")
@@ -236,12 +259,12 @@ def _read_parquet_files(
                         batch_size=batch_size, use_threads=False)
                 for batch in scanner.to_batches():
                     if batch.num_rows:
-                        yield batch.to_pandas()
+                        yield batch
 
     task_df = spark.createDataFrame(
         tasks, "file string, first_rg int, n_rgs int"
     ).repartition(max(len(tasks), 1))
-    return task_df.mapInPandas(read_tasks, schema=schema)
+    return task_df.mapInArrow(read_tasks, schema=schema)
 
 
 def arrow_s3_read_csv(
@@ -295,20 +318,21 @@ def arrow_s3_read_csv(
         parse_opts = pacsv.ParseOptions(delimiter=delimiter)
         conv_opts = pacsv.ConvertOptions(
             column_types={f.name: f.type for f in arrow_schema})
-        for pdf in iterator:
-            for (file,) in pdf.itertuples(index=False):
-                with fs.open_input_stream(file, compression="detect") as f:
+        for task_batch in iterator:
+            for row in task_batch.to_pylist():
+                with fs.open_input_stream(
+                        row["file"], compression="detect") as f:
                     table = pacsv.read_csv(
                         f, read_options=read_opts,
                         parse_options=parse_opts, convert_options=conv_opts)
                 for batch in table.select(names).to_batches():
                     if batch.num_rows:
-                        yield batch.to_pandas()
+                        yield batch  # Arrow passthrough (no pandas hop)
 
     task_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(len(files))
-    return task_df.mapInPandas(read_files, schema=schema)
+    return task_df.mapInArrow(read_files, schema=schema)
 
 
 def _boto3_client(conf: S3Conf):
@@ -331,14 +355,26 @@ def _boto3_client(conf: S3Conf):
 
 
 def arrow_s3_write_parquet(
-    df: DataFrame, uri: str, conf: S3Conf, compression: str = "snappy"
+    df: DataFrame, uri: str, conf: S3Conf, compression: str = "snappy",
+    mode: str = "error",
 ) -> int:
     """Distributed parquet write to an S3-compatible store without
-    hadoop-aws: each non-empty partition encodes its Arrow batches through
-    one ``ParquetWriter`` into an executor-local buffer, then publishes it
-    as ONE object (``part-{pid}.parquet``) with a single atomic PUT —
-    PUTs happen on executors, the driver sees only per-partition row
-    counts. Returns total rows written.
+    hadoop-aws: each non-empty partition encodes its Arrow batches
+    (mapInArrow — no pandas hop, so nullable BIGINT columns keep their
+    type and their >2^53 values) through one ``ParquetWriter`` into an
+    executor-local buffer, then publishes it as ONE object
+    (``part-{pid}.parquet``) with a single atomic PUT — PUTs happen on
+    executors, the driver sees only per-partition row counts. Returns
+    total rows written.
+
+    ``mode``: "error" (default) raises if the prefix already holds
+    parquet objects — re-writing a live prefix with a different
+    partition count would silently MERGE new part files with stale
+    leftovers, the table-corruption case Spark's own save modes exist
+    for; "overwrite" deletes the prefix's parquet objects first (readers
+    mid-scan see a torn table — use the snapshot protocol below for
+    atomic replacement); "append" writes uuid-suffixed objects beside
+    the existing ones.
 
     Single-PUT by design, not limitation: S3 PUTs are atomic (an object
     either appears whole or not at all — no torn multipart commits, and
@@ -349,14 +385,30 @@ def arrow_s3_write_parquet(
     size — which a scale-correct writer bounds anyway, since the object
     size IS the scan-task granularity on read-back (repartition to the
     100 MB-1 GB object target before writing; S3 single PUT caps at
-    5 GB). Multi-object atomicity is still the caller's protocol: wrap
-    the written prefix in a versioned-store snapshot
-    (sources/versioned.py) for exactly-once publication."""
+    5 GB). Multi-object atomicity is the snapshot protocol's job
+    (arrow_s3_snapshot_append below)."""
     prefix = _strip_scheme(uri).rstrip("/")
-    bucket, _, keyprefix = prefix.partition("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
+    if mode not in ("error", "overwrite", "append"):
+        raise ValueError(f"mode {mode!r} not in ('error','overwrite','append')")
+    existing = arrow_s3_list(conf, prefix)
+    if existing and mode == "error":
+        raise FileExistsError(
+            f"{uri!r} already holds {len(existing)} parquet object(s); "
+            f"pass mode='overwrite' or mode='append' (stale part files "
+            f"would otherwise merge into the new table)")
+    if existing and mode == "overwrite":
+        client = _boto3_client(conf)
+        for path, _ in existing:
+            client.delete_object(
+                Bucket=bucket, Key=path[len(bucket) + 1:])
+    suffix = ""
+    if mode == "append" and existing:
+        import uuid
+
+        suffix = f"-{uuid.uuid4().hex[:8]}"
 
     def write_partition(iterator: Iterator) -> Iterator:
-        import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
@@ -365,25 +417,24 @@ def arrow_s3_write_parquet(
         buf = pa.BufferOutputStream()
         writer = None
         n = 0
-        for pdf in iterator:
-            if pdf.empty:
+        for batch in iterator:
+            if batch.num_rows == 0:
                 continue
-            table = pa.Table.from_pandas(pdf, preserve_index=False)
             if writer is None:
                 writer = pq.ParquetWriter(
-                    buf, table.schema, compression=compression)
-            writer.write_table(table)
-            n += table.num_rows
+                    buf, batch.schema, compression=compression)
+            writer.write_batch(batch)
+            n += batch.num_rows
         if writer is not None:
             writer.close()
             _boto3_client(conf).put_object(
                 Bucket=bucket,
-                Key=f"{keyprefix}/part-{pid:05d}.parquet",
+                Key=f"{keyprefix}/part-{pid:05d}{suffix}.parquet",
                 Body=buf.getvalue().to_pybytes(),
             )
-        yield pd.DataFrame({"rows": [n]})
+        yield pa.RecordBatch.from_pydict({"rows": pa.array([n], pa.int64())})
 
-    counts = df.mapInPandas(write_partition, schema="rows long").collect()
+    counts = df.mapInArrow(write_partition, schema="rows long").collect()
     return int(sum(r.rows for r in counts))
 
 
@@ -435,7 +486,7 @@ def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
     import uuid
 
     prefix = _strip_scheme(uri).rstrip("/")
-    bucket, _, keyprefix = prefix.partition("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
     versions = arrow_s3_snapshot_versions(conf, uri)
     version = (versions[-1] + 1) if versions else 0
     client = _boto3_client(conf)
@@ -484,7 +535,7 @@ def arrow_s3_snapshot_read(
     import json
 
     prefix = _strip_scheme(uri).rstrip("/")
-    bucket, _, keyprefix = prefix.partition("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
     versions = arrow_s3_snapshot_versions(conf, uri)
     if not versions:
         raise ValueError(f"no snapshot versions committed under {uri!r}")
@@ -522,7 +573,7 @@ def arrow_s3_snapshot_gc(
     import json
 
     prefix = _strip_scheme(uri).rstrip("/")
-    bucket, _, keyprefix = prefix.partition("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
     client = _boto3_client(conf)
     referenced: set[str] = set()
     for v in arrow_s3_snapshot_versions(conf, uri):

@@ -316,6 +316,13 @@ def test_quantized_candidates_bounding(spark, sf_dir):
                for r in similarity.quantized_topk_neighbors(
                    e, k=1, query_filter=qf, candidates=full).collect()}
     assert bounded == unbounded
+    # DUPLICATED candidate pairs (the raw multi-band LSH join shape) must
+    # not consume extra top-k slots or emit duplicate rows
+    duped = similarity.quantized_topk_neighbors(
+        e, k=3, query_filter=qf, candidates=full.unionAll(full)).collect()
+    clean = similarity.quantized_topk_neighbors(
+        e, k=3, query_filter=qf, candidates=full).collect()
+    assert sorted(map(tuple, duped)) == sorted(map(tuple, clean))
     # restricted candidate set → only those pairs are scored
     two = full.filter(F.col("cid").isin(100, 101))
     narrow = similarity.quantized_topk_neighbors(

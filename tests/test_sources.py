@@ -1433,3 +1433,58 @@ class TestArrowObjectStore:
         got = arrow_s3_snapshot_read(spark, root, moto_s3)
         assert sorted(map(tuple, got.collect())) == \
             sorted(map(tuple, region.collect()))
+
+    def test_nullable_bigint_roundtrip_exact(self, spark, moto_s3):
+        """Arrow passthrough (mapInArrow, no pandas hop): a nullable
+        BIGINT column with values above 2^53 must round-trip bit-exact —
+        the pandas hop would convert int64-with-nulls to float64 and
+        silently alter snowflake-scale ids."""
+        from pysparkdb.sources import arrow_s3_read_parquet, arrow_s3_write_parquet
+
+        big = 2**53 + 1  # not representable in float64
+        rows = [(1, big), (2, None), (3, big + 2)]
+        df = spark.createDataFrame(rows, "id long, ref long")
+        wrote = arrow_s3_write_parquet(df, "s3://testbkt/nb/t", moto_s3)
+        assert wrote == 3
+        back = arrow_s3_read_parquet(spark, "s3://testbkt/nb/t", moto_s3)
+        assert dict(back.dtypes)["ref"] == "bigint"
+        assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    def test_write_modes_guard_stale_part_files(self, spark, sf_dir, moto_s3):
+        """mode='error' (default) refuses a populated prefix — a rewrite
+        with fewer partitions would otherwise MERGE with stale part
+        files; 'overwrite' replaces exactly; 'append' accumulates."""
+        from pysparkdb.sources import arrow_s3_read_parquet, arrow_s3_write_parquet
+
+        region = tables(spark, sf_dir)["region"]
+        uri = "s3://testbkt/modes/region"
+        arrow_s3_write_parquet(region.repartition(4), uri, moto_s3)
+        with pytest.raises(FileExistsError, match="mode="):
+            arrow_s3_write_parquet(region.repartition(2), uri, moto_s3)
+        arrow_s3_write_parquet(
+            region.repartition(2), uri, moto_s3, mode="overwrite")
+        n = region.count()
+        assert arrow_s3_read_parquet(spark, uri, moto_s3).count() == n
+        arrow_s3_write_parquet(region, uri, moto_s3, mode="append")
+        assert arrow_s3_read_parquet(spark, uri, moto_s3).count() == 2 * n
+
+    def test_attach_rejects_mixed_layout_collision(self, spark, sf_dir, moto_s3):
+        """A view name backed by BOTH a flat object and a directory
+        layout raises instead of silently serving one layout's rows."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pysparkdb import Engine
+        from pysparkdb.sources import arrow_s3_write_parquet
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        arrow_s3_write_parquet(
+            tables(spark, sf_dir)["region"],
+            "s3://testbkt/mix/region.parquet", moto_s3)
+        buf = pa.BufferOutputStream()
+        pq.write_table(pa.table({"r_regionkey": [999]}), buf)
+        _boto3_client(moto_s3).put_object(
+            Bucket="testbkt", Key="mix/region.parquet",
+            Body=buf.getvalue().to_pybytes())
+        with pytest.raises(ValueError, match="both a flat object"):
+            Engine(spark).attach_arrow_s3("s3://testbkt/mix", moto_s3)
