@@ -481,7 +481,14 @@ def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
     readers after see the new one, and a crash between data PUTs and the
     manifest PUT leaves only unreferenced (invisible) objects for a GC
     pass. Exactly-once publication of a multi-object write, which is the
-    contract a bare parquet prefix cannot offer."""
+    contract a bare parquet prefix cannot offer.
+
+    The committed Spark schema is RECORDED in the manifest and every
+    later append must match it exactly — a mixed-schema append would
+    otherwise commit fine and then silently NULL/drop columns at read
+    time (the reader's inference footer GET samples ONE object). Schema
+    EVOLUTION (merging new nullable columns) is deliberately the local
+    store's feature, not this one's: these snapshots pin bytes."""
     import json
     import uuid
 
@@ -495,6 +502,11 @@ def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
             client.get_object(
                 Bucket=bucket, Key=f"{keyprefix}/_manifests/v{versions[-1]}.json"
             )["Body"].read())
+        if prev.get("schema") is not None and prev["schema"] != df.schema.json():
+            raise ValueError(
+                f"appended frame's schema differs from the snapshot's "
+                f"committed schema under {uri!r}; these snapshots pin "
+                f"bytes — evolve schemas through sources/versioned.py")
     else:
         prev = {"files": [], "n_rows": 0}
 
@@ -509,6 +521,58 @@ def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
         "parent": versions[-1] if versions else None,
         "files": prev["files"] + sorted(new_files),
         "n_rows": prev["n_rows"] + n_new,
+        "schema": df.schema.json(),
+    }
+    client.put_object(
+        Bucket=bucket,
+        Key=f"{keyprefix}/_manifests/v{version}.json",
+        Body=json.dumps(body).encode(),
+    )
+    return version
+
+
+def arrow_s3_snapshot_compact(
+    spark: SparkSession, uri: str, conf: S3Conf, target_objects: int = 1
+) -> int:
+    """Compaction as a NEW version over the same rows — the OPTIMIZE
+    maintenance pass for the object-store snapshots: streaming/micro-batch
+    appends accumulate many small objects (one per partition per append),
+    and since the object count IS the scan-task granularity, read
+    parallelism degrades into per-key overhead. Reads the CURRENT
+    version, rewrites it as ``target_objects`` objects, commits a version
+    whose manifest references ONLY the new objects — pinned older
+    versions keep their original files (time travel intact); the
+    superseded small objects become expirable exactly like the local
+    store's compaction."""
+    import json
+    import uuid
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
+    versions = arrow_s3_snapshot_versions(conf, uri)
+    if not versions:
+        raise ValueError(f"no snapshot versions committed under {uri!r}")
+    current = arrow_s3_snapshot_read(spark, uri, conf)
+    version = versions[-1] + 1
+    batch_dir = f"batch-{version}-{uuid.uuid4().hex}"
+    n = arrow_s3_write_parquet(
+        current.repartition(target_objects), f"{prefix}/data/{batch_dir}",
+        conf)
+    new_files = [
+        p[len(prefix) + 1:]
+        for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
+    ]
+    client = _boto3_client(conf)
+    prev = json.loads(client.get_object(
+        Bucket=bucket, Key=f"{keyprefix}/_manifests/v{versions[-1]}.json"
+    )["Body"].read())
+    body = {
+        "version": version,
+        "parent": versions[-1],
+        "files": sorted(new_files),  # ONLY the compacted objects
+        "n_rows": n,
+        "schema": prev.get("schema"),
+        "compaction": True,
     }
     client.put_object(
         Bucket=bucket,

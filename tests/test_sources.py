@@ -1488,3 +1488,39 @@ class TestArrowObjectStore:
             Body=buf.getvalue().to_pybytes())
         with pytest.raises(ValueError, match="both a flat object"):
             Engine(spark).attach_arrow_s3("s3://testbkt/mix", moto_s3)
+
+    def test_snapshot_schema_guard_and_compaction(self, spark, sf_dir, moto_s3):
+        """(a) an append whose schema differs from the committed one
+        raises (mixed-schema reads would silently NULL/drop columns);
+        (b) compaction commits a new version over the same rows whose
+        manifest references ONLY the compacted objects, while the pinned
+        pre-compaction version still reads its original small objects."""
+        import json
+
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_compact,
+            arrow_s3_snapshot_read,
+        )
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        root = "s3://testbkt/cmp/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(nation.repartition(3), root, moto_s3)
+        arrow_s3_snapshot_append(
+            nation.limit(0).repartition(1), root, moto_s3)  # same schema OK
+        with pytest.raises(ValueError, match="pin bytes"):
+            arrow_s3_snapshot_append(
+                nation.select("n_nationkey"), root, moto_s3)
+
+        v = arrow_s3_snapshot_compact(spark, root, moto_s3, target_objects=1)
+        m = json.loads(_boto3_client(moto_s3).get_object(
+            Bucket="testbkt", Key=f"cmp/nation/_manifests/v{v}.json"
+        )["Body"].read())
+        assert m["compaction"] and len(m["files"]) == 1
+        got = arrow_s3_snapshot_read(spark, root, moto_s3)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, nation.collect()))
+        # pinned pre-compaction version unchanged (time travel intact)
+        v0 = arrow_s3_snapshot_read(spark, root, moto_s3, version=0)
+        assert v0.count() == nation.count()
