@@ -417,8 +417,11 @@ class Engine:
         view ``<table>``) and each table's reader plans that EXPLICIT
         file list, so attach issues no per-table re-LIST (at N tables on
         real S3 that is N billable round-trips saved). A name backed by
-        BOTH layouts raises — silently serving only one layout's rows is
-        the partial-data bug this guard exists for. Returns
+        TWO DISTINCT physical segments raises — whether flat-vs-dir
+        (``nation.parquet`` object next to ``nation/`` directory) or
+        dir-vs-dir (``nation/`` next to ``nation.parquet/``): silently
+        unioning two layouts' files into one view is the partial-/mixed-
+        data bug this guard exists for. Returns
         {table: DataFrame}. After this, ``engine.sql()`` runs the full
         registered query surface against the remote store —
         executor-side GETs, pruned decode."""
@@ -430,17 +433,27 @@ class Engine:
 
         base = _strip_scheme(prefix).rstrip("/")
         groups: dict[str, list[str]] = {}
-        shapes: dict[str, str] = {}
+        # The collision key is the PHYSICAL first segment (+ flat/dir
+        # shape), not just the derived view name: <prefix>/nation/ and
+        # <prefix>/nation.parquet/ are distinct directories that both
+        # derive view 'nation' — keying on name alone would silently
+        # union their files into one view (late schema errors, or worse,
+        # a same-schema wrong-rows merge).
+        origins: dict[str, tuple[str, str]] = {}
         for path, _ in arrow_s3_list(conf, base):
             rel = path[len(base) + 1:]
             seg = rel.split("/", 1)[0]
             name = seg.removesuffix(".parquet")
             shape = "dir" if "/" in rel else "flat"
-            if shapes.setdefault(name, shape) != shape:
+            origin = (seg, shape)
+            if origins.setdefault(name, origin) != origin:
+                prev_seg, prev_shape = origins[name]
                 raise ValueError(
-                    f"table name {name!r} is backed by both a flat object "
-                    f"and a directory layout under {prefix!r}; attach "
-                    f"would silently drop one layout's rows — rename one")
+                    f"table name {name!r} is backed by two distinct "
+                    f"layouts under {prefix!r}: "
+                    f"{prev_seg!r} ({prev_shape}) and {seg!r} ({shape}); "
+                    f"attach would silently merge their files into one "
+                    f"view — rename one")
             groups.setdefault(name, []).append(path)
         out: dict[str, DataFrame] = {}
         for name, files in sorted(groups.items()):

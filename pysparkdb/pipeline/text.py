@@ -492,6 +492,13 @@ def naive_bayes_predict(
     Add-one smoothing over the train vocabulary; test-only (OOV) tokens
     are IGNORED (the standard choice, and the deterministic one — they
     shift every class score by the same unseen-mass constant anyway).
+    Consequence, by design: a test document whose tokens are ALL OOV has
+    no in-vocabulary row, so it produces NO prediction row at all — the
+    returned frame (and the registered query's n_test) counts only
+    documents with at least one train-vocabulary token. Callers needing
+    every document covered should left-join the distinct test-doc set
+    back and fill with the prior argmax; the registered oracle shares
+    the drop semantics, so the two counts agree.
     Determinism contract: every log term is rounded to 1e-6 and cast
     DECIMAL(25,6) BEFORE summation, so per-class scores are exact sums of
     exact quantities — identical across engines and partition orders (a

@@ -1879,7 +1879,17 @@ def s3_scan_roundtrip(spark, sf_dir):
     query — acceptable for a liveness certificate."""
     import logging
 
-    from moto.server import ThreadedMotoServer
+    try:
+        from moto.server import ThreadedMotoServer
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "s3_scan_roundtrip is a LIVE object-store certificate and "
+            "needs the in-process S3 endpoint the 'moto' package provides "
+            "(plus werkzeug, its server). Install moto>=5 to run this "
+            "registered query, or exclude it from the sweep on "
+            "deployments without it — every other registered query is "
+            "moto-free."
+        ) from exc
 
     from pysparkdb.sources.arrow_s3 import (
         S3Conf,

@@ -427,10 +427,14 @@ def arrow_s3_write_parquet(
             n += batch.num_rows
         if writer is not None:
             writer.close()
+            # memoryview over the pyarrow Buffer — boto3 accepts any
+            # bytes-like Body, and to_pybytes() would copy the whole
+            # encoded partition (doubling peak executor memory for an
+            # object the 5 GB single-PUT cap already bounds)
             _boto3_client(conf).put_object(
                 Bucket=bucket,
                 Key=f"{keyprefix}/part-{pid:05d}{suffix}.parquet",
-                Body=buf.getvalue().to_pybytes(),
+                Body=memoryview(buf.getvalue()),
             )
         yield pa.RecordBatch.from_pydict({"rows": pa.array([n], pa.int64())})
 

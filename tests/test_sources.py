@@ -1125,7 +1125,7 @@ class TestArrowObjectStore:
 
     def test_live_roundtrip_distributed(self, spark, sf_dir, moto_s3):
         """Write from 3 executor partitions (3 single-PUT objects), ONE
-        list RPC discovers them, read back through mapInPandas GETs —
+        list RPC discovers them, read back through mapInArrow GETs —
         row-for-row identical to the local table."""
         from pysparkdb.sources import (
             arrow_s3_list,
