@@ -427,14 +427,15 @@ def arrow_s3_write_parquet(
             n += batch.num_rows
         if writer is not None:
             writer.close()
-            # memoryview over the pyarrow Buffer — boto3 accepts any
-            # bytes-like Body, and to_pybytes() would copy the whole
-            # encoded partition (doubling peak executor memory for an
-            # object the 5 GB single-PUT cap already bounds)
+            # Zero-copy Body: a BufferReader streams straight from the
+            # pyarrow Buffer (botocore accepts seekable file-likes but
+            # rejects memoryview); to_pybytes() would copy the whole
+            # encoded partition, doubling peak executor memory for an
+            # object the 5 GB single-PUT cap already bounds
             _boto3_client(conf).put_object(
                 Bucket=bucket,
                 Key=f"{keyprefix}/part-{pid:05d}{suffix}.parquet",
-                Body=memoryview(buf.getvalue()),
+                Body=pa.BufferReader(buf.getvalue()),
             )
         yield pa.RecordBatch.from_pydict({"rows": pa.array([n], pa.int64())})
 
