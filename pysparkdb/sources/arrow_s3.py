@@ -224,11 +224,23 @@ def _read_parquet_files(
 
     # task units: (file, first_rg, n_rgs); -1 row groups = whole file
     if split_row_groups:
+        # planning footer GETs run on a driver thread pool, not a serial
+        # loop: at a 100k-object corpus a one-at-a-time footer fetch is a
+        # driver-side scaling tail (pyarrow filesystems are thread-safe;
+        # 32 in-flight ranged GETs keep planning latency ~constant in
+        # file count / 32). split_row_groups exists for the pathological
+        # few-giant-objects layout, but the planner shouldn't assume few.
+        from concurrent.futures import ThreadPoolExecutor
+
         fs = conf.filesystem()
-        tasks = []
-        for f in files:
-            n_rgs = pq.read_metadata(f, filesystem=fs).num_row_groups
-            tasks.extend((f, i, 1) for i in range(n_rgs))
+        with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
+            rg_counts = list(pool.map(
+                lambda f: pq.read_metadata(f, filesystem=fs).num_row_groups,
+                files))
+        tasks = [
+            (f, i, 1) for f, n_rgs in zip(files, rg_counts)
+            for i in range(n_rgs)
+        ]
     else:
         tasks = [(f, 0, -1) for f in files]
 
@@ -265,6 +277,173 @@ def _read_parquet_files(
         tasks, "file string, first_rg int, n_rgs int"
     ).repartition(max(len(tasks), 1))
     return task_df.mapInArrow(read_tasks, schema=schema)
+
+
+def arrow_s3_scan_stats(
+    spark: SparkSession,
+    uri: str,
+    conf: S3Conf,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """COUNT/MIN/MAX/null-count over a remote parquet prefix answered
+    ENTIRELY from footer statistics — zero data-page GETs. The jar-less
+    twin of the DSv2 path's footer-stats aggregate pushdown
+    (op_agg_pushdown / plans/pushdown.py) and of the reference's
+    storage-side aggregate execution (the aggregate is a separable op
+    pushed into the storage tier:
+    fpdb-plan/src/prephysical/separable/SeparableTraits.cpp:13-36,
+    fpdb-executor/src/physical/transform/PrePToS3PTransformer.cpp:154-196).
+    A profile pass over a 100 TB corpus — row counts, column ranges,
+    null ratios — reads a few KB of footer per object instead of the
+    objects.
+
+    Returns a ONE-ROW DataFrame: ``rows`` (BIGINT, COUNT(*)) plus, for
+    each name in ``columns``, ``{c}_min``/``{c}_max`` (the column's own
+    type) and ``{c}_nulls`` (BIGINT — so COUNT(c) = rows - {c}_nulls).
+
+    Execution shape: one driver LIST + one schema footer GET, then the
+    per-object footer reads run INSIDE ``mapInArrow`` tasks (the same
+    distribution as the data scan — at 100k objects the metadata pass is
+    executor-parallel, not a driver loop) emitting one partial row per
+    object; a final Spark aggregate folds partials. The whole plan moves
+    footer bytes only.
+
+    Exactness guards (raise rather than return a maybe-wrong answer):
+    - No ``filters`` parameter EXISTS: footer min/max cannot answer a
+      filtered aggregate exactly. Filtered work belongs on the data scan
+      (Spark's own parquet aggregate pushdown fires only with no
+      filters, for the same reason).
+    - String/binary min/max are REFUSED: parquet writers drop or
+      truncate oversized binary stats (parquet-cpp's 4 KB cap) while
+      still flagging has_min_max — measured here: a 5 KB max value reads
+      back as b'' — so binary footer stats are pruning bounds, not
+      values. Spark's DSv2 parquet MIN/MAX pushdown excludes
+      string/binary identically.
+    - Nanosecond timestamps are refused (pyarrow surfaces their stats
+      through microsecond datetimes — a silent precision loss).
+    - A column chunk with missing statistics, or a missing null count,
+      raises: partial footers mean the footer cannot certify the answer.
+    - A per-chunk min > max (the dropped-oversized-stat corruption
+      shape) raises as defense in depth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    cols = list(columns or [])
+    path = _strip_scheme(uri)
+    infos = arrow_s3_list(conf, path)
+    if not infos and path.endswith(".parquet"):
+        from pyarrow.fs import FileType
+
+        fi = conf.filesystem().get_file_info(path)
+        if fi.type == FileType.File:
+            infos = [(path, fi.size)]
+    if not infos:
+        raise FileNotFoundError(f"no parquet objects under {uri!r}")
+    files = [p for p, _ in infos]
+
+    file_schema = pq.read_schema(files[0], filesystem=conf.filesystem())
+    col_types: dict[str, pa.DataType] = {}
+    for c in cols:
+        if c not in file_schema.names:
+            raise ValueError(f"column {c!r} not in parquet schema")
+        t = file_schema.field(c).type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            raise ValueError(
+                f"footer min/max over string/binary column {c!r} refused: "
+                f"parquet writers drop/truncate oversized binary stats "
+                f"(use the data scan for string aggregates)")
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            raise ValueError(
+                f"footer min/max over nanosecond timestamp {c!r} refused: "
+                f"pyarrow surfaces the stat at microsecond precision")
+        col_types[c] = t
+
+    partial_fields = [pa.field("rows", pa.int64())]
+    for c in cols:
+        partial_fields += [
+            pa.field(f"{c}__min", col_types[c]),
+            pa.field(f"{c}__max", col_types[c]),
+            pa.field(f"{c}__nulls", pa.int64()),
+        ]
+    partial_schema = pa.schema(partial_fields)
+    # closure ships the arrow schema by its picklable parts
+    col_list = list(cols)
+
+    def read_footers(iterator: Iterator) -> Iterator:
+        import pyarrow as pa  # noqa: F811 (executor-local import)
+        import pyarrow.parquet as pq  # noqa: F811
+
+        fs = conf.filesystem()
+        schema = pa.schema(
+            [pa.field("rows", pa.int64())] + [
+                f for c in col_list for f in (
+                    pa.field(f"{c}__min", col_types[c]),
+                    pa.field(f"{c}__max", col_types[c]),
+                    pa.field(f"{c}__nulls", pa.int64()),
+                )
+            ])
+        for task_batch in iterator:
+            for row in task_batch.to_pylist():
+                file = row["file"]
+                md = pq.read_metadata(file, filesystem=fs)
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+                rows = 0
+                mins: dict[str, object] = {}
+                maxs: dict[str, object] = {}
+                nulls: dict[str, int] = dict.fromkeys(col_list, 0)
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    rows += rg.num_rows
+                    for c in col_list:
+                        st = rg.column(idx[c]).statistics
+                        if st is None or not st.has_null_count:
+                            raise ValueError(
+                                f"{file!r} row group {g} column {c!r} "
+                                f"lacks footer statistics; the footer "
+                                f"cannot certify this aggregate — scan "
+                                f"the data instead")
+                        nulls[c] += st.null_count
+                        if st.null_count == rg.num_rows:
+                            continue  # all-null group: no min/max to add
+                        if not st.has_min_max:
+                            raise ValueError(
+                                f"{file!r} row group {g} column {c!r} "
+                                f"has values but no min/max statistic")
+                        if st.min > st.max:
+                            raise ValueError(
+                                f"{file!r} row group {g} column {c!r} "
+                                f"footer min > max — corrupt/truncated "
+                                f"statistics")
+                        if c not in mins or st.min < mins[c]:
+                            mins[c] = st.min
+                        if c not in maxs or st.max > maxs[c]:
+                            maxs[c] = st.max
+                arrays = [pa.array([rows], pa.int64())]
+                for c in col_list:
+                    arrays += [
+                        pa.array([mins.get(c)], col_types[c]),
+                        pa.array([maxs.get(c)], col_types[c]),
+                        pa.array([nulls[c]], pa.int64()),
+                    ]
+                yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    task_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(len(files))
+    partials = task_df.mapInArrow(
+        read_footers, schema=from_arrow_schema(partial_schema))
+    aggs = [F.sum("rows").cast("long").alias("rows")]
+    for c in cols:
+        aggs += [
+            F.min(f"{c}__min").alias(f"{c}_min"),
+            F.max(f"{c}__max").alias(f"{c}_max"),
+            F.sum(f"{c}__nulls").cast("long").alias(f"{c}_nulls"),
+        ]
+    return partials.agg(*aggs)
 
 
 def arrow_s3_read_csv(

@@ -1469,8 +1469,12 @@ class TestArrowObjectStore:
         assert arrow_s3_read_parquet(spark, uri, moto_s3).count() == 2 * n
 
     def test_attach_rejects_mixed_layout_collision(self, spark, sf_dir, moto_s3):
-        """A view name backed by BOTH a flat object and a directory
-        layout raises instead of silently serving one layout's rows."""
+        """A view name backed by two distinct physical layouts raises
+        instead of silently unioning their files into one view — both
+        the flat-vs-dir shape (region.parquet object next to
+        region.parquet/ directory) and the dir-vs-dir shape (nation/
+        next to nation.parquet/, which derive the SAME view name from
+        DIFFERENT first segments)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1486,8 +1490,17 @@ class TestArrowObjectStore:
         _boto3_client(moto_s3).put_object(
             Bucket="testbkt", Key="mix/region.parquet",
             Body=buf.getvalue().to_pybytes())
-        with pytest.raises(ValueError, match="both a flat object"):
+        with pytest.raises(ValueError, match="two distinct layouts"):
             Engine(spark).attach_arrow_s3("s3://testbkt/mix", moto_s3)
+
+        # dir-vs-dir: same derived name 'nation' from two directories
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_write_parquet(
+            nation, "s3://testbkt/mix2/nation", moto_s3)
+        arrow_s3_write_parquet(
+            nation, "s3://testbkt/mix2/nation.parquet", moto_s3)
+        with pytest.raises(ValueError, match="two distinct layouts"):
+            Engine(spark).attach_arrow_s3("s3://testbkt/mix2", moto_s3)
 
     def test_snapshot_schema_guard_and_compaction(self, spark, sf_dir, moto_s3):
         """(a) an append whose schema differs from the committed one
@@ -1524,3 +1537,191 @@ class TestArrowObjectStore:
         # pinned pre-compaction version unchanged (time travel intact)
         v0 = arrow_s3_snapshot_read(spark, root, moto_s3, version=0)
         assert v0.count() == nation.count()
+
+
+class TestArrowS3FooterStats:
+    """arrow_s3_scan_stats: COUNT/MIN/MAX/null-count answered from
+    parquet footer statistics with ZERO data-page GETs — the jar-less
+    twin of the DSv2 footer-stats aggregate pushdown (op_agg_pushdown)
+    and the reference's storage-side aggregate
+    (fpdb-plan/src/prephysical/separable/SeparableTraits.cpp:13-36).
+    The server fixture here COUNTS every GET's response bytes, so 'no
+    data pages moved' is an assertion, not a claim."""
+
+    @pytest.fixture(scope="class")
+    def counting_s3(self):
+        try:
+            from moto.moto_server.threaded_moto_server import ThreadedMotoServer
+            from moto.moto_server.werkzeug_app import (
+                DomainDispatcherApplication,
+                create_backend_app,
+            )
+        except ImportError:
+            pytest.skip("moto not installed")
+        import logging
+        import threading
+
+        from werkzeug.serving import make_server
+
+        logging.getLogger("werkzeug").setLevel(logging.ERROR)
+
+        class CountingMotoServer(ThreadedMotoServer):
+            """ThreadedMotoServer whose WSGI app tallies GET traffic:
+            (path, response-byte) pairs — ranged GETs count only the
+            bytes the range actually returned."""
+
+            def __init__(self):
+                super().__init__(port=0, verbose=False)
+                self.lock = threading.Lock()
+                self.get_paths: list = []
+                self.get_bytes = 0
+
+            def reset(self):
+                with self.lock:
+                    self.get_paths.clear()
+                    self.get_bytes = 0
+
+            def _server_entry(self):
+                inner = DomainDispatcherApplication(create_backend_app)
+                outer = self._counting(inner)
+                self._server = make_server(
+                    self._ip_address, self._port, outer, True)
+                self._server_ready_event.set()
+                self._server.serve_forever()
+
+            def _counting(self, app):
+                srv = self
+
+                def wsgi(environ, start_response):
+                    chunks = app(environ, start_response)
+                    if environ["REQUEST_METHOD"] != "GET":
+                        return chunks
+                    body = b"".join(chunks)
+                    if hasattr(chunks, "close"):
+                        chunks.close()
+                    with srv.lock:
+                        srv.get_paths.append(environ.get("PATH_INFO", ""))
+                        srv.get_bytes += len(body)
+                    return [body]
+
+                return wsgi
+
+        from pysparkdb.sources.arrow_s3 import S3Conf, _boto3_client
+
+        server = CountingMotoServer()
+        server.start()
+        _, port = server.get_host_and_port()
+        conf = S3Conf(endpoint=f"http://127.0.0.1:{port}",
+                      access_key="ak", secret_key="sk", region="us-east-1")
+        _boto3_client(conf).create_bucket(Bucket="statsbkt")
+        yield server, conf
+        server.stop()
+
+    def test_stats_exact_with_zero_data_page_bytes(self, spark, counting_s3):
+        """COUNT(*)/MIN/MAX/null-counts match a full scan of the same
+        objects exactly, while total GET bytes stay a small fraction of
+        the corpus — footers only, no data pages."""
+        import pyarrow as pa
+
+        from pysparkdb.sources import (
+            arrow_s3_list,
+            arrow_s3_scan_stats,
+            arrow_s3_write_parquet,
+        )
+
+        server, conf = counting_s3
+        # a fat INCOMPRESSIBLE payload column makes 'no data pages'
+        # measurable: footer bytes are KBs regardless of payload width
+        # (a constant payload would dictionary-encode to nothing)
+        df = spark.range(0, 20000).selectExpr(
+            "id",
+            "CASE WHEN id % 7 = 0 THEN NULL "
+            "ELSE CAST(id AS DOUBLE) * 1.5 END AS val",
+            "concat(sha2(string(id), 256), sha2(string(id + 1), 256), "
+            "sha2(string(id + 2), 256), sha2(string(id + 3), 256), "
+            "sha2(string(id + 4), 256), sha2(string(id + 5), 256)) AS pay",
+        )
+        uri = "s3://statsbkt/stats/fat"
+        arrow_s3_write_parquet(df.repartition(3), uri, conf)
+        corpus_bytes = sum(sz for _, sz in arrow_s3_list(conf, "statsbkt/stats/fat"))
+        assert corpus_bytes > 1_000_000  # the payload is real
+
+        server.reset()
+        got = arrow_s3_scan_stats(
+            spark, uri, conf, columns=["id", "val"]).collect()[0]
+        stats_bytes = server.get_bytes
+        assert got.rows == 20000
+        assert got.id_min == 0 and got.id_max == 19999 and got.id_nulls == 0
+        # id 0 and id 19999 are both % 7 == 0 → NULL, so the extremes
+        # come from ids 1 and 19998
+        assert got.val_min == 1.5 and got.val_max == 19998 * 1.5
+        assert got.val_nulls == sum(1 for i in range(20000) if i % 7 == 0)
+        # footers only: a fraction of the corpus, never the data pages
+        assert stats_bytes < corpus_bytes * 0.2, \
+            f"stats read {stats_bytes}B of a {corpus_bytes}B corpus"
+        assert pa is not None  # keep the import local to the test intent
+
+    def test_stats_refuses_inexact_answers(self, spark, counting_s3):
+        """Exactness guards: string min/max refused (parquet truncates or
+        drops oversized binary stats while still flagging has_min_max);
+        statistics-free files refused (footer cannot certify)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pysparkdb.sources import arrow_s3_scan_stats, arrow_s3_write_parquet
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        server, conf = counting_s3
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, name string")
+        arrow_s3_write_parquet(df, "s3://statsbkt/stats/guard", conf)
+        with pytest.raises(ValueError, match="string/binary"):
+            arrow_s3_scan_stats(
+                spark, "s3://statsbkt/stats/guard", conf, columns=["name"])
+
+        buf = pa.BufferOutputStream()
+        pq.write_table(
+            pa.table({"x": pa.array([1, 2, 3], pa.int64())}), buf,
+            write_statistics=False)
+        _boto3_client(conf).put_object(
+            Bucket="statsbkt", Key="stats/nostats/t.parquet",
+            Body=buf.getvalue().to_pybytes())
+        with pytest.raises(Exception, match="lacks footer statistics"):
+            arrow_s3_scan_stats(
+                spark, "s3://statsbkt/stats/nostats", conf,
+                columns=["x"]).collect()
+
+    def test_stats_rows_only_and_all_null_column(self, spark, counting_s3):
+        """columns=None answers bare COUNT(*); an all-null column yields
+        NULL min/max with the full null count (no has_min_max demand on
+        all-null row groups)."""
+        from pysparkdb.sources import arrow_s3_scan_stats, arrow_s3_write_parquet
+
+        server, conf = counting_s3
+        df = spark.createDataFrame(
+            [(i, None) for i in range(100)], "id long, gone double")
+        arrow_s3_write_parquet(df, "s3://statsbkt/stats/nulls", conf)
+        bare = arrow_s3_scan_stats(
+            spark, "s3://statsbkt/stats/nulls", conf).collect()[0]
+        assert bare.rows == 100 and len(bare.asDict()) == 1
+        got = arrow_s3_scan_stats(
+            spark, "s3://statsbkt/stats/nulls", conf,
+            columns=["gone"]).collect()[0]
+        assert got.gone_min is None and got.gone_max is None
+        assert got.gone_nulls == 100
+
+    def test_split_row_groups_many_files_parallel_planning(
+            self, spark, counting_s3):
+        """The split_row_groups planner fans its footer GETs across a
+        thread pool — 40 objects plan correctly and the split scan's
+        rows match the plain scan's."""
+        from pysparkdb.sources import arrow_s3_read_parquet, arrow_s3_write_parquet
+
+        server, conf = counting_s3
+        df = spark.range(0, 4000).selectExpr("id", "id * 2 AS dbl")
+        arrow_s3_write_parquet(
+            df.repartition(40), "s3://statsbkt/stats/many", conf)
+        got = arrow_s3_read_parquet(
+            spark, "s3://statsbkt/stats/many", conf, split_row_groups=True)
+        assert got.count() == 4000
+        assert got.rdd.getNumPartitions() == 40
