@@ -656,6 +656,56 @@ def arrow_s3_snapshot_versions(conf: S3Conf, uri: str) -> list[int]:
     return sorted(out)
 
 
+class ConcurrentAppendError(RuntimeError):
+    """Another writer committed the same snapshot version first. The
+    losing append's data objects are unreferenced (invisible to every
+    reader; the GC pass expires them) — retry the whole append to land
+    the batch on the new latest version."""
+
+
+def _commit_manifest(client, bucket: str, key: str, body: dict) -> None:
+    """PUT a version manifest with commit-collision detection.
+
+    Primary signal: conditional PUT (``If-None-Match: *``) — on S3
+    (which added conditional writes in 2024) and moto 5.x the losing
+    writer's PUT fails 412 atomically, the exact CAS full table formats
+    build on. Stores that REJECT the precondition (NotImplemented /
+    InvalidRequest) get a plain PUT instead; stores that silently IGNORE
+    the header return 200 with no guarantee — so a read-back of the
+    manifest's ``commit_token`` ALWAYS follows a successful PUT (one
+    extra GET per commit: cheap insurance on a once-per-version
+    operation). The read-back catches the PUT-PUT-then-read ordering on
+    non-conditional stores; their PUT-read-PUT-read interleave remains
+    last-writer-wins, which is why the conditional path is primary and
+    the residual scope is documented on the append."""
+    import json
+
+    from botocore.exceptions import ClientError
+
+    payload = json.dumps(body).encode()
+    try:
+        client.put_object(
+            Bucket=bucket, Key=key, Body=payload, IfNoneMatch="*")
+    except ClientError as exc:
+        code = exc.response.get("Error", {}).get("Code", "")
+        if code in ("PreconditionFailed", "412"):
+            raise ConcurrentAppendError(
+                f"snapshot version manifest {key!r} was committed by a "
+                f"concurrent writer; this append's data objects are "
+                f"orphaned (GC-expirable) — retry the append") from exc
+        if code not in ("NotImplemented", "InvalidRequest",
+                        "InvalidArgument"):
+            raise
+        # store rejected the precondition outright: plain PUT
+        client.put_object(Bucket=bucket, Key=key, Body=payload)
+    committed = json.loads(
+        client.get_object(Bucket=bucket, Key=key)["Body"].read())
+    if committed.get("commit_token") != body["commit_token"]:
+        raise ConcurrentAppendError(
+            f"snapshot version manifest {key!r} read back a different "
+            f"writer's commit; this append lost the race — retry")
+
+
 def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
     """Append ``df`` as a new immutable snapshot version on the object
     store; returns the committed version. Data objects land under
@@ -672,7 +722,19 @@ def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
     otherwise commit fine and then silently NULL/drop columns at read
     time (the reader's inference footer GET samples ONE object). Schema
     EVOLUTION (merging new nullable columns) is deliberately the local
-    store's feature, not this one's: these snapshots pin bytes."""
+    store's feature, not this one's: these snapshots pin bytes.
+
+    Concurrent appenders are DETECTED, not merged: two writers that both
+    list version N and compute N+1 race on the manifest PUT, and the
+    commit goes through ``_commit_manifest`` — conditional PUT
+    (``If-None-Match: *``, a 412 for the loser) where the store supports
+    it, manifest read-back of the commit token as the fallback — so the
+    loser raises ``ConcurrentAppendError`` and retries against the new
+    latest version instead of silently vanishing a batch. What this does
+    NOT provide is the winner's-retry MERGE a full table format's
+    transaction log gives; on stores without conditional writes the
+    fallback's detection window is the read-back, documented on
+    ``_commit_manifest``."""
     import json
     import uuid
 
@@ -706,12 +768,10 @@ def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
         "files": prev["files"] + sorted(new_files),
         "n_rows": prev["n_rows"] + n_new,
         "schema": df.schema.json(),
+        "commit_token": batch_dir,  # unique per writer: collision witness
     }
-    client.put_object(
-        Bucket=bucket,
-        Key=f"{keyprefix}/_manifests/v{version}.json",
-        Body=json.dumps(body).encode(),
-    )
+    _commit_manifest(
+        client, bucket, f"{keyprefix}/_manifests/v{version}.json", body)
     return version
 
 
@@ -757,12 +817,13 @@ def arrow_s3_snapshot_compact(
         "n_rows": n,
         "schema": prev.get("schema"),
         "compaction": True,
+        "commit_token": batch_dir,
     }
-    client.put_object(
-        Bucket=bucket,
-        Key=f"{keyprefix}/_manifests/v{version}.json",
-        Body=json.dumps(body).encode(),
-    )
+    # compaction races like any append: an appender that committed this
+    # version first must win (losing a compaction is cheap — retry;
+    # losing an APPEND loses data)
+    _commit_manifest(
+        client, bucket, f"{keyprefix}/_manifests/v{version}.json", body)
     return version
 
 

@@ -1725,3 +1725,99 @@ class TestArrowS3FooterStats:
             spark, "s3://statsbkt/stats/many", conf, split_row_groups=True)
         assert got.count() == 4000
         assert got.rdd.getNumPartitions() == 40
+
+
+class TestSnapshotConcurrentAppend:
+    """Commit-collision detection on the object-store snapshot protocol:
+    two writers that both compute version N+1 must not silently lose a
+    batch — the loser raises ConcurrentAppendError (conditional-PUT 412
+    against moto, which implements If-None-Match; read-back token
+    compare on stores that don't)."""
+
+    @pytest.fixture(scope="class")
+    def moto_race(self):
+        try:
+            from moto.server import ThreadedMotoServer
+        except ImportError:
+            pytest.skip("moto not installed")
+        import logging
+
+        logging.getLogger("werkzeug").setLevel(logging.ERROR)
+        server = ThreadedMotoServer(port=0, verbose=False)
+        server.start()
+        _, port = server.get_host_and_port()
+        from pysparkdb.sources.arrow_s3 import S3Conf, _boto3_client
+
+        conf = S3Conf(endpoint=f"http://127.0.0.1:{port}",
+                      access_key="ak", secret_key="sk", region="us-east-1")
+        _boto3_client(conf).create_bucket(Bucket="racebkt")
+        yield conf
+        server.stop()
+
+    def test_losing_append_raises_and_winner_survives(
+            self, spark, sf_dir, moto_race, monkeypatch):
+        """Writer B lists versions BEFORE writer A commits (simulated by
+        pinning B's version listing stale), so both compute v1. A lands
+        first; B's manifest PUT must raise, A's committed rows must
+        remain exactly readable, and B's orphaned batch stays invisible."""
+        from pysparkdb.sources import (
+            ConcurrentAppendError,
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_versions,
+        )
+        from pysparkdb.sources import arrow_s3 as mod
+
+        root = "s3://racebkt/race/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(nation, root, moto_race)  # v0
+
+        stale = arrow_s3_snapshot_versions(moto_race, root)  # [0]
+        a_rows = nation.limit(5)
+        b_rows = nation.limit(3)
+        arrow_s3_snapshot_append(a_rows, root, moto_race)  # A commits v1
+
+        # B raced: it saw only [0], computes v1 too
+        monkeypatch.setattr(
+            mod, "arrow_s3_snapshot_versions", lambda c, u: stale)
+        with pytest.raises(ConcurrentAppendError, match="concurrent"):
+            arrow_s3_snapshot_append(b_rows, root, moto_race)
+        monkeypatch.undo()
+
+        got = arrow_s3_snapshot_read(spark, root, moto_race)
+        assert got.count() == nation.count() + 5  # A's batch, not B's
+        assert arrow_s3_snapshot_versions(moto_race, root) == [0, 1]
+
+        # B retries against the fresh listing and lands v2
+        arrow_s3_snapshot_append(b_rows, root, moto_race)
+        got2 = arrow_s3_snapshot_read(spark, root, moto_race)
+        assert got2.count() == nation.count() + 5 + 3
+
+    def test_read_back_fallback_detects_lost_race(self):
+        """On a store that ignores If-None-Match the commit falls back to
+        plain PUT + read-back: a manifest that reads back another
+        writer's commit_token raises."""
+        from pysparkdb.sources.arrow_s3 import (
+            ConcurrentAppendError,
+            _commit_manifest,
+        )
+
+        class IgnoringStore:
+            """put_object accepts-and-ignores the precondition (the
+            lenient S3-compatible shape); get_object returns a manifest
+            some OTHER writer committed."""
+
+            def put_object(self, **kw):
+                assert kw.get("IfNoneMatch") == "*" or "IfNoneMatch" not in kw
+
+            def get_object(self, **kw):
+                import io
+                import json
+
+                return {"Body": io.BytesIO(json.dumps(
+                    {"commit_token": "the-other-writer"}).encode())}
+
+        with pytest.raises(ConcurrentAppendError, match="read back"):
+            _commit_manifest(
+                IgnoringStore(), "b", "k/_manifests/v1.json",
+                {"commit_token": "me"})
