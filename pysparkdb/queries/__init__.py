@@ -75,17 +75,24 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # ROUND-11 WINDOW. CORRECTNESS_r10 banked all 50 r10-window rows green.
 # Latest-green ages entering this round: r6: 26 rows, r7: 32, r8: 44,
 # r9: 48, r10: 50 (computed from the CORRECTNESS_r01..r10 files).
-# Composition (26 + 24 = 50, ZERO new registrations per the policy
-# above): the 26 r6-banked rows staged by the round-10 comment (age-5
-# otherwise — co-located-join synthetics, generated SSB, relational op_
-# batch 2, text/embedding basics), then the 24 oldest r7-banked rows in
-# registry order (typed SSB, events analytics, relational op_ batch 3).
-# The 8 remaining r7 rows roll FIRST into the round-12 queue:
-# text_domain_cap, text_unigram_logprob, text_bm25, text_pii_scrub,
-# graph_pagerank, graph_bfs, graph_lpa, graph_triangles — followed by
-# the 44-row r8 bank (age-4 by then; verify against the CORRECTNESS
-# files when rotating).
+# Composition (1 + 26 + 23 = 50, ZERO new registrations per the policy
+# above, ONE reshape): pipeline_snapshot_curation first (its landing
+# staging moved from df.toPandas() to a distributed single-task write —
+# same rows landed, but the body changed, so its r10 evidence is
+# invalidated per policy), then the 26 r6-banked rows staged by the
+# round-10 comment (age-5 otherwise — co-located-join synthetics,
+# generated SSB, relational op_ batch 2, text/embedding basics), then
+# the 23 oldest r7-banked rows in registry order (typed SSB, events
+# analytics, relational op_ batch 3 through op_winsorize_approx).
+# The 9 remaining r7 rows roll FIRST into the round-12 queue:
+# op_unpivot, text_domain_cap, text_unigram_logprob, text_bm25,
+# text_pii_scrub, graph_pagerank, graph_bfs, graph_lpa, graph_triangles
+# (age-5 at r12, inside the policy's documented worst case) — followed
+# by the 44-row r8 bank (verify against the CORRECTNESS files when
+# rotating).
 DRIVER_WINDOW: tuple[str, ...] = (
+    # round-11 reshape (staging write distributed; see comment above)
+    "pipeline_snapshot_curation",
     # r6-banked (oldest evidence in the union): co-located / join-order
     # synthetics + generated SSB
     "q_co_join", "q9_jo2", "q_co_join3",
@@ -108,7 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r7-banked: relational op_ batch 3
     "op_freq_items", "op_cube", "op_upsert", "op_scd2",
     "op_weighted_sample", "op_window_range_frame", "op_winsorize",
-    "op_winsorize_approx", "op_unpivot",
+    "op_winsorize_approx",
 )
 
 

@@ -1867,9 +1867,6 @@ def pipeline_snapshot_curation(spark, sf_dir):
     import shutil
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from pysparkdb.sources.versioned import (
         snapshot_compact,
         snapshot_read,
@@ -1889,10 +1886,20 @@ def pipeline_snapshot_curation(spark, sf_dir):
 
         def land(name, df):
             # one parquet FILE per arrival (file-stream sources do not
-            # recurse into df.write's directories)
-            pq.write_table(
-                pa.Table.from_pandas(df.toPandas()), os.path.join(landing, name)
-            )
+            # recurse into df.write's directories): a DISTRIBUTED
+            # single-task write staged to scratch, then the part file
+            # moved to the landing name — this used to be the one
+            # df.toPandas() in the repo whose size scaled with the
+            # corpus; now no row touches the driver (and no pandas hop
+            # rewrites nullable int64 as float64)
+            scratch = os.path.join(workdir, f"stage-{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = next(
+                p for p in os.listdir(scratch)
+                if p.startswith("part-") and p.endswith(".parquet"))
+            os.replace(
+                os.path.join(scratch, part), os.path.join(landing, name))
+            shutil.rmtree(scratch)
 
         def drain():
             stream = spark.readStream.schema(docs.schema).parquet(landing)
