@@ -1,10 +1,11 @@
 """Registered-query scale probe: measured wall-clock growth sf0.1 → ~sf1.
 
-VERDICT r9 #6: the sublinear-growth evidence (dedup_scale_probe.py)
-covers the dedup KERNELS at 2.5× data; this probe measures the four most
-expensive REGISTERED query bodies end-to-end — `pipeline_clean_near`,
-`text_winnowing`, `dedup_containment`, `graph_pagerank` — at k ∈ {2, 5,
-10} × the sf0.1 documents corpus (k=10 ≈ sf1), and reports the fitted
+VERDICT r9 #6 / r10 #7: the sublinear-growth evidence
+(dedup_scale_probe.py) covers the dedup KERNELS at 2.5× data; this probe
+measures the most expensive REGISTERED query bodies end-to-end —
+`pipeline_clean_near`, `text_winnowing`, `dedup_containment`,
+`graph_pagerank`, and (round 11) `ann_quantized` + `text_naive_bayes` —
+at k ∈ {2, 5, 10} × the sf0.1 corpus (k=10 ≈ sf1), and reports the fitted
 growth exponent α in t ∝ n^α (α from the k=2 → k=10 endpoints). α ≈ 1 is
 the shuffle-shaped claim; α ≈ 2 would mean a pairwise blow-up hiding in
 a registered body.
@@ -13,7 +14,15 @@ Staging reuses dedup_scale_probe's replication scheme — k-fold documents
 with per-replica token tagging (each replica keeps its internal
 near-dup/fingerprint structure, zero cross-replica shingle or winnowing
 fingerprint collisions; doc_id offset per replica keeps the synthetic
-link graph a union of k disjoint copies for pagerank). Each staged corpus
+link graph a union of k disjoint copies for pagerank). The embeddings
+table is k-folded the same way: vec_id offset per replica plus a tiny
+deterministic per-replica component perturbation (epsilon growing with
+the component index), so replicas are not exact-cosine duplicates of
+each other (exact copies would make quantized-vs-exact top-1 a
+tie-breaking lottery) while each replica's internal neighborhood
+structure is preserved; ann_quantized's bounded query set (vec_id < 50)
+stays on replica 0, so its cost shape is bounded-queries x linear scan
+by construction — the probe verifies the measured exponent agrees. Each staged corpus
 is written as a full sf-dir layout (other tables copied verbatim) so the
 UNMODIFIED registered query fns run against it — this times the shipped
 code, not a probe-side re-expression.
@@ -37,19 +46,39 @@ from pysparkdb.session import get_spark  # noqa: E402
 SRC = Path("/root/testdata/sf0.1")
 SCRATCH = Path(__file__).resolve().parent.parent / "spark-warehouse" / "scale_probe"
 QUERIES = ("dedup_containment", "text_winnowing", "pipeline_clean_near",
-           "graph_pagerank")
+           "graph_pagerank", "ann_quantized", "text_naive_bayes")
 
 
 def stage(spark, k: int) -> str:
     """Write a full sf-dir layout with k-fold token-tagged documents."""
     out = SCRATCH / f"k{k}"
-    if (out / "_STAGED").exists():
+    if (out / "_STAGED_v2").exists():  # v2: embeddings k-folded too
         return str(out)
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)
     for f in SRC.glob("*.parquet"):
-        if f.name != "documents.parquet":
+        if f.name not in ("documents.parquet", "embeddings.parquet"):
             shutil.copy(f, out / f.name)
+    e = spark.read.parquet(str(SRC / "embeddings.parquet"))
+    eparts = []
+    for i in range(k):
+        eps = F.lit(float(i) * 1e-4)
+        eparts.append(
+            e.select(
+                (F.col("vec_id") + i * 10**9).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j: (x + eps * (j.cast("float") + F.lit(1.0)))
+                    .cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    estaged = eparts[0]
+    for p_ in eparts[1:]:
+        estaged = estaged.unionByName(p_)
+    estaged.coalesce(max(k // 2, 1)).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet"))
     d = spark.read.parquet(str(SRC / "documents.parquet"))
     parts = []
     for i in range(k):
@@ -70,7 +99,7 @@ def stage(spark, k: int) -> str:
         staged = staged.unionByName(p)
     staged.coalesce(max(k // 2, 1)).write.mode("overwrite").parquet(
         str(out / "documents.parquet"))
-    (out / "_STAGED").touch()
+    (out / "_STAGED_v2").touch()
     return str(out)
 
 
