@@ -1727,6 +1727,54 @@ class TestArrowS3FooterStats:
         assert got.rdd.getNumPartitions() == 40
 
 
+    def test_stats_typed_columns_decimal_date_timestamp(
+            self, spark, counting_s3):
+        """Footer min/max keep their types across the non-binary type
+        surface: DECIMAL(12,2), DATE, TIMESTAMP (microsecond) — and a
+        nanosecond timestamp is refused (pyarrow surfaces its stat at
+        microsecond precision)."""
+        import datetime as dt
+        from decimal import Decimal
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pysparkdb.sources import arrow_s3_scan_stats, arrow_s3_write_parquet
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        server, conf = counting_s3
+        df = spark.sql("""
+            SELECT id,
+                   CAST(id AS DECIMAL(12,2)) / 4 AS dec,
+                   DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d,
+                   TIMESTAMP'2024-01-01 00:00:00' + make_interval(
+                       0, 0, 0, 0, 0, 0, id) AS ts
+            FROM range(200)
+        """)
+        uri = "s3://statsbkt/stats/typed"
+        arrow_s3_write_parquet(df, uri, conf)
+        got = arrow_s3_scan_stats(
+            spark, uri, conf, columns=["dec", "d", "ts"]).collect()[0]
+        assert got.rows == 200
+        assert got.dec_min == Decimal("0.00")
+        assert got.dec_max == Decimal("49.75")
+        assert got.d_min == dt.date(2024, 1, 1)
+        assert got.d_max == dt.date(2024, 7, 18)
+        assert got.ts_min == dt.datetime(2024, 1, 1, 0, 0, 0)
+        assert got.ts_max == dt.datetime(2024, 1, 1, 0, 3, 19)
+
+        # nanosecond timestamps: refused, not silently truncated
+        buf = pa.BufferOutputStream()
+        pq.write_table(pa.table({
+            "t": pa.array([1, 2, 3], pa.timestamp("ns"))}), buf)
+        _boto3_client(conf).put_object(
+            Bucket="statsbkt", Key="stats/ns/t.parquet",
+            Body=buf.getvalue().to_pybytes())
+        with pytest.raises(ValueError, match="nanosecond"):
+            arrow_s3_scan_stats(
+                spark, "s3://statsbkt/stats/ns", conf, columns=["t"])
+
+
 class TestSnapshotConcurrentAppend:
     """Commit-collision detection on the object-store snapshot protocol:
     two writers that both compute version N+1 must not silently lose a
@@ -1821,50 +1869,3 @@ class TestSnapshotConcurrentAppend:
             _commit_manifest(
                 IgnoringStore(), "b", "k/_manifests/v1.json",
                 {"commit_token": "me"})
-
-    def test_stats_typed_columns_decimal_date_timestamp(
-            self, spark, counting_s3):
-        """Footer min/max keep their types across the non-binary type
-        surface: DECIMAL(12,2), DATE, TIMESTAMP (microsecond) — and a
-        nanosecond timestamp is refused (pyarrow surfaces its stat at
-        microsecond precision)."""
-        import datetime as dt
-        from decimal import Decimal
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pysparkdb.sources import arrow_s3_scan_stats, arrow_s3_write_parquet
-        from pysparkdb.sources.arrow_s3 import _boto3_client
-
-        server, conf = counting_s3
-        df = spark.sql("""
-            SELECT id,
-                   CAST(id AS DECIMAL(12,2)) / 4 AS dec,
-                   DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d,
-                   TIMESTAMP'2024-01-01 00:00:00' + make_interval(
-                       0, 0, 0, 0, 0, 0, id) AS ts
-            FROM range(200)
-        """)
-        uri = "s3://statsbkt/stats/typed"
-        arrow_s3_write_parquet(df, uri, conf)
-        got = arrow_s3_scan_stats(
-            spark, uri, conf, columns=["dec", "d", "ts"]).collect()[0]
-        assert got.rows == 200
-        assert got.dec_min == Decimal("0.00")
-        assert got.dec_max == Decimal("49.75")
-        assert got.d_min == dt.date(2024, 1, 1)
-        assert got.d_max == dt.date(2024, 7, 18)
-        assert got.ts_min == dt.datetime(2024, 1, 1, 0, 0, 0)
-        assert got.ts_max == dt.datetime(2024, 1, 1, 0, 3, 19)
-
-        # nanosecond timestamps: refused, not silently truncated
-        buf = pa.BufferOutputStream()
-        pq.write_table(pa.table({
-            "t": pa.array([1, 2, 3], pa.timestamp("ns"))}), buf)
-        _boto3_client(conf).put_object(
-            Bucket="statsbkt", Key="stats/ns/t.parquet",
-            Body=buf.getvalue().to_pybytes())
-        with pytest.raises(ValueError, match="nanosecond"):
-            arrow_s3_scan_stats(
-                spark, "s3://statsbkt/stats/ns", conf, columns=["t"])
