@@ -391,6 +391,14 @@ def arrow_s3_scan_stats(
                 md = pq.read_metadata(file, filesystem=fs)
                 idx = {md.schema.column(i).name: i
                        for i in range(md.num_columns)}
+                missing = [c for c in col_list if c not in idx]
+                if missing:
+                    raise ValueError(
+                        f"{file!r} lacks column(s) {missing} present in "
+                        f"the prefix's first object — mixed schemas "
+                        f"under one prefix are the caller's bug (the "
+                        f"declared-schema contract), and footer stats "
+                        f"cannot aggregate across them")
                 rows = 0
                 mins: dict[str, object] = {}
                 maxs: dict[str, object] = {}
