@@ -106,7 +106,28 @@ def main() -> None:
             spark.range(1).count()
         return round((time.perf_counter() - t0) / n * 1000, 1)
 
+    def scan_probe_sec(n: int = 3) -> float:
+        """Median of n q6 executions — the SCAN-BOUND host-phase stamp.
+        empty_job_ms catches scheduling-latency phases (barrier-heavy
+        queries drift, scans don't) but MISSED the round-11 degraded
+        phase: a sweep ran 1.216x vs baseline with NORMAL empty-job
+        stamps because the slowdown was in scan/compute throughput, not
+        scheduling. q6 is one pruned scan + one aggregate — the purest
+        throughput probe in the registry; its frozen row is 0.2158 s, so
+        a probe reading ≫0.3 s says 'degraded phase' before a single
+        timed query runs, and the before/after pair brackets the sweep
+        the way the latency stamps do."""
+        from statistics import median as _med
+
+        reads = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            specs["q6"].fn(spark, sf_dir).collect()
+            reads.append(time.perf_counter() - t0)
+        return round(_med(reads), 3)
+
     latency_before = empty_job_ms()
+    scan_before = scan_probe_sec()
     repeats = int(os.environ.get("PYSPARKDB_BENCH_REPEATS", "3"))
     times: dict[str, list[float]] = {name: [] for name in names}
     for _rep in range(repeats):
@@ -143,6 +164,12 @@ def main() -> None:
                 # by consumers that only read metric/value/queries
                 "empty_job_ms_before": latency_before,
                 "empty_job_ms_after": empty_job_ms(),
+                # scan-bound throughput stamps (see scan_probe_sec);
+                # q6's frozen row is 0.2158 s — readings ≫0.3 s bracket
+                # a degraded-throughput phase even when the latency
+                # stamps read normal
+                "scan_probe_sec_before": scan_before,
+                "scan_probe_sec_after": scan_probe_sec(),
             }
         )
     )
