@@ -79,6 +79,11 @@ class Engine:
         self.catalog: Catalog | None = None
         self._mode = "pushdown"
         self._segment_cache = None
+        # attach_arrow_s3 registry: view name -> (file list, S3Conf), so
+        # arrow_s3_table_stats can profile an attached view with ZERO
+        # further LIST RPCs (the attach's one LIST already named every
+        # object)
+        self._arrow_s3_tables: dict[str, tuple[list[str], object]] = {}
         # per-ENGINE predicate_transfer="auto" crossover (bytes/core):
         # an instance attribute so a caller tuning or force-flipping the
         # threshold (tests, the q5_auto certificate query) affects only
@@ -459,8 +464,30 @@ class Engine:
         for name, files in sorted(groups.items()):
             df = _read_parquet_files(self.spark, sorted(files), conf)
             df.createOrReplaceTempView(name)
+            self._arrow_s3_tables[name] = (sorted(files), conf)
             out[name] = df
         return out
+
+    def arrow_s3_table_stats(self, name: str, columns=None) -> DataFrame:
+        """COUNT/MIN/MAX/null-count over an attached remote view answered
+        from parquet FOOTER statistics — zero data-page GETs and zero
+        further LIST RPCs (the attach's one LIST already named every
+        object; this plans exactly that file list). The engine front
+        door for the profile pass a user runs before touching a remote
+        corpus — the client-side twin of the reference's storage-side
+        separable aggregate (SeparableTraits.cpp:13-36) on the jar-less
+        tier; the DSv2/s3a tier gets the same via Spark's own
+        PushedAggregation (op_agg_pushdown). Returns the one-row frame
+        arrow_s3_scan_stats documents, with its exactness guards (no
+        filters; string/binary and ns-timestamp min/max refused)."""
+        if name not in self._arrow_s3_tables:
+            raise KeyError(
+                f"{name!r} is not an attach_arrow_s3 view on this engine "
+                f"(attached: {sorted(self._arrow_s3_tables) or 'none'})")
+        from pysparkdb.sources.arrow_s3 import _scan_stats_files
+
+        files, conf = self._arrow_s3_tables[name]
+        return _scan_stats_files(self.spark, files, conf, columns=columns)
 
     def register_function(
         self, name, fn, return_type, vectorized: bool = True, replace: bool = False

@@ -325,12 +325,6 @@ def arrow_s3_scan_stats(
       raises: partial footers mean the footer cannot certify the answer.
     - A per-chunk min > max (the dropped-oversized-stat corruption
       shape) raises as defense in depth."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-    from pyspark.sql.pandas.types import from_arrow_schema
-
-    cols = list(columns or [])
     path = _strip_scheme(uri)
     infos = arrow_s3_list(conf, path)
     if not infos and path.endswith(".parquet"):
@@ -341,8 +335,25 @@ def arrow_s3_scan_stats(
             infos = [(path, fi.size)]
     if not infos:
         raise FileNotFoundError(f"no parquet objects under {uri!r}")
-    files = [p for p, _ in infos]
+    return _scan_stats_files(
+        spark, [p for p, _ in infos], conf, columns=columns)
 
+
+def _scan_stats_files(
+    spark: SparkSession,
+    files: list[str],
+    conf: S3Conf,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The footer-stats body over an EXPLICIT file list — shared by the
+    prefix-listing form above and Engine.arrow_s3_table_stats (which
+    profiles a view attached by attach_arrow_s3 without re-LISTing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    cols = list(columns or [])
     file_schema = pq.read_schema(files[0], filesystem=conf.filesystem())
     col_types: dict[str, pa.DataType] = {}
     for c in cols:

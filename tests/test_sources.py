@@ -1775,6 +1775,45 @@ class TestArrowS3FooterStats:
                 spark, "s3://statsbkt/stats/ns", conf, columns=["t"])
 
 
+    def test_engine_table_stats_equal_sql_aggregate(
+            self, spark, sf_dir, counting_s3):
+        """Engine.arrow_s3_table_stats over an attached remote view
+        returns exactly what the SQL aggregate over that view computes —
+        while moving only footer bytes (byte-counted) and issuing no
+        further LIST."""
+        from pysparkdb import Engine
+        from pysparkdb.sources import arrow_s3_write_parquet
+
+        server, conf = counting_s3
+        orders = tables(spark, sf_dir)["orders"]
+        arrow_s3_write_parquet(
+            orders.repartition(3), "s3://statsbkt/eng/orders", conf)
+        eng = Engine(spark)
+        eng.attach_arrow_s3("s3://statsbkt/eng", conf)
+
+        with pytest.raises(KeyError, match="not an attach_arrow_s3"):
+            eng.arrow_s3_table_stats("nope")
+
+        server.reset()
+        got = eng.arrow_s3_table_stats(
+            "orders", columns=["o_totalprice"]).collect()[0]
+        stats_bytes = server.get_bytes
+        want = eng.sql("""
+            SELECT COUNT(*) AS rows,
+                   MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+                   COUNT(*) - COUNT(o_totalprice) AS nulls
+            FROM orders
+        """).collect()[0]
+        full_bytes = server.get_bytes - stats_bytes
+        assert got.rows == want.rows
+        assert got.o_totalprice_min == want.mn
+        assert got.o_totalprice_max == want.mx
+        assert got.o_totalprice_nulls == want.nulls
+        # the stats pass moved footer bytes; the SQL aggregate's scan
+        # moved the data pages
+        assert stats_bytes < full_bytes, (stats_bytes, full_bytes)
+
+
 class TestSnapshotConcurrentAppend:
     """Commit-collision detection on the object-store snapshot protocol:
     two writers that both compute version N+1 must not silently lose a
