@@ -450,9 +450,16 @@ def _scan_stats_files(
                     ]
                 yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
+    # Task granularity differs from the DATA scan's one-task-per-object:
+    # a footer read is a few KB, so per-task scheduling overhead would
+    # dominate at a 100k-object corpus. Batch files per task, sized to
+    # keep every core busy (4 waves across the session's parallelism)
+    # without descending to one-file tasks.
+    parallelism = spark.sparkContext.defaultParallelism
+    n_tasks = min(len(files), max(parallelism * 4, 1))
     task_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
-    ).repartition(len(files))
+    ).repartition(n_tasks)
     partials = task_df.mapInArrow(
         read_footers, schema=from_arrow_schema(partial_schema))
     aggs = [F.sum("rows").cast("long").alias("rows")]
