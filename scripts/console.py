@@ -21,6 +21,8 @@ both interactively and piped). Backslash commands:
     \\metrics SQL   run and print per-operator runtime metrics
                    (the reference's SHOW_OP_TIMES / SHOW_SCAN_METRICS)
     \\tables        list attached tables
+    \\stats T [C..] profile an attach_arrow_s3 remote view from parquet
+                   footers (COUNT/MIN/MAX/nulls; zero data-page GETs)
     \\q             quit
 """
 
@@ -162,6 +164,14 @@ def main(argv: list[str] | None = None) -> int:
                 ver = int(parts[2]) if len(parts) == 3 else None
                 df = eng.attach_snapshot(parts[0], parts[1], ver)
                 print(f"{parts[0]}: {df.count()} rows")
+        elif s.startswith("\\stats"):
+            # \stats <view> [col ...] — footer-stats profile of a remote
+            # view attached via Engine.attach_arrow_s3 (zero data GETs)
+            parts = s[len("\\stats"):].split()
+            if not parts:
+                print("usage: \\stats <view> [col ...]", file=sys.stderr)
+            else:
+                eng.arrow_s3_table_stats(parts[0], parts[1:] or None).show()
         elif s.startswith("\\metrics"):
             from pysparkdb.plans.metrics import collect_with_metrics, format_metrics
 
