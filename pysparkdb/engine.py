@@ -79,11 +79,14 @@ class Engine:
         self.catalog: Catalog | None = None
         self._mode = "pushdown"
         self._segment_cache = None
-        # attach_arrow_s3 registry: view name -> (file list, S3Conf), so
-        # arrow_s3_table_stats can profile an attached view with ZERO
-        # further LIST RPCs (the attach's one LIST already named every
-        # object)
-        self._arrow_s3_tables: dict[str, tuple[list[str], object]] = {}
+        # attach_arrow_s3 registry: view name -> (file list, S3Conf,
+        # registered DataFrame), so arrow_s3_table_stats can profile an
+        # attached view with ZERO further LIST RPCs (the attach's one
+        # LIST already named every object). The DataFrame is kept so the
+        # stats call can verify the session view still IS the attach's
+        # plan — a view replaced by other means would otherwise be
+        # profiled against a stale file list.
+        self._arrow_s3_tables: dict[str, tuple[list[str], object, DataFrame]] = {}
         # per-ENGINE predicate_transfer="auto" crossover (bytes/core):
         # an instance attribute so a caller tuning or force-flipping the
         # threshold (tests, the q5_auto certificate query) affects only
@@ -410,7 +413,9 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
-    def attach_arrow_s3(self, prefix: str, conf) -> dict[str, DataFrame]:
+    def attach_arrow_s3(
+        self, prefix: str, conf, replace: bool = False
+    ) -> dict[str, DataFrame]:
         """Register every parquet table under an object-store prefix as a
         temp view through the JAR-LESS arrow_s3 scan path — the
         Client::getCatalogueEntry front door for environments without the
@@ -426,7 +431,14 @@ class Engine:
         (``nation.parquet`` object next to ``nation/`` directory) or
         dir-vs-dir (``nation/`` next to ``nation.parquet/``): silently
         unioning two layouts' files into one view is the partial-/mixed-
-        data bug this guard exists for. Returns
+        data bug this guard exists for. The SAME principle extends to
+        the session catalog: a derived name that would shadow an
+        ALREADY-REGISTERED view (a local table attached via
+        ``attach()``, an earlier snapshot pin, anything) raises before
+        any view is touched — silently repointing every registered
+        query at the remote store is a worse bug than the intra-attach
+        merge. Pass ``replace=True`` to clobber deliberately (e.g. a
+        re-attach of the same prefix to refresh the file list). Returns
         {table: DataFrame}. After this, ``engine.sql()`` runs the full
         registered query surface against the remote store —
         executor-side GETs, pruned decode."""
@@ -460,15 +472,27 @@ class Engine:
                     f"attach would silently merge their files into one "
                     f"view — rename one")
             groups.setdefault(name, []).append(path)
+        if not replace:
+            shadowed = sorted(
+                n for n in groups if self.spark.catalog.tableExists(n))
+            if shadowed:
+                raise ValueError(
+                    f"attach_arrow_s3({prefix!r}) would replace "
+                    f"already-registered view(s) {shadowed} — every query "
+                    f"resolving those names would silently repoint at the "
+                    f"remote store; pass replace=True to do this "
+                    f"deliberately (no view was touched)")
         out: dict[str, DataFrame] = {}
         for name, files in sorted(groups.items()):
             df = _read_parquet_files(self.spark, sorted(files), conf)
             df.createOrReplaceTempView(name)
-            self._arrow_s3_tables[name] = (sorted(files), conf)
+            self._arrow_s3_tables[name] = (sorted(files), conf, df)
             out[name] = df
         return out
 
-    def arrow_s3_table_stats(self, name: str, columns=None) -> DataFrame:
+    def arrow_s3_table_stats(
+        self, name: str, columns=None, assume_no_nan: bool = False
+    ) -> DataFrame:
         """COUNT/MIN/MAX/null-count over an attached remote view answered
         from parquet FOOTER statistics — zero data-page GETs and zero
         further LIST RPCs (the attach's one LIST already named every
@@ -478,16 +502,35 @@ class Engine:
         separable aggregate (SeparableTraits.cpp:13-36) on the jar-less
         tier; the DSv2/s3a tier gets the same via Spark's own
         PushedAggregation (op_agg_pushdown). Returns the one-row frame
-        arrow_s3_scan_stats documents, with its exactness guards (no
-        filters; string/binary and ns-timestamp min/max refused)."""
+        arrow_s3_scan_stats documents, with its per-column exactness
+        rules (no filters; string/binary, ns-timestamp and — unless
+        ``assume_no_nan`` — float/double columns get rows+nulls only,
+        their min/max omitted)."""
         if name not in self._arrow_s3_tables:
             raise KeyError(
                 f"{name!r} is not an attach_arrow_s3 view on this engine "
                 f"(attached: {sorted(self._arrow_s3_tables) or 'none'})")
         from pysparkdb.sources.arrow_s3 import _scan_stats_files
 
-        files, conf = self._arrow_s3_tables[name]
-        return _scan_stats_files(self.spark, files, conf, columns=columns)
+        files, conf, attached_df = self._arrow_s3_tables[name]
+        # the file list certifies the ATTACHED plan; if the session view
+        # was replaced since (another attach, createOrReplaceTempView by
+        # other means, a dropped-and-recreated table), profiling the old
+        # list would report stats for objects that no longer back the
+        # name — stale answers dressed as certified ones, so refuse
+        try:
+            current = self.spark.table(name)
+            same = current.sameSemantics(attached_df)
+        except Exception:
+            same = False
+        if not same:
+            raise KeyError(
+                f"view {name!r} no longer resolves to the plan "
+                f"attach_arrow_s3 registered (it was replaced or dropped "
+                f"since) — re-attach before profiling")
+        return _scan_stats_files(
+            self.spark, files, conf, columns=columns,
+            assume_no_nan=assume_no_nan)
 
     def register_function(
         self, name, fn, return_type, vectorized: bool = True, replace: bool = False

@@ -284,6 +284,7 @@ def arrow_s3_scan_stats(
     uri: str,
     conf: S3Conf,
     columns: list[str] | None = None,
+    assume_no_nan: bool = False,
 ) -> DataFrame:
     """COUNT/MIN/MAX/null-count over a remote parquet prefix answered
     ENTIRELY from footer statistics — zero data-page GETs. The jar-less
@@ -298,8 +299,14 @@ def arrow_s3_scan_stats(
     objects.
 
     Returns a ONE-ROW DataFrame: ``rows`` (BIGINT, COUNT(*)) plus, for
-    each name in ``columns``, ``{c}_min``/``{c}_max`` (the column's own
-    type) and ``{c}_nulls`` (BIGINT — so COUNT(c) = rows - {c}_nulls).
+    each name in ``columns``, ``{c}_nulls`` (BIGINT — so COUNT(c) =
+    rows - {c}_nulls) and, WHERE the footer can certify them,
+    ``{c}_min``/``{c}_max`` in the column's own type. Stat selection is
+    PER COLUMN, per function — the same eligibility split as the
+    reference's separable-aggregate traits
+    (SeparableTraits.cpp:13-36): a text corpus profiles its string
+    columns' row/null counts exactly while min/max simply don't appear
+    in the result, instead of the whole call refusing.
 
     Execution shape: one driver LIST + one schema footer GET, then the
     per-object footer reads run INSIDE ``mapInArrow`` tasks (the same
@@ -308,19 +315,30 @@ def arrow_s3_scan_stats(
     object; a final Spark aggregate folds partials. The whole plan moves
     footer bytes only.
 
-    Exactness guards (raise rather than return a maybe-wrong answer):
+    Exactness rules (certify or omit/raise — never a maybe-wrong value):
     - No ``filters`` parameter EXISTS: footer min/max cannot answer a
       filtered aggregate exactly. Filtered work belongs on the data scan
       (Spark's own parquet aggregate pushdown fires only with no
       filters, for the same reason).
-    - String/binary min/max are REFUSED: parquet writers drop or
-      truncate oversized binary stats (parquet-cpp's 4 KB cap) while
-      still flagging has_min_max — measured here: a 5 KB max value reads
-      back as b'' — so binary footer stats are pruning bounds, not
-      values. Spark's DSv2 parquet MIN/MAX pushdown excludes
-      string/binary identically.
-    - Nanosecond timestamps are refused (pyarrow surfaces their stats
-      through microsecond datetimes — a silent precision loss).
+    - String/binary min/max are OMITTED (nulls still answered): parquet
+      writers drop or truncate oversized binary stats (parquet-cpp's
+      4 KB cap) while still flagging has_min_max — measured here: a 5 KB
+      max value reads back as b'' — so binary footer stats are pruning
+      bounds, not values. Spark's DSv2 parquet MIN/MAX pushdown excludes
+      string/binary identically. Use the data scan for string extremes.
+    - Float/double min/max are OMITTED unless ``assume_no_nan=True``:
+      parquet writers exclude NaN from min/max while still setting
+      has_min_max, but Spark's MIN/MAX order NaN above every value — a
+      NaN-containing column's footer max is silently finite where the
+      engine's MAX() is NaN. The footer records no NaN count, so only
+      the caller can certify NaN-freeness; with the flag the stats are
+      exact.
+    - Nanosecond-timestamp min/max are OMITTED (pyarrow surfaces their
+      stats through microsecond datetimes — a silent precision loss).
+    - Every file's column TYPE must equal the first file's (checked in
+      the executor tasks): a mixed-schema prefix where a later file
+      stores the same name at a different type would otherwise fold a
+      lossy stat straight past the type-based selection above.
     - A column chunk with missing statistics, or a missing null count,
       raises: partial footers mean the footer cannot certify the answer.
     - A per-chunk min > max (the dropped-oversized-stat corruption
@@ -336,7 +354,30 @@ def arrow_s3_scan_stats(
     if not infos:
         raise FileNotFoundError(f"no parquet objects under {uri!r}")
     return _scan_stats_files(
-        spark, [p for p, _ in infos], conf, columns=columns)
+        spark, [p for p, _ in infos], conf, columns=columns,
+        assume_no_nan=assume_no_nan)
+
+
+def _stats_minmax_eligible(t, assume_no_nan: bool) -> str | None:
+    """Per-column min/max eligibility for the footer-stats profile.
+    Returns None when the footer can certify the column's min/max, else
+    the reason string the docstring's rules name (the column still gets
+    rows + null-count — the partial profile)."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return ("parquet writers drop/truncate oversized binary stats "
+                "while still flagging has_min_max — use the data scan "
+                "for string/binary extremes")
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return ("pyarrow surfaces nanosecond-timestamp stats at "
+                "microsecond precision — use the data scan")
+    if pa.types.is_floating(t) and not assume_no_nan:
+        return ("parquet min/max exclude NaN while Spark's MIN/MAX "
+                "order NaN above every value — pass assume_no_nan=True "
+                "to certify the column NaN-free, or scan the data")
+    return None
 
 
 def _scan_stats_files(
@@ -344,10 +385,13 @@ def _scan_stats_files(
     files: list[str],
     conf: S3Conf,
     columns: list[str] | None = None,
+    assume_no_nan: bool = False,
 ) -> DataFrame:
     """The footer-stats body over an EXPLICIT file list — shared by the
     prefix-listing form above and Engine.arrow_s3_table_stats (which
-    profiles a view attached by attach_arrow_s3 without re-LISTing)."""
+    profiles a view attached by attach_arrow_s3 without re-LISTing).
+    Per-column stat selection and the exactness rules are documented on
+    arrow_s3_scan_stats."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
@@ -356,50 +400,45 @@ def _scan_stats_files(
     cols = list(columns or [])
     file_schema = pq.read_schema(files[0], filesystem=conf.filesystem())
     col_types: dict[str, pa.DataType] = {}
+    minmax_cols: list[str] = []
     for c in cols:
         if c not in file_schema.names:
             raise ValueError(f"column {c!r} not in parquet schema")
         t = file_schema.field(c).type
-        if pa.types.is_string(t) or pa.types.is_large_string(t) \
-                or pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            raise ValueError(
-                f"footer min/max over string/binary column {c!r} refused: "
-                f"parquet writers drop/truncate oversized binary stats "
-                f"(use the data scan for string aggregates)")
-        if pa.types.is_timestamp(t) and t.unit == "ns":
-            raise ValueError(
-                f"footer min/max over nanosecond timestamp {c!r} refused: "
-                f"pyarrow surfaces the stat at microsecond precision")
         col_types[c] = t
+        if _stats_minmax_eligible(t, assume_no_nan) is None:
+            minmax_cols.append(c)
 
     partial_fields = [pa.field("rows", pa.int64())]
     for c in cols:
-        partial_fields += [
-            pa.field(f"{c}__min", col_types[c]),
-            pa.field(f"{c}__max", col_types[c]),
-            pa.field(f"{c}__nulls", pa.int64()),
-        ]
+        if c in minmax_cols:
+            partial_fields += [
+                pa.field(f"{c}__min", col_types[c]),
+                pa.field(f"{c}__max", col_types[c]),
+            ]
+        partial_fields.append(pa.field(f"{c}__nulls", pa.int64()))
     partial_schema = pa.schema(partial_fields)
     # closure ships the arrow schema by its picklable parts
     col_list = list(cols)
+    mm_set = set(minmax_cols)
 
     def read_footers(iterator: Iterator) -> Iterator:
         import pyarrow as pa  # noqa: F811 (executor-local import)
         import pyarrow.parquet as pq  # noqa: F811
 
         fs = conf.filesystem()
-        schema = pa.schema(
-            [pa.field("rows", pa.int64())] + [
-                f for c in col_list for f in (
-                    pa.field(f"{c}__min", col_types[c]),
-                    pa.field(f"{c}__max", col_types[c]),
-                    pa.field(f"{c}__nulls", pa.int64()),
-                )
-            ])
+        fields = [pa.field("rows", pa.int64())]
+        for c in col_list:
+            if c in mm_set:
+                fields += [pa.field(f"{c}__min", col_types[c]),
+                           pa.field(f"{c}__max", col_types[c])]
+            fields.append(pa.field(f"{c}__nulls", pa.int64()))
+        schema = pa.schema(fields)
         for task_batch in iterator:
             for row in task_batch.to_pylist():
                 file = row["file"]
                 md = pq.read_metadata(file, filesystem=fs)
+                file_arrow = md.schema.to_arrow_schema()
                 idx = {md.schema.column(i).name: i
                        for i in range(md.num_columns)}
                 missing = [c for c in col_list if c not in idx]
@@ -410,6 +449,19 @@ def _scan_stats_files(
                         f"under one prefix are the caller's bug (the "
                         f"declared-schema contract), and footer stats "
                         f"cannot aggregate across them")
+                # type drift past the driver's per-type stat selection
+                # (e.g. a later file storing the column as ns-timestamp)
+                # would fold a lossy stat silently — refuse, same spirit
+                # as the missing-column guard above
+                for c in col_list:
+                    ft = file_arrow.field(
+                        file_arrow.get_field_index(c)).type
+                    if ft != col_types[c]:
+                        raise ValueError(
+                            f"{file!r} stores column {c!r} as {ft} but "
+                            f"the prefix's first object stores "
+                            f"{col_types[c]} — mixed column types defeat "
+                            f"the footer's per-type exactness rules")
                 rows = 0
                 mins: dict[str, object] = {}
                 maxs: dict[str, object] = {}
@@ -426,6 +478,8 @@ def _scan_stats_files(
                                 f"cannot certify this aggregate — scan "
                                 f"the data instead")
                         nulls[c] += st.null_count
+                        if c not in mm_set:
+                            continue  # nulls-only column
                         if st.null_count == rg.num_rows:
                             continue  # all-null group: no min/max to add
                         if not st.has_min_max:
@@ -443,11 +497,12 @@ def _scan_stats_files(
                             maxs[c] = st.max
                 arrays = [pa.array([rows], pa.int64())]
                 for c in col_list:
-                    arrays += [
-                        pa.array([mins.get(c)], col_types[c]),
-                        pa.array([maxs.get(c)], col_types[c]),
-                        pa.array([nulls[c]], pa.int64()),
-                    ]
+                    if c in mm_set:
+                        arrays += [
+                            pa.array([mins.get(c)], col_types[c]),
+                            pa.array([maxs.get(c)], col_types[c]),
+                        ]
+                    arrays.append(pa.array([nulls[c]], pa.int64()))
                 yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     # Task granularity differs from the DATA scan's one-task-per-object:
@@ -464,11 +519,12 @@ def _scan_stats_files(
         read_footers, schema=from_arrow_schema(partial_schema))
     aggs = [F.sum("rows").cast("long").alias("rows")]
     for c in cols:
-        aggs += [
-            F.min(f"{c}__min").alias(f"{c}_min"),
-            F.max(f"{c}__max").alias(f"{c}_max"),
-            F.sum(f"{c}__nulls").cast("long").alias(f"{c}_nulls"),
-        ]
+        if c in mm_set:
+            aggs += [
+                F.min(f"{c}__min").alias(f"{c}_min"),
+                F.max(f"{c}__max").alias(f"{c}_max"),
+            ]
+        aggs.append(F.sum(f"{c}__nulls").cast("long").alias(f"{c}_nulls"))
     return partials.agg(*aggs)
 
 

@@ -1278,12 +1278,18 @@ class TestArrowObjectStore:
                 df, f"s3://testbkt/tpch/{t}.parquet", moto_s3)
             local[t] = df
         eng = Engine(spark)
-        views = eng.attach_arrow_s3("s3://testbkt/tpch", moto_s3)
-        assert set(views) >= {"lineitem", "orders", "customer"}
-        sql = load_all()["q3"].oracle
-        got = sorted(map(tuple, eng.sql(sql).collect()))
-        for t, df in local.items():
-            df.createOrReplaceTempView(t)  # restore local views
+        try:
+            # replace=True: shadowing the session's local views is this
+            # test's POINT, and the finally below restores them even on
+            # failure (a bare attach refuses the collision by design)
+            views = eng.attach_arrow_s3(
+                "s3://testbkt/tpch", moto_s3, replace=True)
+            assert set(views) >= {"lineitem", "orders", "customer"}
+            sql = load_all()["q3"].oracle
+            got = sorted(map(tuple, eng.sql(sql).collect()))
+        finally:
+            for t, df in local.items():
+                df.createOrReplaceTempView(t)  # restore local views
         want = sorted(map(tuple, eng.sql(sql).collect()))
         assert got == want and got
 
@@ -1647,8 +1653,10 @@ class TestArrowS3FooterStats:
         assert corpus_bytes > 1_000_000  # the payload is real
 
         server.reset()
+        # val is DOUBLE: min/max need the caller's NaN-free certificate
         got = arrow_s3_scan_stats(
-            spark, uri, conf, columns=["id", "val"]).collect()[0]
+            spark, uri, conf, columns=["id", "val"],
+            assume_no_nan=True).collect()[0]
         stats_bytes = server.get_bytes
         assert got.rows == 20000
         assert got.id_min == 0 and got.id_max == 19999 and got.id_nulls == 0
@@ -1661,10 +1669,15 @@ class TestArrowS3FooterStats:
             f"stats read {stats_bytes}B of a {corpus_bytes}B corpus"
         assert pa is not None  # keep the import local to the test intent
 
-    def test_stats_refuses_inexact_answers(self, spark, counting_s3):
-        """Exactness guards: string min/max refused (parquet truncates or
-        drops oversized binary stats while still flagging has_min_max);
-        statistics-free files refused (footer cannot certify)."""
+    def test_stats_partial_profile_mixed_numeric_string(
+            self, spark, counting_s3):
+        """Per-column stat selection: a mixed numeric/string schema —
+        the text-corpus shape — returns the PARTIAL profile the footer
+        can certify (rows + every column's null count + numeric min/max)
+        with string min/max simply absent (parquet truncates or drops
+        oversized binary stats while still flagging has_min_max), rather
+        than the whole call refusing. Statistics-free files still refuse
+        (the footer cannot certify even a null count)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1673,11 +1686,17 @@ class TestArrowS3FooterStats:
 
         server, conf = counting_s3
         df = spark.createDataFrame(
-            [(1, "a"), (2, "b")], "id long, name string")
+            [(1, "alpha"), (2, None), (3, "gamma")],
+            "id long, name string")
         arrow_s3_write_parquet(df, "s3://statsbkt/stats/guard", conf)
-        with pytest.raises(ValueError, match="string/binary"):
-            arrow_s3_scan_stats(
-                spark, "s3://statsbkt/stats/guard", conf, columns=["name"])
+        got = arrow_s3_scan_stats(
+            spark, "s3://statsbkt/stats/guard", conf,
+            columns=["id", "name"]).collect()[0]
+        d = got.asDict()
+        assert d["rows"] == 3
+        assert d["id_min"] == 1 and d["id_max"] == 3 and d["id_nulls"] == 0
+        assert d["name_nulls"] == 1
+        assert "name_min" not in d and "name_max" not in d
 
         buf = pa.BufferOutputStream()
         pq.write_table(
@@ -1690,6 +1709,65 @@ class TestArrowS3FooterStats:
             arrow_s3_scan_stats(
                 spark, "s3://statsbkt/stats/nostats", conf,
                 columns=["x"]).collect()
+
+    def test_stats_float_nan_divergence_refused_by_default(
+            self, spark, counting_s3):
+        """Parquet min/max EXCLUDE NaN while Spark's MAX orders NaN above
+        every value — so float/double min/max are omitted unless the
+        caller certifies NaN-freeness. On a NaN-containing column the
+        default call returns rows+nulls only (never the silently-finite
+        footer max); with assume_no_nan=True on a genuinely NaN-free
+        column the footer values equal the engine's."""
+        import math
+
+        from pysparkdb.sources import arrow_s3_scan_stats, arrow_s3_write_parquet
+
+        server, conf = counting_s3
+        bad = spark.createDataFrame(
+            [(1.0,), (float("nan"),), (2.5,)], "v double")
+        arrow_s3_write_parquet(bad, "s3://statsbkt/stats/nan", conf)
+        got = arrow_s3_scan_stats(
+            spark, "s3://statsbkt/stats/nan", conf, columns=["v"]
+        ).collect()[0].asDict()
+        assert got["rows"] == 3 and got["v_nulls"] == 0
+        assert "v_min" not in got and "v_max" not in got
+        # the engine's own MAX over the same bytes is NaN — the value a
+        # footer max (2.5) would have silently contradicted
+        eng_max = bad.selectExpr("max(v) AS m").collect()[0].m
+        assert math.isnan(eng_max)
+
+        clean = spark.createDataFrame([(1.0,), (2.5,)], "v double")
+        arrow_s3_write_parquet(clean, "s3://statsbkt/stats/nonan", conf)
+        ok = arrow_s3_scan_stats(
+            spark, "s3://statsbkt/stats/nonan", conf, columns=["v"],
+            assume_no_nan=True).collect()[0]
+        assert ok.v_min == 1.0 and ok.v_max == 2.5
+
+    def test_stats_per_file_type_drift_refused(self, spark, counting_s3):
+        """A later file storing the profiled column at a DIFFERENT type
+        (here: ns-timestamp where the first file has us-timestamp) is
+        caught in the executor tasks — pyarrow would surface the ns stat
+        at microsecond precision, the exact silent loss the per-type
+        selection exists to prevent."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pysparkdb.sources import arrow_s3_scan_stats
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        server, conf = counting_s3
+        client = _boto3_client(conf)
+        for key, unit in (("stats/drift/a.parquet", "us"),
+                          ("stats/drift/b.parquet", "ns")):
+            buf = pa.BufferOutputStream()
+            pq.write_table(pa.table(
+                {"t": pa.array([1, 2, 3], pa.timestamp(unit))}), buf)
+            client.put_object(Bucket="statsbkt", Key=key,
+                              Body=buf.getvalue().to_pybytes())
+        with pytest.raises(Exception, match="mixed column types"):
+            arrow_s3_scan_stats(
+                spark, "s3://statsbkt/stats/drift", conf,
+                columns=["t"]).collect()
 
     def test_stats_rows_only_and_all_null_column(self, spark, counting_s3):
         """columns=None answers bare COUNT(*); an all-null column yields
@@ -1706,7 +1784,7 @@ class TestArrowS3FooterStats:
         assert bare.rows == 100 and len(bare.asDict()) == 1
         got = arrow_s3_scan_stats(
             spark, "s3://statsbkt/stats/nulls", conf,
-            columns=["gone"]).collect()[0]
+            columns=["gone"], assume_no_nan=True).collect()[0]
         assert got.gone_min is None and got.gone_max is None
         assert got.gone_nulls == 100
 
@@ -1763,16 +1841,19 @@ class TestArrowS3FooterStats:
         assert got.ts_min == dt.datetime(2024, 1, 1, 0, 0, 0)
         assert got.ts_max == dt.datetime(2024, 1, 1, 0, 3, 19)
 
-        # nanosecond timestamps: refused, not silently truncated
+        # nanosecond timestamps: min/max omitted (pyarrow surfaces the
+        # stat at microsecond precision), rows + nulls still answered
         buf = pa.BufferOutputStream()
         pq.write_table(pa.table({
             "t": pa.array([1, 2, 3], pa.timestamp("ns"))}), buf)
         _boto3_client(conf).put_object(
             Bucket="statsbkt", Key="stats/ns/t.parquet",
             Body=buf.getvalue().to_pybytes())
-        with pytest.raises(ValueError, match="nanosecond"):
-            arrow_s3_scan_stats(
-                spark, "s3://statsbkt/stats/ns", conf, columns=["t"])
+        ns = arrow_s3_scan_stats(
+            spark, "s3://statsbkt/stats/ns", conf,
+            columns=["t"]).collect()[0].asDict()
+        assert ns["rows"] == 3 and ns["t_nulls"] == 0
+        assert "t_min" not in ns and "t_max" not in ns
 
 
     def test_engine_table_stats_equal_sql_aggregate(
@@ -1780,38 +1861,86 @@ class TestArrowS3FooterStats:
         """Engine.arrow_s3_table_stats over an attached remote view
         returns exactly what the SQL aggregate over that view computes —
         while moving only footer bytes (byte-counted) and issuing no
-        further LIST."""
+        further LIST. The remote table deliberately does NOT reuse a
+        session view name ('remote_orders', not 'orders'): attach would
+        refuse the collision, and the suite's shared local views must
+        survive this class's moto server (round-11's 39-test poisoning)."""
         from pysparkdb import Engine
         from pysparkdb.sources import arrow_s3_write_parquet
 
         server, conf = counting_s3
         orders = tables(spark, sf_dir)["orders"]
         arrow_s3_write_parquet(
-            orders.repartition(3), "s3://statsbkt/eng/orders", conf)
+            orders.repartition(3), "s3://statsbkt/eng/remote_orders", conf)
         eng = Engine(spark)
-        eng.attach_arrow_s3("s3://statsbkt/eng", conf)
+        try:
+            eng.attach_arrow_s3("s3://statsbkt/eng", conf)
 
-        with pytest.raises(KeyError, match="not an attach_arrow_s3"):
-            eng.arrow_s3_table_stats("nope")
+            with pytest.raises(KeyError, match="not an attach_arrow_s3"):
+                eng.arrow_s3_table_stats("nope")
 
-        server.reset()
-        got = eng.arrow_s3_table_stats(
-            "orders", columns=["o_totalprice"]).collect()[0]
-        stats_bytes = server.get_bytes
-        want = eng.sql("""
-            SELECT COUNT(*) AS rows,
-                   MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
-                   COUNT(*) - COUNT(o_totalprice) AS nulls
-            FROM orders
-        """).collect()[0]
-        full_bytes = server.get_bytes - stats_bytes
-        assert got.rows == want.rows
-        assert got.o_totalprice_min == want.mn
-        assert got.o_totalprice_max == want.mx
-        assert got.o_totalprice_nulls == want.nulls
-        # the stats pass moved footer bytes; the SQL aggregate's scan
-        # moved the data pages
-        assert stats_bytes < full_bytes, (stats_bytes, full_bytes)
+            server.reset()
+            got = eng.arrow_s3_table_stats(
+                "remote_orders", columns=["o_totalprice"],
+                assume_no_nan=True).collect()[0]
+            stats_bytes = server.get_bytes
+            want = eng.sql("""
+                SELECT COUNT(*) AS rows,
+                       MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+                       COUNT(*) - COUNT(o_totalprice) AS nulls
+                FROM remote_orders
+            """).collect()[0]
+            full_bytes = server.get_bytes - stats_bytes
+            assert got.rows == want.rows
+            assert got.o_totalprice_min == want.mn
+            assert got.o_totalprice_max == want.mx
+            assert got.o_totalprice_nulls == want.nulls
+            # the stats pass moved footer bytes; the SQL aggregate's scan
+            # moved the data pages
+            assert stats_bytes < full_bytes, (stats_bytes, full_bytes)
+        finally:
+            # the moto endpoint dies at class teardown — a view left
+            # behind would poison every later resolution of the name
+            spark.catalog.dropTempView("remote_orders")
+
+    def test_attach_refuses_to_shadow_existing_view(
+            self, spark, sf_dir, counting_s3):
+        """attach_arrow_s3 must not silently repoint an already-
+        registered name at the remote store (the round-11 suite
+        poisoning): a derived name colliding with an existing temp view
+        raises BEFORE any view is replaced; replace=True opts in; and
+        after the view is replaced by other means, the stats call
+        refuses its now-stale file list."""
+        from pysparkdb import Engine
+        from pysparkdb.sources import arrow_s3_write_parquet
+
+        server, conf = counting_s3
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_write_parquet(
+            nation, "s3://statsbkt/shadow/shadow_probe", conf)
+        spark.range(7).createOrReplaceTempView("shadow_probe")
+        eng = Engine(spark)
+        try:
+            with pytest.raises(ValueError, match="replace=True"):
+                eng.attach_arrow_s3("s3://statsbkt/shadow", conf)
+            # the refusal touched nothing: the local view still answers
+            assert spark.table("shadow_probe").count() == 7
+
+            eng.attach_arrow_s3("s3://statsbkt/shadow", conf, replace=True)
+            assert spark.table("shadow_probe").count() == nation.count()
+            got = eng.arrow_s3_table_stats(
+                "shadow_probe", columns=["n_nationkey"]).collect()[0]
+            assert got.rows == nation.count()
+
+            # view replaced by other means → the attach's file list is
+            # stale; profiling it would certify objects that no longer
+            # back the name
+            spark.range(3).createOrReplaceTempView("shadow_probe")
+            with pytest.raises(KeyError, match="no longer resolves"):
+                eng.arrow_s3_table_stats(
+                    "shadow_probe", columns=["n_nationkey"])
+        finally:
+            spark.catalog.dropTempView("shadow_probe")
 
 
 class TestSnapshotConcurrentAppend:
