@@ -413,6 +413,39 @@ class Engine:
         df.createOrReplaceTempView(name)
         return df
 
+    def attach_arrow_s3_snapshot(
+        self, name: str, uri: str, conf, version: int | None = None,
+        replace: bool = False,
+    ) -> DataFrame:
+        """Register an object-store manifest snapshot as a queryable view
+        pinned at ``version`` (default latest) — the remote twin of
+        ``attach_snapshot``, completing the reproducible-training-
+        snapshot workflow for remote corpora at the engine front door:
+        ``engine.attach_arrow_s3_snapshot("docs", root, conf, version=3)``
+        then ``engine.sql("SELECT ... FROM docs")`` reads exactly version
+        3's manifest, frozen while ingest appends new versions. Planning
+        is the manifest's EXPLICIT file list (no LIST over the data
+        prefix, no eventual-consistency window), and the same list is
+        recorded for ``arrow_s3_table_stats`` so the footer-stats
+        profile of the pinned view issues zero further LISTs. Shadowing
+        an already-registered view refuses without ``replace=True``,
+        exactly as attach_arrow_s3."""
+        from pysparkdb.sources.arrow_s3 import (
+            _read_parquet_files,
+            _snapshot_manifest_files,
+        )
+
+        if not replace and self.spark.catalog.tableExists(name):
+            raise ValueError(
+                f"attach_arrow_s3_snapshot({name!r}) would replace an "
+                f"already-registered view; pass replace=True to do this "
+                f"deliberately (no view was touched)")
+        _version, files = _snapshot_manifest_files(conf, uri, version)
+        df = _read_parquet_files(self.spark, files, conf)
+        df.createOrReplaceTempView(name)
+        self._arrow_s3_tables[name] = (files, conf, df)
+        return df
+
     def attach_arrow_s3(
         self, prefix: str, conf, replace: bool = False
     ) -> dict[str, DataFrame]:

@@ -72,50 +72,41 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 #      s3_scan_roundtrip) are adjudicated NOT reshapes — the banked
 #      evidence still certifies the plan that runs.
 #
-# ROUND-11 WINDOW. CORRECTNESS_r10 banked all 50 r10-window rows green.
-# Latest-green ages entering this round: r6: 26 rows, r7: 32, r8: 44,
-# r9: 48, r10: 50 (computed from the CORRECTNESS_r01..r10 files).
-# Composition (1 + 26 + 23 = 50, ZERO new registrations per the policy
-# above, ONE reshape): pipeline_snapshot_curation first (its landing
-# staging moved from df.toPandas() to a distributed single-task write —
-# same rows landed, but the body changed, so its r10 evidence is
-# invalidated per policy), then the 26 r6-banked rows staged by the
-# round-10 comment (age-5 otherwise — co-located-join synthetics,
-# generated SSB, relational op_ batch 2, text/embedding basics), then
-# the 23 oldest r7-banked rows in registry order (typed SSB, events
-# analytics, relational op_ batch 3 through op_winsorize_approx).
-# The 9 remaining r7 rows roll FIRST into the round-12 queue:
-# op_unpivot, text_domain_cap, text_unigram_logprob, text_bm25,
-# text_pii_scrub, graph_pagerank, graph_bfs, graph_lpa, graph_triangles
-# (age-5 at r12, inside the policy's documented worst case) — followed
-# by the 44-row r8 bank (verify against the CORRECTNESS files when
-# rotating).
+# ROUND-12 WINDOW. CORRECTNESS_r11 banked all 50 r11-window rows green.
+# Latest-green ages entering this round: r7: 9 rows, r8: 44, r9: 47,
+# r10: 50, r11: 50 (computed from the CORRECTNESS_r01..r11 files;
+# independently recomputed by the round-11 judge to the same split).
+# Composition (9 + 41 = 50, ZERO new registrations and ZERO reshapes —
+# round 12's changes are engine/protocol surfaces with pytest-e2e
+# evidence per the policy above): the 9 age-5 r7-banked rows first
+# (graph algorithms + text batch staged by the round-11 comment), then
+# the 41 oldest r8-banked rows in registry order. The 3 remaining
+# r8-banked rows roll FIRST into the round-13 queue:
+# emb_hard_negatives, pipeline_incremental_refresh,
+# pipeline_schema_evolution (age-5 at r13, inside the policy's
+# documented worst case) — followed by the 47-row r9 bank (verify
+# against the CORRECTNESS files when rotating).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-11 reshape (staging write distributed; see comment above)
-    "pipeline_snapshot_curation",
-    # r6-banked (oldest evidence in the union): co-located / join-order
-    # synthetics + generated SSB
-    "q_co_join", "q9_jo2", "q_co_join3",
-    "ssb_gen1", "ssb_gen2", "ssb_gen3", "ssb_gen4", "ssb_gen5",
-    # r6-banked: relational op_ batch 2
-    "op_approx_percentile", "op_approx_distinct", "op_rollup",
-    "op_window_lead_lag", "op_min_max_by", "op_hash_sample",
-    "op_sessionize", "op_pivot", "op_histogram", "op_collect_set",
-    "op_string_funcs", "op_date_trunc", "op_grouping_sets",
-    "op_window_analytics",
-    # r6-banked: text / embedding basics
-    "text_stratified_sample", "emb_norm_stats", "text_inverted_index",
-    "text_tfidf",
-    # top-up: the 24 oldest r7-banked rows, registry order — typed SSB
-    "ssb_t1_1", "ssb_t1_2", "ssb_t1_3", "ssb_t2_1", "ssb_t2_2",
-    "ssb_t2_3", "ssb_t3_1", "ssb_t3_2", "ssb_t4_1", "ssb_t4_2",
-    "ssb_t4_3",
-    # r7-banked: events analytics
-    "ev_funnel", "ev_retention", "ev_rollup_cascade", "ev_zscore_outliers",
-    # r7-banked: relational op_ batch 3
-    "op_freq_items", "op_cube", "op_upsert", "op_scd2",
-    "op_weighted_sample", "op_window_range_frame", "op_winsorize",
-    "op_winsorize_approx",
+    # r7-banked (oldest evidence in the union): text batch + graphs
+    "op_unpivot", "text_domain_cap", "text_unigram_logprob", "text_bm25",
+    "text_pii_scrub", "graph_pagerank", "graph_bfs", "graph_lpa",
+    "graph_triangles",
+    # r8-banked, registry order: predicate-transfer / TPC-H / SSB tails
+    "q5_pred_trans", "q5_auto", "q22", "q6_hybrid", "q6_modes",
+    "ssb3_3", "ssb3_4", "ssb_t3_3", "ssb_t3_4",
+    # r8-banked: events analytics (as-of family, stateful streaming)
+    "ev_asof", "ev_stateful", "ev_asof_tolerance", "ev_conversion_lag",
+    "ev_asof_nearest", "ev_resample_ffill",
+    # r8-banked: relational op_ batch 1
+    "op_agg_scalar", "op_expr_isnull", "op_case_in_like", "op_join_anti",
+    "op_profile",
+    # r8-banked: dedup / ANN / multimodal / text-pipeline
+    "dedup_exact", "dedup_simhash", "dedup_embedding",
+    "dedup_embedding_lsh", "ann_topk", "ann_lsh", "mm_binary_meta",
+    "mm_resize", "mm_frame_sample", "mm_audio_features", "ann_ivf",
+    "text_chunk", "mm_chunk_audio", "dedup_decontaminate",
+    "text_repetition", "text_domain_mix", "text_pack", "text_dup_chunks",
+    "dedup_incremental", "mm_image_dedup", "text_fuzzy_join",
 )
 
 

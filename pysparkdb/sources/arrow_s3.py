@@ -762,12 +762,18 @@ def _commit_manifest(client, bucket: str, key: str, body: dict) -> None:
     the residual scope is documented on the append."""
     import json
 
-    from botocore.exceptions import ClientError
+    from botocore.exceptions import ClientError, ParamValidationError
 
     payload = json.dumps(body).encode()
     try:
         client.put_object(
             Bucket=bucket, Key=key, Body=payload, IfNoneMatch="*")
+    except ParamValidationError:
+        # botocore predating conditional-write support rejects the
+        # IfNoneMatch PARAMETER client-side (not a ClientError) — same
+        # treatment as a store that rejects the precondition: plain PUT,
+        # the read-back below is then the only collision signal
+        client.put_object(Bucket=bucket, Key=key, Body=payload)
     except ClientError as exc:
         code = exc.response.get("Error", {}).get("Code", "")
         if code in ("PreconditionFailed", "412"):
@@ -788,7 +794,9 @@ def _commit_manifest(client, bucket: str, key: str, body: dict) -> None:
             f"writer's commit; this append lost the race — retry")
 
 
-def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
+def arrow_s3_snapshot_append(
+    df: DataFrame, uri: str, conf: S3Conf, retries: int = 0
+) -> int:
     """Append ``df`` as a new immutable snapshot version on the object
     store; returns the committed version. Data objects land under
     ``data/batch-{version}-{uuid}/`` via the distributed single-PUT
@@ -811,50 +819,72 @@ def arrow_s3_snapshot_append(df: DataFrame, uri: str, conf: S3Conf) -> int:
     commit goes through ``_commit_manifest`` — conditional PUT
     (``If-None-Match: *``, a 412 for the loser) where the store supports
     it, manifest read-back of the commit token as the fallback — so the
-    loser raises ``ConcurrentAppendError`` and retries against the new
-    latest version instead of silently vanishing a batch. What this does
-    NOT provide is the winner's-retry MERGE a full table format's
-    transaction log gives; on stores without conditional writes the
-    fallback's detection window is the read-back, documented on
+    loser raises ``ConcurrentAppendError`` instead of silently vanishing
+    a batch. With ``retries=N`` the loser auto-lands: the data batch is
+    already on the store (immutable, version-agnostic — only the
+    manifest binds it), so a retry re-LISTs versions, re-reads the new
+    latest manifest, and re-commits the SAME objects under the next
+    version; nothing is rewritten and a scheduler-driven ingest needs no
+    caller loop. After ``retries`` consecutive losses the error
+    propagates and the batch's orphans are left to GC as before. What
+    this does NOT provide is the winner's-retry MERGE a full table
+    format's transaction log gives; on stores without conditional writes
+    the fallback's detection window is the read-back, documented on
     ``_commit_manifest``."""
     import json
     import uuid
 
     prefix = _strip_scheme(uri).rstrip("/")
     bucket, keyprefix = _bucket_key(prefix, uri)
-    versions = arrow_s3_snapshot_versions(conf, uri)
-    version = (versions[-1] + 1) if versions else 0
     client = _boto3_client(conf)
-    if versions:
-        prev = json.loads(
-            client.get_object(
-                Bucket=bucket, Key=f"{keyprefix}/_manifests/v{versions[-1]}.json"
-            )["Body"].read())
-        if prev.get("schema") is not None and prev["schema"] != df.schema.json():
-            raise ValueError(
-                f"appended frame's schema differs from the snapshot's "
-                f"committed schema under {uri!r}; these snapshots pin "
-                f"bytes — evolve schemas through sources/versioned.py")
-    else:
-        prev = {"files": [], "n_rows": 0}
-
-    batch_dir = f"batch-{version}-{uuid.uuid4().hex}"
-    n_new = arrow_s3_write_parquet(df, f"{prefix}/data/{batch_dir}", conf)
-    new_files = [
-        p[len(prefix) + 1:]
-        for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
-    ]
-    body = {
-        "version": version,
-        "parent": versions[-1] if versions else None,
-        "files": prev["files"] + sorted(new_files),
-        "n_rows": prev["n_rows"] + n_new,
-        "schema": df.schema.json(),
-        "commit_token": batch_dir,  # unique per writer: collision witness
-    }
-    _commit_manifest(
-        client, bucket, f"{keyprefix}/_manifests/v{version}.json", body)
-    return version
+    batch_dir = f"batch-{uuid.uuid4().hex}"
+    schema_json = df.schema.json()
+    n_new = -1  # batch written lazily, once, on the first attempt
+    new_files: list[str] = []
+    for attempt in range(max(retries, 0) + 1):
+        versions = arrow_s3_snapshot_versions(conf, uri)
+        version = (versions[-1] + 1) if versions else 0
+        if versions:
+            prev = json.loads(
+                client.get_object(
+                    Bucket=bucket,
+                    Key=f"{keyprefix}/_manifests/v{versions[-1]}.json"
+                )["Body"].read())
+            if prev.get("schema") is not None \
+                    and prev["schema"] != schema_json:
+                raise ValueError(
+                    f"appended frame's schema differs from the snapshot's "
+                    f"committed schema under {uri!r}; these snapshots pin "
+                    f"bytes — evolve schemas through sources/versioned.py")
+        else:
+            prev = {"files": [], "n_rows": 0}
+        if n_new < 0:
+            n_new = arrow_s3_write_parquet(
+                df, f"{prefix}/data/{batch_dir}", conf)
+            new_files = sorted(
+                p[len(prefix) + 1:]
+                for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
+            )
+        body = {
+            "version": version,
+            "parent": versions[-1] if versions else None,
+            "files": prev["files"] + new_files,
+            "n_rows": prev["n_rows"] + n_new,
+            "schema": schema_json,
+            # unique per writer: collision witness (stable across this
+            # writer's own retries — each retry is the same commit
+            # re-aimed at a new version)
+            "commit_token": batch_dir,
+        }
+        try:
+            _commit_manifest(
+                client, bucket,
+                f"{keyprefix}/_manifests/v{version}.json", body)
+            return version
+        except ConcurrentAppendError:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")  # loop always returns or raises
 
 
 def arrow_s3_snapshot_compact(
@@ -923,6 +953,18 @@ def arrow_s3_snapshot_read(
     time-travel contract of the local snapshot store on the jar-less
     object-store path). Column pruning and DNF row-group skipping apply
     as in arrow_s3_read_parquet."""
+    _version, files = _snapshot_manifest_files(conf, uri, version)
+    return _read_parquet_files(
+        spark, files, conf, columns=columns, filters=filters)
+
+
+def _snapshot_manifest_files(
+    conf: S3Conf, uri: str, version: int | None = None
+) -> tuple[int, list[str]]:
+    """Resolve (version, absolute data-object paths) from a snapshot
+    manifest — the read path's planning step, shared with
+    Engine.attach_arrow_s3_snapshot (which also records the file list
+    so the footer-stats profile needs no re-LIST)."""
     import json
 
     prefix = _strip_scheme(uri).rstrip("/")
@@ -940,9 +982,7 @@ def arrow_s3_snapshot_read(
         )["Body"].read())
     if not m["files"]:
         raise ValueError(f"version {version} is empty")
-    return _read_parquet_files(
-        spark, [f"{prefix}/{f}" for f in m["files"]], conf,
-        columns=columns, filters=filters)
+    return version, [f"{prefix}/{f}" for f in m["files"]]
 
 
 def arrow_s3_snapshot_gc(

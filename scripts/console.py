@@ -21,8 +21,14 @@ both interactively and piped). Backslash commands:
     \\metrics SQL   run and print per-operator runtime metrics
                    (the reference's SHOW_OP_TIMES / SHOW_SCAN_METRICS)
     \\tables        list attached tables
-    \\stats T [C..] profile an attach_arrow_s3 remote view from parquet
-                   footers (COUNT/MIN/MAX/nulls; zero data-page GETs)
+    \\versions R    list snapshot versions under root R (local dir or
+                   s3:// — the jar-less manifest store, AWS_* env vars)
+    \\pin V R [N]   register snapshot version N of root R as view V
+                   (local via attach_snapshot; s3:// via
+                   attach_arrow_s3_snapshot — pinned-version time travel)
+    \\stats T [C..] profile an attach_arrow_s3 / pinned-snapshot remote
+                   view from parquet footers (COUNT/MIN/MAX/nulls; zero
+                   data-page GETs)
     \\q             quit
 """
 
@@ -35,6 +41,21 @@ import time
 
 # runnable as `python scripts/console.py` from anywhere
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _s3conf_from_env():
+    """Jar-less object-store connection from the standard AWS_* env vars —
+    how \\pin/\\versions/\\stats reach an s3:// root without a config file
+    (endpoint override covers MinIO/moto-style S3-compatible stores)."""
+    from pysparkdb.sources.arrow_s3 import S3Conf
+
+    return S3Conf(
+        endpoint=os.environ.get("AWS_ENDPOINT_URL"),
+        access_key=os.environ.get("AWS_ACCESS_KEY_ID"),
+        secret_key=os.environ.get("AWS_SECRET_ACCESS_KEY"),
+        region=os.environ.get("AWS_REGION")
+        or os.environ.get("AWS_DEFAULT_REGION"),
+    )
 
 
 def run_statement(eng, stmt: str, *, timing: bool, transfer: bool, out=sys.stdout) -> None:
@@ -151,18 +172,34 @@ def main(argv: list[str] | None = None) -> int:
             assert eng.catalog is not None
             print(" ".join(sorted(eng.catalog.tables)))
         elif s.startswith("\\versions"):
-            from pysparkdb.sources.versioned import snapshot_versions
+            root = s[len("\\versions"):].strip()
+            if root.startswith(("s3://", "s3a://")):
+                from pysparkdb.sources.arrow_s3 import arrow_s3_snapshot_versions
 
-            print(snapshot_versions(s[len("\\versions"):].strip()) or "(none)")
+                print(arrow_s3_snapshot_versions(_s3conf_from_env(), root)
+                      or "(none)")
+            else:
+                from pysparkdb.sources.versioned import snapshot_versions
+
+                print(snapshot_versions(root) or "(none)")
         elif s.startswith("\\pin"):
             # \pin <view> <root> [version] — register a snapshot version as
-            # a queryable view (time travel through the SQL front door)
+            # a queryable view (time travel through the SQL front door);
+            # an s3://-rooted snapshot pins through the jar-less manifest
+            # path (connection from the standard AWS_* env vars).
+            # replace=True: interactive re-pinning of the same view name
+            # at another version is the command's point.
             parts = s[len("\\pin"):].split()
             if len(parts) not in (2, 3):
                 print("usage: \\pin <view> <root> [version]", file=sys.stderr)
             else:
                 ver = int(parts[2]) if len(parts) == 3 else None
-                df = eng.attach_snapshot(parts[0], parts[1], ver)
+                if parts[1].startswith(("s3://", "s3a://")):
+                    df = eng.attach_arrow_s3_snapshot(
+                        parts[0], parts[1], _s3conf_from_env(), ver,
+                        replace=True)
+                else:
+                    df = eng.attach_snapshot(parts[0], parts[1], ver)
                 print(f"{parts[0]}: {df.count()} rows")
         elif s.startswith("\\stats"):
             # \stats <view> [col ...] — footer-stats profile of a remote

@@ -915,6 +915,58 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
     assert "regions_v1: 5 rows" in out.stdout
 
 
+def test_console_remote_snapshot_pin_and_stats(spark, sf_dir):
+    """Console parity for OBJECT-STORE snapshots: \\versions and \\pin
+    against an s3:// root (connection from the standard AWS_* env vars)
+    register a pinned-version view the SQL surface queries, and \\stats
+    profiles the pinned view from footers — the full remote
+    reproducible-snapshot workflow through the interactive front door."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        from moto.server import ThreadedMotoServer
+    except ImportError:
+        pytest.skip("moto not installed")
+    import logging
+
+    logging.getLogger("werkzeug").setLevel(logging.ERROR)
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    try:
+        _, port = server.get_host_and_port()
+        from pysparkdb.sources.arrow_s3 import S3Conf, _boto3_client
+        from pysparkdb.sources import arrow_s3_snapshot_append
+
+        conf = S3Conf(endpoint=f"http://127.0.0.1:{port}",
+                      access_key="ak", secret_key="sk", region="us-east-1")
+        _boto3_client(conf).create_bucket(Bucket="consolebkt")
+        root = "s3://consolebkt/snap/region"
+        region = tables(spark, sf_dir)["region"]
+        arrow_s3_snapshot_append(region, root, conf)            # v0
+        arrow_s3_snapshot_append(region.limit(2), root, conf)   # v1
+
+        env = dict(os.environ,
+                   AWS_ENDPOINT_URL=f"http://127.0.0.1:{port}",
+                   AWS_ACCESS_KEY_ID="ak", AWS_SECRET_ACCESS_KEY="sk",
+                   AWS_REGION="us-east-1")
+        out = subprocess.run(
+            [_sys.executable, "scripts/console.py", "--data-dir", sf_dir,
+             "-c", f"\\versions {root}",
+             "-c", f"\\pin region_v0 {root} 0",
+             "-c", "SELECT COUNT(*) AS n FROM region_v0",
+             "-c", "\\stats region_v0 r_regionkey"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240,
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        assert "[0, 1]" in out.stdout
+        assert "region_v0: 5 rows" in out.stdout  # v0 pinned, not v1's 7
+        assert "r_regionkey_min" in out.stdout
+    finally:
+        server.stop()
+
+
 def test_json_malformed_rows_permissive_vs_failfast(spark, tmp_path):
     """Ingestion robustness: a landing file with malformed JSON lines.
     PERMISSIVE mode (the ingest default) quarantines bad lines into
@@ -1403,6 +1455,55 @@ class TestArrowObjectStore:
         keys = sorted(r.n_nationkey for r in latest.collect())
         assert keys == sorted(r.n_nationkey for r in nation.collect())
         assert 999 not in keys  # the orphan never surfaces
+
+    def test_engine_attach_arrow_s3_snapshot_pins_version(
+            self, spark, sf_dir, moto_s3):
+        """The engine front door for object-store snapshots: attach at
+        version N registers a pinned temp view that engine.sql queries,
+        equal to arrow_s3_snapshot_read(version=N) even AFTER later
+        appends; the pinned view is profileable via arrow_s3_table_stats
+        (the manifest named every object — no LIST); shadowing an
+        existing view refuses without replace=True."""
+        from pysparkdb import Engine
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_read,
+        )
+
+        root = "s3://testbkt/engsnap/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(
+            nation.filter(F.col("n_nationkey") < 10), root, moto_s3)  # v0
+        arrow_s3_snapshot_append(
+            nation.filter(F.col("n_nationkey") >= 10), root, moto_s3)  # v1
+
+        eng = Engine(spark)
+        try:
+            eng.attach_arrow_s3_snapshot("nation_v0", root, moto_s3,
+                                         version=0)
+            # a later append must NOT leak into the pinned view
+            arrow_s3_snapshot_append(nation.limit(2), root, moto_s3)  # v2
+            got = eng.sql(
+                "SELECT COUNT(*) AS n, MAX(n_nationkey) AS mx "
+                "FROM nation_v0").collect()[0]
+            want_df = arrow_s3_snapshot_read(spark, root, moto_s3, version=0)
+            assert got.n == want_df.count() == 10
+            assert got.mx == 9
+            assert sorted(map(tuple, spark.table("nation_v0").collect())) \
+                == sorted(map(tuple, want_df.collect()))
+
+            st = eng.arrow_s3_table_stats(
+                "nation_v0", columns=["n_nationkey"]).collect()[0]
+            assert st.rows == 10
+            assert st.n_nationkey_min == 0 and st.n_nationkey_max == 9
+
+            with pytest.raises(ValueError, match="replace=True"):
+                eng.attach_arrow_s3_snapshot("nation_v0", root, moto_s3)
+            eng.attach_arrow_s3_snapshot(
+                "nation_v0", root, moto_s3, replace=True)  # latest = v2
+            assert spark.table("nation_v0").count() == nation.count() + 2
+        finally:
+            spark.catalog.dropTempView("nation_v0")
 
     def test_snapshot_gc_orphans_respect_grace(self, spark, sf_dir, moto_s3):
         """GC deletes only unreferenced-AND-old objects: a planted orphan
@@ -2037,3 +2138,110 @@ class TestSnapshotConcurrentAppend:
             _commit_manifest(
                 IgnoringStore(), "b", "k/_manifests/v1.json",
                 {"commit_token": "me"})
+
+    def test_old_botocore_param_rejection_falls_back_to_plain_put(self):
+        """botocore versions predating conditional-write support raise
+        ParamValidationError (client-side, NOT a ClientError) on
+        IfNoneMatch — the commit must route that to the plain-PUT +
+        read-back fallback, not crash every append."""
+        import io
+        import json
+
+        from botocore.exceptions import ParamValidationError
+
+        from pysparkdb.sources.arrow_s3 import _commit_manifest
+
+        class OldBotocoreStore:
+            def __init__(self):
+                self.plain_puts = []
+
+            def put_object(self, **kw):
+                if "IfNoneMatch" in kw:
+                    raise ParamValidationError(
+                        report="Unknown parameter in input: IfNoneMatch")
+                self.plain_puts.append(kw)
+
+            def get_object(self, **kw):
+                # read-back returns what this writer just PUT
+                return {"Body": io.BytesIO(self.plain_puts[-1]["Body"])}
+
+        store = OldBotocoreStore()
+        _commit_manifest(
+            store, "b", "k/_manifests/v1.json",
+            {"commit_token": "me", "version": 1})
+        assert len(store.plain_puts) == 1
+        assert json.loads(store.plain_puts[-1]["Body"])["commit_token"] == "me"
+
+    def test_losing_append_auto_retries_and_both_batches_land(
+            self, spark, sf_dir, moto_race, monkeypatch):
+        """retries=N: the losing writer re-lists, re-reads the new latest
+        manifest, and re-commits its ALREADY-WRITTEN batch under the next
+        version — both writers' rows present, no caller loop, nothing
+        rewritten (the retry commits the same data objects)."""
+        import json
+
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_versions,
+        )
+        from pysparkdb.sources import arrow_s3 as mod
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+
+        root = "s3://racebkt/autoretry/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(nation, root, moto_race)  # v0
+
+        # B's FIRST listing is pinned stale (sees only [0]) so it races
+        # A's v1; the retry's listing runs unpinned and sees [0, 1]
+        real_versions = mod.arrow_s3_snapshot_versions
+        calls = {"n": 0}
+
+        def stale_once(c, u):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return [0]
+            return real_versions(c, u)
+
+        arrow_s3_snapshot_append(nation.limit(5), root, moto_race)  # A: v1
+        monkeypatch.setattr(mod, "arrow_s3_snapshot_versions", stale_once)
+        got_v = arrow_s3_snapshot_append(
+            nation.limit(3), root, moto_race, retries=2)  # B auto-lands
+        monkeypatch.undo()
+        assert got_v == 2
+        assert arrow_s3_snapshot_versions(moto_race, root) == [0, 1, 2]
+        got = arrow_s3_snapshot_read(spark, root, moto_race)
+        assert got.count() == nation.count() + 5 + 3  # both batches
+
+        # the retried commit references ONE data batch exactly once on
+        # top of v1's files — the same objects the losing attempt wrote
+        m2 = json.loads(_boto3_client(moto_race).get_object(
+            Bucket="racebkt",
+            Key="autoretry/nation/_manifests/v2.json")["Body"].read())
+        m1 = json.loads(_boto3_client(moto_race).get_object(
+            Bucket="racebkt",
+            Key="autoretry/nation/_manifests/v1.json")["Body"].read())
+        assert set(m1["files"]) < set(m2["files"])
+        assert len(set(m2["files"])) == len(m2["files"])
+
+    def test_exhausted_retries_still_raise(
+            self, spark, sf_dir, moto_race, monkeypatch):
+        """When every attempt races (listing pinned permanently stale),
+        retries=1 raises after its second loss instead of spinning."""
+        from pysparkdb.sources import (
+            ConcurrentAppendError,
+            arrow_s3_snapshot_append,
+        )
+        from pysparkdb.sources import arrow_s3 as mod
+
+        root = "s3://racebkt/exhaust/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(nation, root, moto_race)  # v0
+        arrow_s3_snapshot_append(nation.limit(2), root, moto_race)  # v1
+
+        monkeypatch.setattr(
+            mod, "arrow_s3_snapshot_versions", lambda c, u: [0])
+        with pytest.raises(ConcurrentAppendError):
+            arrow_s3_snapshot_append(
+                nation.limit(1), root, moto_race, retries=1)
+        monkeypatch.undo()
