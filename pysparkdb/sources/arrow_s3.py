@@ -386,6 +386,7 @@ def _scan_stats_files(
     conf: S3Conf,
     columns: list[str] | None = None,
     assume_no_nan: bool = False,
+    _tasks: int | None = None,
 ) -> DataFrame:
     """The footer-stats body over an EXPLICIT file list — shared by the
     prefix-listing form above and Engine.arrow_s3_table_stats (which
@@ -509,9 +510,13 @@ def _scan_stats_files(
     # a footer read is a few KB, so per-task scheduling overhead would
     # dominate at a 100k-object corpus. Batch files per task, sized to
     # keep every core busy (4 waves across the session's parallelism)
-    # without descending to one-file tasks.
+    # without descending to one-file tasks. Measured curve (SCALE.md
+    # round-12 section, scripts/footer_stats_scaling_probe.py): batched
+    # latency grows near-flat in object count while one-task-per-object
+    # pays per-task scheduling linearly. ``_tasks`` overrides the
+    # heuristic for that measurement only.
     parallelism = spark.sparkContext.defaultParallelism
-    n_tasks = min(len(files), max(parallelism * 4, 1))
+    n_tasks = _tasks or min(len(files), max(parallelism * 4, 1))
     task_df = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(n_tasks)
