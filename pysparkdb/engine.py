@@ -401,14 +401,27 @@ class Engine:
         assert self.catalog is not None, "call attach(data_dir) first"
         return self.catalog.table(name)
 
-    def attach_snapshot(self, name: str, root: str, version: int | None = None) -> DataFrame:
+    def attach_snapshot(
+        self, name: str, root: str, version: int | None = None,
+        replace: bool = False,
+    ) -> DataFrame:
         """Register a snapshot-versioned dataset (sources/versioned.py) as
         a queryable view — time travel through the same SQL front door:
         ``engine.attach_snapshot("docs", root, version=3)`` then
         ``engine.sql("SELECT ... FROM docs")`` reads exactly version 3's
-        manifest, frozen while ingest appends new versions."""
+        manifest, frozen while ingest appends new versions. Shadowing an
+        already-registered view refuses without ``replace=True`` — the
+        same session-catalog guard as attach_arrow_s3: silently
+        repointing every registered query at the snapshot is the exact
+        suite-poisoning bug the guard exists for (re-pinning the same
+        name at another version is the legitimate replace=True case)."""
         from pysparkdb.sources.versioned import snapshot_read
 
+        if not replace and self.spark.catalog.tableExists(name):
+            raise ValueError(
+                f"attach_snapshot({name!r}) would replace an "
+                f"already-registered view; pass replace=True to do this "
+                f"deliberately (no view was touched)")
         df = snapshot_read(self.spark, root, version)
         df.createOrReplaceTempView(name)
         return df

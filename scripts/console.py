@@ -199,7 +199,8 @@ def main(argv: list[str] | None = None) -> int:
                         parts[0], parts[1], _s3conf_from_env(), ver,
                         replace=True)
                 else:
-                    df = eng.attach_snapshot(parts[0], parts[1], ver)
+                    df = eng.attach_snapshot(parts[0], parts[1], ver,
+                                             replace=True)
                 print(f"{parts[0]}: {df.count()} rows")
         elif s.startswith("\\stats"):
             # \stats <view> [col ...] — footer-stats profile of a remote

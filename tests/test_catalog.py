@@ -163,3 +163,33 @@ def test_engine_attach_snapshot_time_travel(spark, sf_dir, tmp_path):
         eng.sql("SELECT COUNT(*) AS n FROM nations_latest").collect()[0].n
         == nation.count()
     )
+
+
+def test_engine_attach_snapshot_refuses_to_shadow_view(spark, sf_dir, tmp_path):
+    """attach_snapshot carries the same session-catalog shadow guard as
+    attach_arrow_s3: an attach over an already-registered view raises
+    before any view is touched; replace=True (the console's \\pin
+    re-pinning path) opts in deliberately."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb import Engine
+    from pysparkdb.queries.base import tables
+    from pysparkdb.sources.versioned import snapshot_append
+
+    root = str(tmp_path / "snap")
+    nation = tables(spark, sf_dir)["nation"]
+    snapshot_append(nation.filter(F.col("n_nationkey") < 5), root)
+    eng = Engine(spark)
+    eng.attach_snapshot("nation_pin", root, version=1)
+    try:
+        with pytest.raises(ValueError, match="replace=True"):
+            eng.attach_snapshot("nation_pin", root, version=1)
+        # the refusal touched nothing: the pinned view still answers
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM nation_pin").collect()[0].n == 5
+        snapshot_append(nation.filter(F.col("n_nationkey") >= 5), root)
+        eng.attach_snapshot("nation_pin", root, replace=True)  # latest = v2
+        assert eng.sql(
+            "SELECT COUNT(*) AS n FROM nation_pin").collect()[0].n == nation.count()
+    finally:
+        spark.catalog.dropTempView("nation_pin")
