@@ -46,7 +46,12 @@ from pysparkdb.session import get_spark  # noqa: E402
 SRC = Path("/root/testdata/sf0.1")
 SCRATCH = Path(__file__).resolve().parent.parent / "spark-warehouse" / "scale_probe"
 QUERIES = ("dedup_containment", "text_winnowing", "pipeline_clean_near",
-           "graph_pagerank", "ann_quantized", "text_naive_bayes")
+           "graph_pagerank", "ann_quantized", "text_naive_bayes",
+           # round 12: the banded-LSH certificate (its exact-pair ground
+           # truth is k disjoint replicas by the tagging scheme — the
+           # probe verifies the measured exponent agrees) and the
+           # two-shuffle tok-keyed TF-IDF
+           "dedup_minhash_lsh", "text_tfidf")
 
 
 def stage(spark, k: int) -> str:
