@@ -963,13 +963,11 @@ def arrow_s3_snapshot_read(
         spark, files, conf, columns=columns, filters=filters)
 
 
-def _snapshot_manifest_files(
+def _snapshot_manifest(
     conf: S3Conf, uri: str, version: int | None = None
-) -> tuple[int, list[str]]:
-    """Resolve (version, absolute data-object paths) from a snapshot
-    manifest — the read path's planning step, shared with
-    Engine.attach_arrow_s3_snapshot (which also records the file list
-    so the footer-stats profile needs no re-LIST)."""
+) -> tuple[int, dict]:
+    """Fetch (resolved version, manifest dict) — one GET after the
+    version LIST, with version validation shared by every reader."""
     import json
 
     prefix = _strip_scheme(uri).rstrip("/")
@@ -985,9 +983,64 @@ def _snapshot_manifest_files(
         _boto3_client(conf).get_object(
             Bucket=bucket, Key=f"{keyprefix}/_manifests/v{version}.json"
         )["Body"].read())
+    return version, m
+
+
+def _snapshot_manifest_files(
+    conf: S3Conf, uri: str, version: int | None = None
+) -> tuple[int, list[str]]:
+    """Resolve (version, absolute data-object paths) from a snapshot
+    manifest — the read path's planning step, shared with
+    Engine.attach_arrow_s3_snapshot (which also records the file list
+    so the footer-stats profile needs no re-LIST)."""
+    prefix = _strip_scheme(uri).rstrip("/")
+    version, m = _snapshot_manifest(conf, uri, version)
     if not m["files"]:
         raise ValueError(f"version {version} is empty")
     return version, [f"{prefix}/{f}" for f in m["files"]]
+
+
+def arrow_s3_snapshot_diff(
+    spark: SparkSession,
+    uri: str,
+    conf: S3Conf,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str],
+    detect_updates: bool = False,
+) -> DataFrame:
+    """Change-data feed between two committed object-store snapshot
+    versions — the remote twin of the local store's ``snapshot_diff``,
+    with the SAME contract (rows tagged ``_change ∈ {'insert','delete'}``
+    by key membership; ``detect_updates=True`` adds full-row null-safe
+    ``'update'`` rows) because the shared ``_diff_tagged`` core runs the
+    identical one-key-shuffle plan; only the planning differs: two
+    manifest GETs, file-level short-circuit on the explicit lists, and
+    each side's PRIVATE objects read through the jar-less arrow reader.
+    For the usual append-only history that means an incremental consumer
+    ("ship me what changed since the version I trained on") GETs exactly
+    the appended batch objects — never the corpus; after a compaction
+    (which rewrites the file list) the private sets degrade to the full
+    snapshots and the join does the work, exactly as documented on the
+    local twin. Schema is PINNED on this tier (appends refuse drift), so
+    both sides always read under the same schema."""
+    _va, ma = _snapshot_manifest(conf, uri, from_version)
+    _vb, mb = _snapshot_manifest(conf, uri, to_version)
+    prefix = _strip_scheme(uri).rstrip("/")
+    fa, fb = set(ma["files"]), set(mb["files"])
+    only_a, only_b = sorted(fa - fb), sorted(fb - fa)
+
+    def _read(files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        return _read_parquet_files(
+            spark, [f"{prefix}/{f}" for f in files], conf)
+
+    from pysparkdb.sources.versioned import _diff_tagged
+
+    return _diff_tagged(
+        _read(only_a), _read(only_b), key_cols, detect_updates,
+        lambda: arrow_s3_snapshot_read(spark, uri, conf, to_version))
 
 
 def arrow_s3_snapshot_gc(

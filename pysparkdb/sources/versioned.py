@@ -422,9 +422,27 @@ def snapshot_diff(
         return spark.read.schema(T.StructType.fromJson(schema)).parquet(*paths)
 
     a, b = _read(only_a, ma), _read(only_b, mb)
+    return _diff_tagged(
+        a, b, key_cols, detect_updates,
+        lambda: snapshot_read(spark, root, to_version))
+
+
+def _diff_tagged(
+    a: DataFrame | None,
+    b: DataFrame | None,
+    key_cols: list[str],
+    detect_updates: bool,
+    empty_base,
+) -> DataFrame:
+    """The storage-free core of snapshot_diff: tag each side's private
+    rows insert/delete (plus full-row null-safe updates on request) with
+    one key-shuffle join. Shared verbatim by the local store's
+    snapshot_diff and the object-store arrow_s3_snapshot_diff — the CDC
+    semantics are a property of the manifest model, not of where the
+    bytes live. ``empty_base`` lazily supplies a schema-bearing frame
+    for the identical-file-lists case (no data is read from it)."""
     if a is None and b is None:  # identical file lists → empty diff
-        base = snapshot_read(spark, root, to_version)
-        return base.limit(0).withColumn("_change", F.lit(""))
+        return empty_base().limit(0).withColumn("_change", F.lit(""))
     if a is None:
         return b.withColumn("_change", F.lit("insert"))
     if b is None:

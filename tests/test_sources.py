@@ -1456,6 +1456,51 @@ class TestArrowObjectStore:
         assert keys == sorted(r.n_nationkey for r in nation.collect())
         assert 999 not in keys  # the orphan never surfaces
 
+    def test_snapshot_diff_on_object_store(self, spark, sf_dir, moto_s3):
+        """arrow_s3_snapshot_diff carries the local snapshot_diff CDC
+        contract to the object store (shared _diff_tagged core): appended
+        keys surface as inserts (reverse direction = deletes), identical
+        versions diff empty, and after a COMPACTION — which rewrites the
+        file list so the private sets degrade to the full snapshots —
+        the diff of equal row sets is still empty (the join does the
+        work the short-circuit no longer can)."""
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_compact,
+        )
+        from pysparkdb.sources.arrow_s3 import arrow_s3_snapshot_diff
+
+        root = "s3://testbkt/snapdiff/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        batch0 = nation.filter(F.col("n_nationkey") < 10)
+        batch1 = nation.filter(F.col("n_nationkey") >= 10)
+        arrow_s3_snapshot_append(batch0, root, moto_s3)            # v0
+        arrow_s3_snapshot_append(batch1, root, moto_s3)            # v1
+
+        d01 = arrow_s3_snapshot_diff(
+            spark, root, moto_s3, 0, 1, ["n_nationkey"])
+        rows = d01.collect()
+        assert {r._change for r in rows} == {"insert"}
+        assert sorted(r.n_nationkey for r in rows) == \
+            sorted(r.n_nationkey for r in batch1.collect())
+
+        d10 = arrow_s3_snapshot_diff(
+            spark, root, moto_s3, 1, 0, ["n_nationkey"])
+        assert {r._change for r in d10.collect()} == {"delete"}
+        assert arrow_s3_snapshot_diff(
+            spark, root, moto_s3, 1, 1, ["n_nationkey"]).count() == 0
+        assert "_change" in arrow_s3_snapshot_diff(
+            spark, root, moto_s3, 1, 1, ["n_nationkey"]).columns
+
+        v2 = arrow_s3_snapshot_compact(spark, root, moto_s3)       # v2
+        assert arrow_s3_snapshot_diff(
+            spark, root, moto_s3, 1, v2, ["n_nationkey"]).count() == 0
+        # across the compaction boundary the append still diffs cleanly
+        d02 = arrow_s3_snapshot_diff(
+            spark, root, moto_s3, 0, v2, ["n_nationkey"])
+        assert sorted(r.n_nationkey for r in d02.collect()) == \
+            sorted(r.n_nationkey for r in batch1.collect())
+
     def test_engine_attach_arrow_s3_snapshot_pins_version(
             self, spark, sf_dir, moto_s3):
         """The engine front door for object-store snapshots: attach at
