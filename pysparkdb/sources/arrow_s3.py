@@ -944,6 +944,56 @@ def arrow_s3_snapshot_compact(
     return version
 
 
+def arrow_s3_snapshot_rewrite(
+    df: DataFrame, uri: str, conf: S3Conf
+) -> int:
+    """Commit ``df`` as a FULL-REPLACEMENT version — the delete path of
+    the object-store snapshots (retention sweeps, right-to-erasure,
+    quality re-gating), completing the remote tier's parity with the
+    local store's ``snapshot_rewrite``: unlike append (adds objects) and
+    compact (same rows, fewer objects), the new manifest references ONLY
+    the rewritten objects, so rows absent from ``df`` are gone from this
+    version onward. History is untouched — pinned older versions keep
+    reading their original objects until ``arrow_s3_snapshot_gc``'s
+    orphan pass reclaims superseded bytes; ``arrow_s3_snapshot_diff``
+    against the parent yields the insert/delete feed downstream
+    increments consume (that pair is the complete erasure story). A full
+    replacement owns its schema outright — a rewrite may drop or retype
+    columns, since the manifest lists no historical objects the declared
+    schema must stay compatible with. Commit-collision semantics are
+    compaction's: the loser raises ``ConcurrentAppendError`` with NO
+    auto-retry, because a lost rewrite raced a commit whose rows it
+    never saw — replaying it would silently erase them; recompute from
+    the new latest and decide."""
+    import uuid
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
+    versions = arrow_s3_snapshot_versions(conf, uri)
+    if not versions:
+        raise ValueError(f"no snapshot versions committed under {uri!r}")
+    version = versions[-1] + 1
+    batch_dir = f"rewrite-{version}-{uuid.uuid4().hex}"
+    n = arrow_s3_write_parquet(df, f"{prefix}/data/{batch_dir}", conf)
+    new_files = sorted(
+        p[len(prefix) + 1:]
+        for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
+    )
+    body = {
+        "version": version,
+        "parent": versions[-1],
+        "files": new_files,  # ONLY the rewritten objects
+        "n_rows": n,
+        "schema": df.schema.json(),
+        "rewrite": True,
+        "commit_token": batch_dir,
+    }
+    _commit_manifest(
+        _boto3_client(conf), bucket,
+        f"{keyprefix}/_manifests/v{version}.json", body)
+    return version
+
+
 def arrow_s3_snapshot_read(
     spark: SparkSession,
     uri: str,

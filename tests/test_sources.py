@@ -1501,6 +1501,60 @@ class TestArrowObjectStore:
         assert sorted(r.n_nationkey for r in d02.collect()) == \
             sorted(r.n_nationkey for r in batch1.collect())
 
+    def test_snapshot_rewrite_on_object_store(self, spark, sf_dir, moto_s3):
+        """arrow_s3_snapshot_rewrite is the remote erasure path: rows
+        absent from the rewritten frame are gone from the new version
+        while the parent still time-travels to them; diff against the
+        parent feeds downstream increments (deletes + full-row updates);
+        and the GC pass reclaims the superseded objects once no retained
+        manifest references them — rewrite + GC is the complete
+        right-to-erasure story on this tier too."""
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_gc,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_rewrite,
+        )
+        from pysparkdb.sources.arrow_s3 import arrow_s3_snapshot_diff
+
+        root = "s3://testbkt/snaprw/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(nation, root, moto_s3)              # v0
+        survivors = nation.filter(F.col("n_nationkey") < 20) \
+            .withColumn("n_comment", F.lit("[scrubbed]"))
+        v1 = arrow_s3_snapshot_rewrite(survivors, root, moto_s3)
+        assert v1 == 1
+
+        live = arrow_s3_snapshot_read(spark, root, moto_s3)
+        assert live.count() == 20
+        assert {r.n_comment for r in live.select("n_comment").collect()} \
+            == {"[scrubbed]"}
+        # history untouched: v0 still reads every original row
+        assert arrow_s3_snapshot_read(
+            spark, root, moto_s3, version=0).count() == nation.count()
+
+        # the change feed downstream increments consume: erased keys are
+        # deletes; surviving keys with a scrubbed payload are updates
+        d = arrow_s3_snapshot_diff(
+            spark, root, moto_s3, 0, 1, ["n_nationkey"],
+            detect_updates=True)
+        by_change = {r._change: set() for r in d.collect()}
+        for r in d.collect():
+            by_change[r._change].add(r.n_nationkey)
+        assert by_change["delete"] == \
+            {r.n_nationkey for r in nation.collect() if r.n_nationkey >= 20}
+        assert by_change["update"] == set(range(20))
+
+        # erasure completes at the byte level once v0's manifest is the
+        # only reference and is dropped: simulate the retention horizon
+        # by deleting v0's manifest, then GC with zero grace
+        from pysparkdb.sources.arrow_s3 import _boto3_client
+        _boto3_client(moto_s3).delete_object(
+            Bucket="testbkt", Key="snaprw/nation/_manifests/v0.json")
+        deleted = arrow_s3_snapshot_gc(moto_s3, root, orphan_grace_s=0.0)
+        assert deleted, "superseded v0 objects should be reclaimed"
+        assert arrow_s3_snapshot_read(spark, root, moto_s3).count() == 20
+
     def test_engine_attach_arrow_s3_snapshot_pins_version(
             self, spark, sf_dir, moto_s3):
         """The engine front door for object-store snapshots: attach at
