@@ -901,18 +901,23 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
     from pysparkdb.sources.versioned import snapshot_append
 
     root = str(tmp_path / "snap")
-    snapshot_append(tables(spark, sf_dir)["region"], root)
+    region = tables(spark, sf_dir)["region"]
+    snapshot_append(region.filter(F.col("r_regionkey") < 3), root)   # v1
+    snapshot_append(region.filter(F.col("r_regionkey") >= 3), root)  # v2
     out = subprocess.run(
         [_sys.executable, "scripts/console.py", "--data-dir", sf_dir,
          "-c", f"\\versions {root}",
          "-c", f"\\pin regions_v1 {root} 1",
-         "-c", "SELECT COUNT(*) AS n FROM regions_v1"],
+         "-c", "SELECT COUNT(*) AS n FROM regions_v1",
+         "-c", f"\\diff {root} 1 2 r_regionkey"],
         capture_output=True, text=True,
         cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240,
     )
     assert out.returncode == 0, out.stderr[-800:]
-    assert "[1]" in out.stdout
-    assert "regions_v1: 5 rows" in out.stdout
+    assert "[1, 2]" in out.stdout
+    assert "regions_v1: 3 rows" in out.stdout
+    # the change feed: v2 appended the two high-key rows as inserts
+    assert "_change" in out.stdout and "insert" in out.stdout
 
 
 def test_console_remote_snapshot_pin_and_stats(spark, sf_dir):
@@ -955,7 +960,11 @@ def test_console_remote_snapshot_pin_and_stats(spark, sf_dir):
              "-c", f"\\versions {root}",
              "-c", f"\\pin region_v0 {root} 0",
              "-c", "SELECT COUNT(*) AS n FROM region_v0",
-             "-c", "\\stats region_v0 r_regionkey"],
+             "-c", "\\stats region_v0 r_regionkey",
+             # \diff routes s3:// through the jar-less manifest path; the
+             # re-appended rows surface as inserts (new ROWS under the
+             # documented keys-unique-per-snapshot assumption)
+             "-c", f"\\diff {root} 0 1 r_regionkey"],
             capture_output=True, text=True, env=env,
             cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240,
         )
@@ -963,6 +972,7 @@ def test_console_remote_snapshot_pin_and_stats(spark, sf_dir):
         assert "[0, 1]" in out.stdout
         assert "region_v0: 5 rows" in out.stdout  # v0 pinned, not v1's 7
         assert "r_regionkey_min" in out.stdout
+        assert "_change" in out.stdout and "insert" in out.stdout
     finally:
         server.stop()
 
