@@ -800,7 +800,8 @@ def _commit_manifest(client, bucket: str, key: str, body: dict) -> None:
 
 
 def arrow_s3_snapshot_append(
-    df: DataFrame, uri: str, conf: S3Conf, retries: int = 0
+    df: DataFrame, uri: str, conf: S3Conf, retries: int = 0,
+    epoch: int | None = None,
 ) -> int:
     """Append ``df`` as a new immutable snapshot version on the object
     store; returns the committed version. Data objects land under
@@ -881,6 +882,10 @@ def arrow_s3_snapshot_append(
             # re-aimed at a new version)
             "commit_token": batch_dir,
         }
+        if epoch is not None:
+            # streaming provenance: the micro-batch epoch that produced
+            # this version (arrow_s3_commit_epoch's replay guard)
+            body["epoch"] = epoch
         try:
             _commit_manifest(
                 client, bucket,
@@ -890,6 +895,73 @@ def arrow_s3_snapshot_append(
             if attempt >= retries:
                 raise
     raise AssertionError("unreachable")  # loop always returns or raises
+
+
+def arrow_s3_last_committed_epoch(conf: S3Conf, uri: str) -> int | None:
+    """Newest micro-batch epoch recorded by any manifest, walking versions
+    in reverse past non-streaming commits (manual appends / compactions /
+    rewrites carry no epoch) — the remote twin of the local store's
+    ``last_committed_epoch``. O(recent manifests) GETs, valid because
+    Spark epoch ids are monotonic per checkpoint."""
+    import json
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
+    client = _boto3_client(conf)
+    for v in reversed(arrow_s3_snapshot_versions(conf, uri)):
+        m = json.loads(client.get_object(
+            Bucket=bucket, Key=f"{keyprefix}/_manifests/v{v}.json"
+        )["Body"].read())
+        if m.get("epoch") is not None:
+            return m["epoch"]
+    return None
+
+
+def arrow_s3_commit_epoch(
+    batch_df: DataFrame, uri: str, conf: S3Conf, epoch_id: int,
+    retries: int = 2,
+) -> int | None:
+    """Idempotent micro-batch commit for the object-store snapshots (the
+    ``arrow_s3_snapshot_stream_sink`` body, module-level so the replay
+    guard is directly testable): append the batch as a new version
+    unless this epoch already committed one — returns the new version,
+    or None for a skipped replay. Monotonic epoch ids make
+    ``<= last_committed_epoch`` the replay test, exactly as on the local
+    tier. The append runs with ``retries`` because a maintenance
+    compaction racing the stream is expected operation — the batch is
+    epoch-new by the guard above, so auto-relanding it under the next
+    version is safe (the same batch never double-commits: a WON commit
+    records the epoch, making every later replay skip)."""
+    last = arrow_s3_last_committed_epoch(conf, uri)
+    if last is not None and epoch_id <= last:
+        return None  # replay of an already-committed batch: exactly-once
+    return arrow_s3_snapshot_append(
+        batch_df, uri, conf, retries=retries, epoch=epoch_id)
+
+
+def arrow_s3_snapshot_stream_sink(
+    stream_df: DataFrame, uri: str, conf: S3Conf, checkpoint_dir: str
+):
+    """Structured-Streaming sink committing every micro-batch as an
+    object-store snapshot version — the remote twin of the local
+    ``snapshot_stream_sink``, same contract: exactly-once WITHOUT a
+    transactional store, because foreachBatch is at-least-once and the
+    commit is idempotent on epoch_id (a replayed epoch that already has
+    a manifest is skipped). Downstream training jobs pin a version
+    (``Engine.attach_arrow_s3_snapshot``) and get a frozen corpus while
+    ingest continues; ``arrow_s3_snapshot_diff`` ships them the delta
+    when they move the pin. One checkpoint per snapshot root — epoch ids
+    are scoped to a checkpoint, so pair them for the root's lifetime.
+    Returns the DataStreamWriter; callers ``.start()`` it
+    (``trigger(availableNow=True)`` for drain-and-stop ingest)."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: arrow_s3_commit_epoch(
+                batch_df, uri, conf, epoch_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
 
 
 def arrow_s3_snapshot_compact(

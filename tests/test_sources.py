@@ -1565,6 +1565,66 @@ class TestArrowObjectStore:
         assert deleted, "superseded v0 objects should be reclaimed"
         assert arrow_s3_snapshot_read(spark, root, moto_s3).count() == 20
 
+    def test_snapshot_stream_sink_on_object_store(
+            self, spark, sf_dir, moto_s3, tmp_path):
+        """Streaming ingest STRAIGHT to the object store
+        (arrow_s3_snapshot_stream_sink): each micro-batch commits as one
+        remote snapshot version; a replayed epoch (foreachBatch's
+        at-least-once failure mode) is skipped, not double-appended; a
+        checkpoint-resumed run commits only the new data while earlier
+        versions keep time-traveling — the local sink's exactly-once
+        contract, remote."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pysparkdb.sources import (
+            arrow_s3_commit_epoch,
+            arrow_s3_last_committed_epoch,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_stream_sink,
+            arrow_s3_snapshot_versions,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        root = "s3://testbkt/snapstream/docs"
+        ckpt = str(tmp_path / "ckpt")
+        docs = tables(spark, sf_dir)["documents"]
+        schema = docs.schema
+
+        def write_file(name, df):
+            pq.write_table(pa.Table.from_pandas(df.toPandas()),
+                           str(land / name))
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(str(land))
+            q = arrow_s3_snapshot_stream_sink(
+                stream, root, moto_s3, ckpt
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+
+        write_file("a.parquet", docs.filter(F.col("doc_id") < 100))
+        drain()
+        v_first = arrow_s3_snapshot_versions(moto_s3, root)
+        assert len(v_first) >= 1
+        assert arrow_s3_snapshot_read(spark, root, moto_s3).count() == 100
+
+        # replayed epoch: a no-op, no new version
+        epoch = arrow_s3_last_committed_epoch(moto_s3, root)
+        assert epoch is not None
+        assert arrow_s3_commit_epoch(
+            docs.filter(F.col("doc_id") < 100), root, moto_s3, epoch) is None
+        assert arrow_s3_snapshot_versions(moto_s3, root) == v_first
+
+        # checkpoint resume: only the new landing file commits; the
+        # pre-resume version still reads exactly its rows
+        write_file("b.parquet",
+                   docs.filter(F.col("doc_id").between(100, 149)))
+        drain()
+        assert arrow_s3_snapshot_read(spark, root, moto_s3).count() == 150
+        assert arrow_s3_snapshot_read(
+            spark, root, moto_s3, version=v_first[-1]).count() == 100
+
     def test_engine_attach_arrow_s3_snapshot_pins_version(
             self, spark, sf_dir, moto_s3):
         """The engine front door for object-store snapshots: attach at
