@@ -897,6 +897,23 @@ def arrow_s3_snapshot_append(
     raise AssertionError("unreachable")  # loop always returns or raises
 
 
+def arrow_s3_snapshot_schema(
+    conf: S3Conf, uri: str, version: int | None = None
+):
+    """The committed StructType of ``version`` (default: latest) from its
+    manifest — the remote twin of the local ``snapshot_schema``, and the
+    zero-data-GET way to inspect a remote corpus's shape before reading
+    (one LIST + one manifest GET; no parquet footer is touched). Returns
+    None for a manifest that predates schema recording."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    _v, m = _snapshot_manifest(conf, uri, version)
+    s = m.get("schema")
+    return None if s is None else T.StructType.fromJson(_json.loads(s))
+
+
 def arrow_s3_last_committed_epoch(conf: S3Conf, uri: str) -> int | None:
     """Newest micro-batch epoch recorded by any manifest, walking versions
     in reverse past non-streaming commits (manual appends / compactions /

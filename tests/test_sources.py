@@ -1542,6 +1542,12 @@ class TestArrowObjectStore:
         # history untouched: v0 still reads every original row
         assert arrow_s3_snapshot_read(
             spark, root, moto_s3, version=0).count() == nation.count()
+        # each version's manifest owns its schema, inspectable without a
+        # single data (or footer) GET
+        from pysparkdb.sources import arrow_s3_snapshot_schema
+        assert arrow_s3_snapshot_schema(moto_s3, root, version=0) \
+            == nation.schema
+        assert arrow_s3_snapshot_schema(moto_s3, root) == survivors.schema
 
         # the change feed downstream increments consume: erased keys are
         # deletes; surviving keys with a scrubbed payload are updates
