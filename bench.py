@@ -126,6 +126,30 @@ def main() -> None:
             reads.append(time.perf_counter() - t0)
         return round(_med(reads), 3)
 
+    def compute_probe_sec(n: int = 3) -> float:
+        """Median of n shuffle+aggregate micro-jobs — the COMPUTE-BOUND
+        host-phase stamp, closing the scan probe's blind spot. Round 12's
+        closing pair read 183.4 vs 226.0 s an hour apart, BOTH with ok
+        scan probes and zero code change between them: the degradation
+        sat in shuffle/compute throughput, which one pruned scan + one
+        aggregate never touches. This probe is a fixed synthetic
+        exchange — range(4M) → hash key → group-aggregate — no IO, one
+        whole-stage-codegen span + one Exchange, so it isolates exactly
+        the tier the scan probe can't see. Stamps-only (the gate verdict
+        stays on the scan probe's frozen row) until enough recorded
+        sweeps accumulate to freeze a row; adjudications should quote
+        all three stamp pairs."""
+        from statistics import median as _med
+
+        reads = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            (spark.range(4_000_000)
+                  .selectExpr("id % 1009 AS k", "id")
+                  .groupBy("k").sum("id").collect())
+            reads.append(time.perf_counter() - t0)
+        return round(_med(reads), 3)
+
     # ---- automated phase gate (BENCH_BASELINE.md protocol) ----------
     # The round-11 record sweep was gated by a MANUAL q1/ssb1_1/q6 probe;
     # this automates it: a scan probe above PHASE_GATE_RATIO x the frozen
@@ -146,6 +170,7 @@ def main() -> None:
 
     latency_before = empty_job_ms()
     scan_before = scan_probe_sec()
+    compute_before = compute_probe_sec()
     gate_mode = os.environ.get("PYSPARKDB_BENCH_PHASE_GATE", "label")
     if gate_applicable and \
             scan_before > PHASE_GATE_RATIO * SCAN_PROBE_FROZEN_SEC:
@@ -205,6 +230,11 @@ def main() -> None:
                 # stamps read normal
                 "scan_probe_sec_before": scan_before,
                 "scan_probe_sec_after": scan_after,
+                # compute/shuffle-bound stamps (see compute_probe_sec):
+                # stamps-only — no frozen row yet, the gate verdict does
+                # not read them; quote all three pairs in adjudications
+                "compute_probe_sec_before": compute_before,
+                "compute_probe_sec_after": compute_probe_sec(),
                 # the automated phase gate's verdict: "ok" when both
                 # probes sat within PHASE_GATE_RATIO x the frozen q6 row,
                 # "degraded" otherwise — a degraded sweep must not be
