@@ -325,3 +325,35 @@ def test_weighted_sample_invariant_under_repartition(spark, sf_dir):
         .collect()
     }
     assert rep == baseline
+
+
+@given(
+    rows_a=st.lists(st.tuples(st.integers(0, 9), VALS), min_size=0,
+                    max_size=12, unique_by=lambda t: t[0]),
+    rows_b=st.lists(st.tuples(st.integers(0, 9), VALS), min_size=0,
+                    max_size=12, unique_by=lambda t: t[0]),
+)
+@settings(**_SETTINGS)
+def test_diff_tagged_matches_set_semantics(spark, rows_a, rows_b):
+    """The shared snapshot-diff core (sources/versioned.py:_diff_tagged,
+    used by both snapshot_diff and arrow_s3_snapshot_diff): against
+    brute-force set semantics over unique-keyed sides — inserts = keys
+    only in `to`, deletes = keys only in `from`, updates = keys in both
+    whose payload differs (null-safe) — for every combination of empty /
+    disjoint / overlapping key sets Hypothesis generates."""
+    from pysparkdb.sources.versioned import _diff_tagged
+
+    a = (spark.createDataFrame(rows_a, "k long, v long")
+         if rows_a else None)
+    b = (spark.createDataFrame(rows_b, "k long, v long")
+         if rows_b else None)
+    empty = lambda: spark.createDataFrame([], "k long, v long")  # noqa: E731
+    got = {
+        (r.k, r._change)
+        for r in _diff_tagged(a, b, ["k"], True, empty).collect()
+    }
+    da, db = dict(rows_a), dict(rows_b)
+    want = {(k, "insert") for k in db.keys() - da.keys()}
+    want |= {(k, "delete") for k in da.keys() - db.keys()}
+    want |= {(k, "update") for k in da.keys() & db.keys() if da[k] != db[k]}
+    assert got == want
