@@ -750,6 +750,17 @@ class ConcurrentAppendError(RuntimeError):
     the batch on the new latest version."""
 
 
+def _get_manifest(client, bucket: str, keyprefix: str, version: int) -> dict:
+    """GET + parse one version manifest — the single site for the
+    manifest key layout, shared by every reader (append's parent check,
+    compaction, GC, epoch walk, _snapshot_manifest)."""
+    import json
+
+    return json.loads(client.get_object(
+        Bucket=bucket, Key=f"{keyprefix}/_manifests/v{version}.json"
+    )["Body"].read())
+
+
 def _commit_manifest(client, bucket: str, key: str, body: dict) -> None:
     """PUT a version manifest with commit-collision detection.
 
@@ -802,6 +813,7 @@ def _commit_manifest(client, bucket: str, key: str, body: dict) -> None:
 def arrow_s3_snapshot_append(
     df: DataFrame, uri: str, conf: S3Conf, retries: int = 0,
     epoch: int | None = None,
+    _state: tuple[list[int], dict | None] | None = None,
 ) -> int:
     """Append ``df`` as a new immutable snapshot version on the object
     store; returns the committed version. Data objects land under
@@ -848,14 +860,20 @@ def arrow_s3_snapshot_append(
     n_new = -1  # batch written lazily, once, on the first attempt
     new_files: list[str] = []
     for attempt in range(max(retries, 0) + 1):
-        versions = arrow_s3_snapshot_versions(conf, uri)
+        # _state: (versions, latest manifest) a caller just fetched —
+        # arrow_s3_commit_epoch's per-micro-batch metadata reuse, so the
+        # streaming hot path pays 1 LIST + 1 GET per commit instead of 2+2.
+        # Consumed on the FIRST attempt only: a retry is a lost race, so
+        # its state is stale by definition and must re-LIST.
+        prefetched = _state if attempt == 0 else None
+        versions = (prefetched[0] if prefetched is not None
+                    else arrow_s3_snapshot_versions(conf, uri))
         version = (versions[-1] + 1) if versions else 0
         if versions:
-            prev = json.loads(
-                client.get_object(
-                    Bucket=bucket,
-                    Key=f"{keyprefix}/_manifests/v{versions[-1]}.json"
-                )["Body"].read())
+            prev = (prefetched[1]
+                    if prefetched is not None and prefetched[1] is not None
+                    else _get_manifest(client, bucket, keyprefix,
+                                       versions[-1]))
             if prev.get("schema") is not None \
                     and prev["schema"] != schema_json:
                 raise ValueError(
@@ -926,9 +944,7 @@ def arrow_s3_last_committed_epoch(conf: S3Conf, uri: str) -> int | None:
     bucket, keyprefix = _bucket_key(prefix, uri)
     client = _boto3_client(conf)
     for v in reversed(arrow_s3_snapshot_versions(conf, uri)):
-        m = json.loads(client.get_object(
-            Bucket=bucket, Key=f"{keyprefix}/_manifests/v{v}.json"
-        )["Body"].read())
+        m = _get_manifest(client, bucket, keyprefix, v)
         if m.get("epoch") is not None:
             return m["epoch"]
     return None
@@ -948,12 +964,29 @@ def arrow_s3_commit_epoch(
     compaction racing the stream is expected operation — the batch is
     epoch-new by the guard above, so auto-relanding it under the next
     version is safe (the same batch never double-commits: a WON commit
-    records the epoch, making every later replay skip)."""
-    last = arrow_s3_last_committed_epoch(conf, uri)
+    records the epoch, making every later replay skip). The epoch walk's
+    LIST + newest-manifest GET are REUSED by the append's first attempt
+    (its `_state` hook), so a committed micro-batch costs one LIST + one
+    manifest GET of metadata, not two of each — at second-scale triggers
+    on a billable store the doubling is real money."""
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
+    client = _boto3_client(conf)
+    versions = arrow_s3_snapshot_versions(conf, uri)
+    latest = None  # versions[-1]'s manifest (append's schema-check GET)
+    last = None
+    for v in reversed(versions):
+        m = _get_manifest(client, bucket, keyprefix, v)
+        if latest is None:
+            latest = m
+        if m.get("epoch") is not None:
+            last = m["epoch"]
+            break
     if last is not None and epoch_id <= last:
         return None  # replay of an already-committed batch: exactly-once
     return arrow_s3_snapshot_append(
-        batch_df, uri, conf, retries=retries, epoch=epoch_id)
+        batch_df, uri, conf, retries=retries, epoch=epoch_id,
+        _state=(versions, latest))
 
 
 def arrow_s3_snapshot_stream_sink(
@@ -1013,9 +1046,7 @@ def arrow_s3_snapshot_compact(
         for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
     ]
     client = _boto3_client(conf)
-    prev = json.loads(client.get_object(
-        Bucket=bucket, Key=f"{keyprefix}/_manifests/v{versions[-1]}.json"
-    )["Body"].read())
+    prev = _get_manifest(client, bucket, keyprefix, versions[-1])
     body = {
         "version": version,
         "parent": versions[-1],
@@ -1096,10 +1127,29 @@ def arrow_s3_snapshot_read(
     eventual-consistency window, identical bytes on every replay; the
     time-travel contract of the local snapshot store on the jar-less
     object-store path). Column pruning and DNF row-group skipping apply
-    as in arrow_s3_read_parquet."""
-    _version, files = _snapshot_manifest_files(conf, uri, version)
+    as in arrow_s3_read_parquet. A version whose manifest lists NO
+    objects — an all-rows-erased ``arrow_s3_snapshot_rewrite``, the
+    erasure path's terminal state — reads back as the EMPTY frame under
+    its committed schema, exactly as the local twin does (an unreadable
+    latest version would strand the store until the next append)."""
+    version, m = _snapshot_manifest(conf, uri, version)
+    if not m["files"]:
+        schema_json = m.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"version {version} is empty and predates schema "
+                f"recording — nothing to reconstruct a frame from")
+        import json
+
+        from pyspark.sql import types as T
+
+        out = spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(schema_json)))
+        return out.select(*columns) if columns else out
+    prefix = _strip_scheme(uri).rstrip("/")
     return _read_parquet_files(
-        spark, files, conf, columns=columns, filters=filters)
+        spark, [f"{prefix}/{f}" for f in m["files"]], conf,
+        columns=columns, filters=filters)
 
 
 def _snapshot_manifest(
@@ -1118,11 +1168,8 @@ def _snapshot_manifest(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
-    m = json.loads(
-        _boto3_client(conf).get_object(
-            Bucket=bucket, Key=f"{keyprefix}/_manifests/v{version}.json"
-        )["Body"].read())
-    return version, m
+    return version, _get_manifest(_boto3_client(conf), bucket,
+                                   keyprefix, version)
 
 
 def _snapshot_manifest_files(
@@ -1161,24 +1208,35 @@ def arrow_s3_snapshot_diff(
     the appended batch objects — never the corpus; after a compaction
     (which rewrites the file list) the private sets degrade to the full
     snapshots and the join does the work, exactly as documented on the
-    local twin. Schema is PINNED on this tier (appends refuse drift), so
-    both sides always read under the same schema."""
+    local twin. Each side reads under ITS manifest's committed schema
+    (appends refuse drift, but ``arrow_s3_snapshot_rewrite`` may drop or
+    retype columns — across such a boundary footer inference would read
+    the sides under divergent ad-hoc schemas; the local twin pins
+    per-side schemas for the same reason, and ``_diff_tagged`` reconciles
+    the declared difference via allowMissingColumns + typed nulls)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
     _va, ma = _snapshot_manifest(conf, uri, from_version)
     _vb, mb = _snapshot_manifest(conf, uri, to_version)
     prefix = _strip_scheme(uri).rstrip("/")
     fa, fb = set(ma["files"]), set(mb["files"])
     only_a, only_b = sorted(fa - fb), sorted(fb - fa)
 
-    def _read(files: list[str]) -> DataFrame | None:
+    def _read(files: list[str], manifest: dict) -> DataFrame | None:
         if not files:
             return None
+        s = manifest.get("schema")
         return _read_parquet_files(
-            spark, [f"{prefix}/{f}" for f in files], conf)
+            spark, [f"{prefix}/{f}" for f in files], conf,
+            schema=None if s is None
+            else T.StructType.fromJson(_json.loads(s)))
 
     from pysparkdb.sources.versioned import _diff_tagged
 
     return _diff_tagged(
-        _read(only_a), _read(only_b), key_cols, detect_updates,
+        _read(only_a, ma), _read(only_b, mb), key_cols, detect_updates,
         lambda: arrow_s3_snapshot_read(spark, uri, conf, to_version))
 
 
@@ -1205,10 +1263,8 @@ def arrow_s3_snapshot_gc(
     client = _boto3_client(conf)
     referenced: set[str] = set()
     for v in arrow_s3_snapshot_versions(conf, uri):
-        m = json.loads(client.get_object(
-            Bucket=bucket, Key=f"{keyprefix}/_manifests/v{v}.json"
-        )["Body"].read())
-        referenced.update(m["files"])
+        referenced.update(
+            _get_manifest(client, bucket, keyprefix, v)["files"])
 
     from pyarrow.fs import FileSelector, FileType
 

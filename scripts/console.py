@@ -152,6 +152,7 @@ def main(argv: list[str] | None = None) -> int:
         data_dir=args.data_dir,
     )
     timing, transfer = True, False
+    pinned: set[str] = set()  # view names THIS console pinned (see \pin)
 
     def dispatch(stmt: str) -> bool:
         nonlocal timing, transfer
@@ -190,20 +191,26 @@ def main(argv: list[str] | None = None) -> int:
             # a queryable view (time travel through the SQL front door);
             # an s3://-rooted snapshot pins through the jar-less manifest
             # path (connection from the standard AWS_* env vars).
-            # replace=True: interactive re-pinning of the same view name
-            # at another version is the command's point.
+            # replace is granted ONLY for names this console pinned
+            # earlier — interactive RE-pinning is the command's point, but
+            # a blanket replace=True would let one typo'd \pin silently
+            # repoint a registered catalog table (the exact shadowing the
+            # engine guard refuses); clobbering those surfaces the
+            # engine's refusal instead.
             parts = s[len("\\pin"):].split()
             if len(parts) not in (2, 3):
                 print("usage: \\pin <view> <root> [version]", file=sys.stderr)
             else:
                 ver = int(parts[2]) if len(parts) == 3 else None
+                rep = parts[0] in pinned
                 if parts[1].startswith(("s3://", "s3a://")):
                     df = eng.attach_arrow_s3_snapshot(
                         parts[0], parts[1], _s3conf_from_env(), ver,
-                        replace=True)
+                        replace=rep)
                 else:
                     df = eng.attach_snapshot(parts[0], parts[1], ver,
-                                             replace=True)
+                                             replace=rep)
+                pinned.add(parts[0])
                 print(f"{parts[0]}: {df.count()} rows")
         elif s.startswith("\\diff"):
             # \diff <root> <from> <to> <key[,key...]> — the change feed

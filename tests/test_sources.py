@@ -919,6 +919,22 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
     # the change feed: v2 appended the two high-key rows as inserts
     assert "_change" in out.stdout and "insert" in out.stdout
 
+    # \pin must NOT clobber a registered catalog table: the console only
+    # grants replace to names it pinned itself, so the engine's shadow
+    # guard surfaces as an error (batch mode exits nonzero) and the
+    # catalog view keeps answering
+    out2 = subprocess.run(
+        [_sys.executable, "scripts/console.py", "--data-dir", sf_dir,
+         "-c", f"\\pin region {root} 1",
+         "-c", "SELECT COUNT(*) AS n FROM region"],
+        capture_output=True, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240,
+    )
+    assert out2.returncode == 1
+    assert "replace=True" in out2.stderr
+    assert "region:" not in out2.stdout  # the pin never went through
+    assert "5" in out2.stdout  # catalog region (5 rows), not the 3-row pin
+
 
 def test_console_remote_snapshot_pin_and_stats(spark, sf_dir):
     """Console parity for OBJECT-STORE snapshots: \\versions and \\pin
@@ -1561,6 +1577,32 @@ class TestArrowObjectStore:
             {r.n_nationkey for r in nation.collect() if r.n_nationkey >= 20}
         assert by_change["update"] == set(range(20))
 
+        # a rewrite may DROP columns (it owns its schema): across that
+        # boundary the diff reads each side under ITS committed schema —
+        # footer inference would read divergent ad-hoc schemas — and the
+        # dropped non-null payload surfaces as updates
+        dropped = survivors.drop("n_comment")
+        v2 = arrow_s3_snapshot_rewrite(dropped, root, moto_s3)
+        assert arrow_s3_snapshot_schema(moto_s3, root) == dropped.schema
+        d12 = arrow_s3_snapshot_diff(
+            spark, root, moto_s3, v1, v2, ["n_nationkey"],
+            detect_updates=True)
+        rows12 = d12.collect()
+        assert {r._change for r in rows12} == {"update"}
+        assert len(rows12) == 20
+
+        # the erasure terminal state: rewriting to EMPTY commits
+        # files: [] and must read back as the EMPTY frame under the
+        # committed schema (an unreadable latest would strand the store)
+        v3 = arrow_s3_snapshot_rewrite(
+            dropped.filter(F.lit(False)), root, moto_s3)
+        empty = arrow_s3_snapshot_read(spark, root, moto_s3)
+        assert empty.count() == 0 and empty.schema == dropped.schema
+        d23 = arrow_s3_snapshot_diff(
+            spark, root, moto_s3, v2, v3, ["n_nationkey"])
+        assert {r._change for r in d23.collect()} == {"delete"}
+        assert d23.count() == 20
+
         # erasure completes at the byte level once v0's manifest is the
         # only reference and is dropped: simulate the retention horizon
         # by deleting v0's manifest, then GC with zero grace
@@ -1569,7 +1611,7 @@ class TestArrowObjectStore:
             Bucket="testbkt", Key="snaprw/nation/_manifests/v0.json")
         deleted = arrow_s3_snapshot_gc(moto_s3, root, orphan_grace_s=0.0)
         assert deleted, "superseded v0 objects should be reclaimed"
-        assert arrow_s3_snapshot_read(spark, root, moto_s3).count() == 20
+        assert arrow_s3_snapshot_read(spark, root, moto_s3).count() == 0
 
     def test_snapshot_stream_sink_on_object_store(
             self, spark, sf_dir, moto_s3, tmp_path):
