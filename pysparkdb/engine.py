@@ -73,20 +73,37 @@ _PUSHDOWN_CONFS = (
 )
 
 
+from typing import NamedTuple  # noqa: E402
+
+
+class _RemoteAttach(NamedTuple):
+    """One attach_arrow_s3 / attach_arrow_s3_snapshot registration."""
+
+    files: list[str]   # absolute data-object paths (the attach's plan)
+    conf: object       # S3Conf
+    df: DataFrame      # the registered plan (identity check for stats)
+    nbytes: int | None  # total data bytes, None = unknown (legacy manifest)
+    origin: str        # stable identity (prefix / uri@version) for cache keys
+
+
 class Engine:
     def __init__(self, spark: SparkSession | None = None, data_dir: str | None = None):
         self.spark = apply_engine_confs(spark or get_spark())
         self.catalog: Catalog | None = None
         self._mode = "pushdown"
         self._segment_cache = None
-        # attach_arrow_s3 registry: view name -> (file list, S3Conf,
-        # registered DataFrame), so arrow_s3_table_stats can profile an
-        # attached view with ZERO further LIST RPCs (the attach's one
-        # LIST already named every object). The DataFrame is kept so the
-        # stats call can verify the session view still IS the attach's
-        # plan — a view replaced by other means would otherwise be
-        # profiled against a stale file list.
-        self._arrow_s3_tables: dict[str, tuple[list[str], object, DataFrame]] = {}
+        # attach_arrow_s3 registry: view name -> _RemoteAttach, so
+        # arrow_s3_table_stats can profile an attached view with ZERO
+        # further LIST RPCs (the attach's one LIST already named every
+        # object). The DataFrame is kept so the stats call can verify the
+        # session view still IS the attach's plan — a view replaced by
+        # other means would otherwise be profiled against a stale file
+        # list. nbytes (total data bytes, from the LIST / the manifest)
+        # sizes the table for predicate-transfer ordering and cache
+        # admission — a mapInArrow plan's own optimizer stats see only
+        # the tiny task list, so without it a 100 TB remote fact table
+        # would masquerade as broadcast-small.
+        self._arrow_s3_tables: dict[str, _RemoteAttach] = {}
         # per-ENGINE predicate_transfer="auto" crossover (bytes/core):
         # an instance attribute so a caller tuning or force-flipping the
         # threshold (tests, the q5_auto certificate query) affects only
@@ -314,26 +331,51 @@ class Engine:
         with _RESOLVE_LOCK:
             df = self.spark.sql(query, args=args) if args else self.spark.sql(query)
         if not predicate_transfer:
-            if self._mode in ("caching", "hybrid") and self.catalog is not None:
+            if self._mode in ("caching", "hybrid") and (
+                self.catalog is not None or self._arrow_s3_tables
+            ):
                 return self._route_views_through_cache(df, query, args)
             return df
-        assert self.catalog is not None, "call attach(data_dir) first"
+        # The transferable table universe: the local catalog plus every
+        # remote-attached view (attach_arrow_s3 / attach_arrow_s3_snapshot)
+        # — the reference applies its pre-pass to S3-backed tables in the
+        # first place, so the remote tier must be eligible here too.
+        base_tables: dict[str, DataFrame] = dict(
+            self.catalog.tables) if self.catalog is not None else {}
+        for rname, att in self._arrow_s3_tables.items():
+            base_tables[rname] = att.df
+        assert base_tables, "attach a data_dir or remote tables first"
         from pysparkdb.plans.predicate_transfer import (
             _plan_bytes,
             extract_join_edges,
             predicate_transfer as _transfer,
         )
 
-        edges = extract_join_edges(df, self.catalog.tables)
+        edges = extract_join_edges(df, base_tables)
         if not edges:
             return df
         edge_tables = {e.left for e in edges} | {e.right for e in edges}
-        sizes = {n: _plan_bytes(self.catalog.tables[n]) for n in edge_tables}
+        # Sizing: local tables read optimizer plan stats (parquet footers,
+        # free); remote mapInArrow plans' stats see only the task list, so
+        # their size is the attach-recorded byte total — unknown (legacy
+        # manifest without "bytes") means ∞: the table still RECEIVES
+        # reductions but is never trusted as broadcast-small, the only
+        # safe default for what may be a 100 TB corpus.
+        sizes = {
+            n: (
+                (self._arrow_s3_tables[n].nbytes
+                 if self._arrow_s3_tables[n].nbytes is not None
+                 else float("inf"))
+                if n in self._arrow_s3_tables
+                else _plan_bytes(base_tables[n])
+            )
+            for n in edge_tables
+        }
         if predicate_transfer == "auto":
             cores = self.spark.sparkContext.defaultParallelism
             if max(sizes.values()) < self.auto_bytes_per_core * cores:
                 return df  # below the measured crossover: plain plan wins
-        reduced = _transfer(dict(self.catalog.tables), edges, sizes=sizes)
+        reduced = _transfer(base_tables, edges, sizes=sizes)
         # Re-resolve the same text against the reduced relations: temp views
         # are swapped only while spark.sql() analyzes the string (resolution
         # happens at creation; the returned DataFrame keeps its plan), then
@@ -345,8 +387,44 @@ class Engine:
                 return (self.spark.sql(query, args=args) if args
                         else self.spark.sql(query))
             finally:
-                for name, odf in self.catalog.tables.items():
+                for name, odf in base_tables.items():
                     odf.createOrReplaceTempView(name)
+
+    def _remote_view_columns(self, df: DataFrame) -> dict[str, set]:
+        """Per remote-attached view, the columns THIS query actually
+        references — the working set the segment cache routes for the
+        jar-less tier. The local tables' plan-walk (leaf file paths
+        against catalog paths) cannot attribute a mapInArrow scan, whose
+        leaf is the task list; here attribution is by VIEW NAME on the
+        ANALYZED plan (resolved temp views keep their SubqueryAlias
+        wrapper there), and the working set is the view-output attributes
+        whose exprIds any operator references (or the query returns)."""
+        analyzed = df._jdf.queryExecution().analyzed()
+        used_ids: set[int] = set()
+        out = analyzed.output()
+        for i in range(out.size()):
+            used_ids.add(out.apply(i).exprId().id())
+        per_view: dict[str, list[tuple[str, int]]] = {}
+
+        def walk(node):
+            refs = node.references().iterator()
+            while refs.hasNext():
+                used_ids.add(refs.next().exprId().id())
+            if node.getClass().getSimpleName() == "SubqueryAlias":
+                name = node.alias()
+                if name in self._arrow_s3_tables:
+                    o = node.output()
+                    per_view.setdefault(name, []).extend(
+                        (o.apply(i).name(), o.apply(i).exprId().id())
+                        for i in range(o.size()))
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(analyzed)
+        return {
+            name: {c for c, eid in pairs if eid in used_ids}
+            for name, pairs in per_view.items()
+        }
 
     def _route_views_through_cache(
         self, df: DataFrame, query: str, args: dict | list | None
@@ -358,12 +436,23 @@ class Engine:
         transfer view-swap pattern, under the same resolution lock. A
         first-seen working set admits (miss: the load obeys the session's
         pushdown confs — off in caching mode, on in hybrid); repeats and
-        subset requests serve from the InMemoryRelation."""
+        subset requests serve from the InMemoryRelation.
+
+        Remote-attached views (attach_arrow_s3 / attach_arrow_s3_snapshot)
+        route through the SAME cache — the reference's hybrid economics
+        (hot columns cached compute-side, cold pushed to storage:
+        PrePToS3PTransformer.cpp:309-461) apply to actual remote data,
+        which is where a segment cache pays for itself at 100 TB: a
+        cached segment turns repeat object-store GET + decode into an
+        in-memory columnar read. Admission is sized by the attach's
+        recorded byte total prorated to the working set (a mapInArrow
+        plan's own stats see only the task list); a legacy attach with
+        UNKNOWN bytes is served uncached rather than admitted blind —
+        an unsized admission could pin a corpus-scale segment."""
         assert self._segment_cache is not None
-        needed = self._leaf_columns_by_table(df)
-        if not needed:
-            return df
-        data_dir = self.catalog.data_dir
+        needed = (self._leaf_columns_by_table(df)
+                  if self.catalog is not None else {})
+        data_dir = self.catalog.data_dir if self.catalog is not None else ""
         # Project in each table's DECLARED column order (cache identity is
         # canonicalized inside project(), which sorts its key): a sorted
         # projection would make SELECT * return alphabetized columns in
@@ -377,8 +466,25 @@ class Engine:
             )
             for name, cols in needed.items()
         }
+        for name, cols in self._remote_view_columns(df).items():
+            att = self._arrow_s3_tables[name]
+            if not cols or att.nbytes is None or not att.files:
+                continue  # unsized or empty attach: plain plan
+            want = [c for c in att.df.columns if c in cols]
+            routed[name] = self._segment_cache.project(
+                att.df, f"{name}@{att.origin}", want,
+                size_hint=max(
+                    1, att.nbytes * len(want) // max(len(att.df.columns), 1)
+                ),
+            )
+        if not routed:
+            return df
         from pyspark.errors import AnalysisException
 
+        restore = {n: self.catalog.tables[n] for n in needed} if needed else {}
+        for name in routed:
+            if name not in restore:
+                restore[name] = self._arrow_s3_tables[name].df
         with _RESOLVE_LOCK:
             try:
                 for name, rdf in routed.items():
@@ -394,7 +500,7 @@ class Engine:
                 # cache is an optimization, never a correctness gate.
                 return df
             finally:
-                for name, odf in self.catalog.tables.items():
+                for name, odf in restore.items():
                     odf.createOrReplaceTempView(name)
 
     def table(self, name: str) -> DataFrame:
@@ -440,9 +546,18 @@ class Engine:
         is the manifest's EXPLICIT file list (no LIST over the data
         prefix, no eventual-consistency window), and the same list is
         recorded for ``arrow_s3_table_stats`` so the footer-stats
-        profile of the pinned view issues zero further LISTs. Shadowing
-        an already-registered view refuses without ``replace=True``,
+        profile of the pinned view issues zero further LISTs. A version
+        whose manifest lists NO objects (an all-rows-erased
+        ``arrow_s3_snapshot_rewrite`` — the erasure terminal state)
+        registers as the EMPTY view under its committed schema, exactly
+        as ``arrow_s3_snapshot_read`` reads it: the engine front door
+        must be able to pin what the read path can read. Shadowing an
+        already-registered view refuses without ``replace=True``,
         exactly as attach_arrow_s3."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
         from pysparkdb.sources.arrow_s3 import (
             _read_parquet_files,
             _snapshot_manifest_files,
@@ -453,10 +568,21 @@ class Engine:
                 f"attach_arrow_s3_snapshot({name!r}) would replace an "
                 f"already-registered view; pass replace=True to do this "
                 f"deliberately (no view was touched)")
-        _version, files = _snapshot_manifest_files(conf, uri, version)
-        df = _read_parquet_files(self.spark, files, conf)
+        _version, files, manifest = _snapshot_manifest_files(
+            conf, uri, version)
+        if files:
+            df = _read_parquet_files(self.spark, files, conf)
+        else:
+            schema_json = manifest.get("schema")
+            if schema_json is None:
+                raise ValueError(
+                    f"version {_version} is empty and predates schema "
+                    f"recording — nothing to reconstruct a view from")
+            df = self.spark.createDataFrame(
+                [], T.StructType.fromJson(_json.loads(schema_json)))
         df.createOrReplaceTempView(name)
-        self._arrow_s3_tables[name] = (files, conf, df)
+        self._arrow_s3_tables[name] = _RemoteAttach(
+            files, conf, df, manifest.get("bytes"), f"{uri}@v{_version}")
         return df
 
     def attach_arrow_s3(
@@ -503,7 +629,8 @@ class Engine:
         # union their files into one view (late schema errors, or worse,
         # a same-schema wrong-rows merge).
         origins: dict[str, tuple[str, str]] = {}
-        for path, _ in arrow_s3_list(conf, base):
+        sizes: dict[str, int] = {}
+        for path, sz in arrow_s3_list(conf, base):
             rel = path[len(base) + 1:]
             seg = rel.split("/", 1)[0]
             name = seg.removesuffix(".parquet")
@@ -518,6 +645,7 @@ class Engine:
                     f"attach would silently merge their files into one "
                     f"view — rename one")
             groups.setdefault(name, []).append(path)
+            sizes[name] = sizes.get(name, 0) + sz
         if not replace:
             shadowed = sorted(
                 n for n in groups if self.spark.catalog.tableExists(n))
@@ -532,7 +660,8 @@ class Engine:
         for name, files in sorted(groups.items()):
             df = _read_parquet_files(self.spark, sorted(files), conf)
             df.createOrReplaceTempView(name)
-            self._arrow_s3_tables[name] = (sorted(files), conf, df)
+            self._arrow_s3_tables[name] = _RemoteAttach(
+                sorted(files), conf, df, sizes[name], f"{prefix}/{name}")
             out[name] = df
         return out
 
@@ -558,7 +687,7 @@ class Engine:
                 f"(attached: {sorted(self._arrow_s3_tables) or 'none'})")
         from pysparkdb.sources.arrow_s3 import _scan_stats_files
 
-        files, conf, attached_df = self._arrow_s3_tables[name]
+        files, conf, attached_df = self._arrow_s3_tables[name][:3]
         # the file list certifies the ATTACHED plan; if the session view
         # was replaced since (another attach, createOrReplaceTempView by
         # other means, a dropped-and-recreated table), profiling the old
@@ -574,6 +703,20 @@ class Engine:
                 f"view {name!r} no longer resolves to the plan "
                 f"attach_arrow_s3 registered (it was replaced or dropped "
                 f"since) — re-attach before profiling")
+        if not files:
+            # an all-rows-erased pinned version: the profile is exact by
+            # construction (0 rows, 0 nulls, no min/max to certify) and
+            # costs zero GETs — same column shape as the footer path
+            from pyspark.sql import functions as F
+
+            bad = [c for c in (columns or [])
+                   if c not in attached_df.columns]
+            if bad:
+                raise ValueError(f"column {bad[0]!r} not in parquet schema")
+            sel = [F.lit(0).cast("long").alias("rows")]
+            sel += [F.lit(0).cast("long").alias(f"{c}_nulls")
+                    for c in (columns or [])]
+            return self.spark.range(1).select(*sel)
         return _scan_stats_files(
             self.spark, files, conf, columns=columns,
             assume_no_nan=assume_no_nan)

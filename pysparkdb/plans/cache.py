@@ -114,14 +114,20 @@ class SegmentCacheManager:
             return float("-inf")  # never used again → best victim
         return e.hits * max(e.size_bytes, 1)  # wlfu: frequency × recompute cost
 
-    def project(self, df: DataFrame, table: str, columns: list[str]) -> DataFrame:
+    def project(
+        self, df: DataFrame, table: str, columns: list[str],
+        size_hint: int | None = None,
+    ) -> DataFrame:
         """Serve a column projection through the cache.
 
         Hit: the exact (table, columns) projection — or a cached superset
         projection — is returned (Catalyst reuses the InMemoryRelation for
         subset column requests too). Miss: the projection is admitted if it
         fits after policy-ordered eviction, then returned; if it cannot fit
-        it is returned uncached (pullup path).
+        it is returned uncached (pullup path). ``size_hint`` overrides the
+        optimizer plan-stat estimate for admission accounting — required
+        for plans whose stats don't see the data they move (a mapInArrow
+        remote scan's stats cover only its task list).
         """
         key = (table, tuple(sorted(columns)))
         now = time.monotonic()
@@ -138,7 +144,7 @@ class SegmentCacheManager:
         if not self._pinned:
             self.miss_count += 1
         proj = df.select(*columns)
-        size = _plan_size_bytes(proj)
+        size = size_hint if size_hint is not None else _plan_size_bytes(proj)
         if self._admit(size):
             proj = proj.cache()
             self.entries[key] = _Entry(proj, key[1], size, hits=1, last_access=now)

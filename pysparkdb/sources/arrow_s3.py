@@ -761,6 +761,21 @@ def _get_manifest(client, bucket: str, keyprefix: str, version: int) -> dict:
     )["Body"].read())
 
 
+def _manifest_epoch(m: dict) -> int | None:
+    """The newest micro-batch epoch a manifest can answer for: its own
+    ``epoch`` (a streaming commit) or the ``last_epoch`` that appends,
+    compactions and rewrites PROPAGATE forward from their parent. The
+    propagation keeps the replay guard O(1): without it a maintenance-only
+    manifest tail (compactions, erasure rewrites, manual appends) forces
+    every micro-batch commit to GET backwards through all of it before the
+    epoch check can answer — on a billable store that walk undercuts the
+    1-LIST+1-GET hot path. With it the NEWEST manifest always answers in
+    the one GET the commit already pays (legacy manifests predating the
+    field still fall through to the bounded walk)."""
+    e = m.get("epoch")
+    return e if e is not None else m.get("last_epoch")
+
+
 def _commit_manifest(client, bucket: str, key: str, body: dict) -> None:
     """PUT a version manifest with commit-collision detection.
 
@@ -817,7 +832,9 @@ def arrow_s3_snapshot_append(
 ) -> int:
     """Append ``df`` as a new immutable snapshot version on the object
     store; returns the committed version. Data objects land under
-    ``data/batch-{version}-{uuid}/`` via the distributed single-PUT
+    ``data/batch-{uuid}/`` (version-agnostic on purpose — only the
+    manifest binds a batch to a version, so a lost-race retry re-commits
+    the SAME objects under the next version) via the distributed single-PUT
     writer; the commit is ONE manifest PUT listing the parent's objects
     plus the new batch — readers before the PUT see the old version,
     readers after see the new one, and a crash between data PUTs and the
@@ -881,14 +898,13 @@ def arrow_s3_snapshot_append(
                     f"committed schema under {uri!r}; these snapshots pin "
                     f"bytes — evolve schemas through sources/versioned.py")
         else:
-            prev = {"files": [], "n_rows": 0}
+            prev = {"files": [], "n_rows": 0, "bytes": 0}
         if n_new < 0:
             n_new = arrow_s3_write_parquet(
                 df, f"{prefix}/data/{batch_dir}", conf)
-            new_files = sorted(
-                p[len(prefix) + 1:]
-                for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
-            )
+            listed = arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
+            new_files = sorted(p[len(prefix) + 1:] for p, _ in listed)
+            new_bytes = sum(sz for _, sz in listed)
         body = {
             "version": version,
             "parent": versions[-1] if versions else None,
@@ -900,6 +916,19 @@ def arrow_s3_snapshot_append(
             # re-aimed at a new version)
             "commit_token": batch_dir,
         }
+        # total data bytes this version references — free metadata (the
+        # batch LIST already returned sizes) that lets a snapshot attach
+        # size the table for predicate-transfer ordering / broadcast
+        # cutoffs without a LIST or per-object HEADs. Omitted (unknown)
+        # when the parent predates the field: a partial sum would
+        # understate the table and flip a broadcast decision the wrong way.
+        if prev.get("bytes") is not None:
+            body["bytes"] = prev["bytes"] + new_bytes
+        prev_epoch = _manifest_epoch(prev)
+        if epoch is None and prev_epoch is not None:
+            # forward the replay horizon (see _manifest_epoch): a manual
+            # append must not hide the streaming history behind itself
+            body["last_epoch"] = prev_epoch
         if epoch is not None:
             # streaming provenance: the micro-batch epoch that produced
             # this version (arrow_s3_commit_epoch's replay guard)
@@ -933,20 +962,20 @@ def arrow_s3_snapshot_schema(
 
 
 def arrow_s3_last_committed_epoch(conf: S3Conf, uri: str) -> int | None:
-    """Newest micro-batch epoch recorded by any manifest, walking versions
-    in reverse past non-streaming commits (manual appends / compactions /
-    rewrites carry no epoch) — the remote twin of the local store's
-    ``last_committed_epoch``. O(recent manifests) GETs, valid because
-    Spark epoch ids are monotonic per checkpoint."""
-    import json
-
+    """Newest micro-batch epoch recorded by any manifest — the remote twin
+    of the local store's ``last_committed_epoch``. On any root written by
+    this version the NEWEST manifest answers directly (appends,
+    compactions and rewrites propagate ``last_epoch`` forward — see
+    ``_manifest_epoch``), so the call is one LIST + one GET; only legacy
+    manifests predating the field fall back to the reverse walk, valid
+    because Spark epoch ids are monotonic per checkpoint."""
     prefix = _strip_scheme(uri).rstrip("/")
     bucket, keyprefix = _bucket_key(prefix, uri)
     client = _boto3_client(conf)
     for v in reversed(arrow_s3_snapshot_versions(conf, uri)):
-        m = _get_manifest(client, bucket, keyprefix, v)
-        if m.get("epoch") is not None:
-            return m["epoch"]
+        e = _manifest_epoch(_get_manifest(client, bucket, keyprefix, v))
+        if e is not None:
+            return e
     return None
 
 
@@ -979,8 +1008,9 @@ def arrow_s3_commit_epoch(
         m = _get_manifest(client, bucket, keyprefix, v)
         if latest is None:
             latest = m
-        if m.get("epoch") is not None:
-            last = m["epoch"]
+        e = _manifest_epoch(m)
+        if e is not None:
+            last = e
             break
     if last is not None and epoch_id <= last:
         return None  # replay of an already-committed batch: exactly-once
@@ -1041,10 +1071,8 @@ def arrow_s3_snapshot_compact(
     n = arrow_s3_write_parquet(
         current.repartition(target_objects), f"{prefix}/data/{batch_dir}",
         conf)
-    new_files = [
-        p[len(prefix) + 1:]
-        for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
-    ]
+    listed = arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
+    new_files = [p[len(prefix) + 1:] for p, _ in listed]
     client = _boto3_client(conf)
     prev = _get_manifest(client, bucket, keyprefix, versions[-1])
     body = {
@@ -1052,10 +1080,16 @@ def arrow_s3_snapshot_compact(
         "parent": versions[-1],
         "files": sorted(new_files),  # ONLY the compacted objects
         "n_rows": n,
+        "bytes": sum(sz for _, sz in listed),
         "schema": prev.get("schema"),
         "compaction": True,
         "commit_token": batch_dir,
     }
+    prev_epoch = _manifest_epoch(prev)
+    if prev_epoch is not None:
+        # forward the streaming replay horizon so the newest manifest
+        # keeps answering the epoch check in one GET (_manifest_epoch)
+        body["last_epoch"] = prev_epoch
     # compaction races like any append: an appender that committed this
     # version first must win (losing a compaction is cheap — retry;
     # losing an APPEND loses data)
@@ -1075,9 +1109,11 @@ def arrow_s3_snapshot_rewrite(
     the rewritten objects, so rows absent from ``df`` are gone from this
     version onward. History is untouched — pinned older versions keep
     reading their original objects until ``arrow_s3_snapshot_gc``'s
-    orphan pass reclaims superseded bytes; ``arrow_s3_snapshot_diff``
+    version-horizon expiry (``retain_versions``) drops their manifests
+    and reclaims the superseded bytes; ``arrow_s3_snapshot_diff``
     against the parent yields the insert/delete feed downstream
-    increments consume (that pair is the complete erasure story). A full
+    increments consume (rewrite + horizon expiry is the complete
+    erasure story — rewrite alone only erases going forward). A full
     replacement owns its schema outright — a rewrite may drop or retype
     columns, since the manifest lists no historical objects the declared
     schema must stay compatible with. Commit-collision semantics are
@@ -1095,21 +1131,27 @@ def arrow_s3_snapshot_rewrite(
     version = versions[-1] + 1
     batch_dir = f"rewrite-{version}-{uuid.uuid4().hex}"
     n = arrow_s3_write_parquet(df, f"{prefix}/data/{batch_dir}", conf)
-    new_files = sorted(
-        p[len(prefix) + 1:]
-        for p, _ in arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
-    )
+    listed = arrow_s3_list(conf, f"{prefix}/data/{batch_dir}")
+    new_files = sorted(p[len(prefix) + 1:] for p, _ in listed)
+    client = _boto3_client(conf)
     body = {
         "version": version,
         "parent": versions[-1],
         "files": new_files,  # ONLY the rewritten objects
         "n_rows": n,
+        "bytes": sum(sz for _, sz in listed),
         "schema": df.schema.json(),
         "rewrite": True,
         "commit_token": batch_dir,
     }
+    prev_epoch = _manifest_epoch(
+        _get_manifest(client, bucket, keyprefix, versions[-1]))
+    if prev_epoch is not None:
+        # forward the streaming replay horizon (_manifest_epoch): an
+        # erasure rewrite must not reopen the door to a replayed batch
+        body["last_epoch"] = prev_epoch
     _commit_manifest(
-        _boto3_client(conf), bucket,
+        client, bucket,
         f"{keyprefix}/_manifests/v{version}.json", body)
     return version
 
@@ -1174,16 +1216,17 @@ def _snapshot_manifest(
 
 def _snapshot_manifest_files(
     conf: S3Conf, uri: str, version: int | None = None
-) -> tuple[int, list[str]]:
-    """Resolve (version, absolute data-object paths) from a snapshot
-    manifest — the read path's planning step, shared with
+) -> tuple[int, list[str], dict]:
+    """Resolve (version, absolute data-object paths, manifest) from a
+    snapshot manifest — the read path's planning step, shared with
     Engine.attach_arrow_s3_snapshot (which also records the file list
-    so the footer-stats profile needs no re-LIST)."""
+    so the footer-stats profile needs no re-LIST, and uses the manifest's
+    committed schema to register an all-rows-erased ``files: []`` version
+    as the EMPTY view rather than refusing to pin the erasure terminal
+    state)."""
     prefix = _strip_scheme(uri).rstrip("/")
     version, m = _snapshot_manifest(conf, uri, version)
-    if not m["files"]:
-        raise ValueError(f"version {version} is empty")
-    return version, [f"{prefix}/{f}" for f in m["files"]]
+    return version, [f"{prefix}/{f}" for f in m["files"]], m
 
 
 def arrow_s3_snapshot_diff(
@@ -1241,47 +1284,99 @@ def arrow_s3_snapshot_diff(
 
 
 def arrow_s3_snapshot_gc(
-    conf: S3Conf, uri: str, orphan_grace_s: float = 600.0
-) -> list[str]:
-    """Orphan cleanup for the object-store snapshot root — the VACUUM
-    analog of the local store's snapshot_gc, reduced to the orphan class
-    (version-horizon expiry composes on top exactly as there; this path
-    keeps the minimal core). Deletes ``data/`` objects NO manifest
-    references, and only once older than ``orphan_grace_s`` by the
-    store's own mtime: an in-flight append PUTs its data objects BEFORE
-    the manifest commit, so an unreferenced-but-young object may belong
-    to the version about to commit — deleting it would corrupt that
-    commit. Same writer-race guard as Delta/Iceberg VACUUM retention;
-    set the grace above your longest plausible commit. One LIST + one
-    GET per manifest + one DELETE per orphan; returns deleted keys
-    (root-relative)."""
-    import datetime
-    import json
+    conf: S3Conf, uri: str, orphan_grace_s: float = 600.0,
+    retain_versions: int | None = None,
+) -> dict[str, list[str]]:
+    """Garbage-collect the object-store snapshot root — the VACUUM analog,
+    now with BOTH dead-byte classes of the local twin (sources/
+    versioned.py snapshot_gc), so the two tiers share one GC contract:
 
+    - **orphans**: ``data/`` objects NO manifest references (crashed or
+      race-losing appends — documented as inert), deleted only once older
+      than ``orphan_grace_s`` by the store's own mtime: an in-flight
+      append PUTs its data objects BEFORE the manifest commit, so an
+      unreferenced-but-young object may belong to the version about to
+      commit. Same writer-race guard as Delta/Iceberg VACUUM retention;
+      set the grace above your longest plausible commit.
+    - **expired**: with ``retain_versions=k``, manifests older than the
+      newest k are DELETED and any object referenced ONLY by dropped
+      versions goes with them. This is what completes the right-to-
+      erasure story: an ``arrow_s3_snapshot_rewrite`` erases rows from
+      the new version onward, but the pre-rewrite manifests keep the
+      erased bytes readable (and GC-immune) until the horizon expires
+      them. Retained readers are untouched — their manifests still list
+      every object they need; time travel beyond the horizon is
+      explicitly given up. The newest manifest carrying a streaming
+      epoch signal (``_manifest_epoch``) is ALWAYS retained, whatever
+      the horizon — expiring it would let a crash-replayed micro-batch
+      re-commit and duplicate rows.
+
+    Concurrent-writer safety of expiry: the newest version is always
+    retained (``retain_versions >= 1``), and an in-flight append's
+    manifest references only its parent's files (that newest retained
+    version) plus its own fresh batch — the former expiry never touches,
+    the latter is orphan-class and grace-protected. Manifests are deleted
+    BEFORE their now-unreferenced objects, so a crash mid-GC can strand
+    re-collectable bytes but never a manifest whose objects are gone.
+
+    Returns {"orphans": [...], "expired": [...]} of deleted keys
+    (root-relative). One LIST + one GET per manifest + one DELETE per
+    dead object."""
+    import datetime
+
+    if retain_versions is not None and retain_versions < 1:
+        # versions[-0:] would silently keep EVERYTHING — the opposite of
+        # the requested horizon; at least the newest version must survive
+        raise ValueError(
+            f"retain_versions must be >= 1, got {retain_versions}")
     prefix = _strip_scheme(uri).rstrip("/")
     bucket, keyprefix = _bucket_key(prefix, uri)
     client = _boto3_client(conf)
-    referenced: set[str] = set()
-    for v in arrow_s3_snapshot_versions(conf, uri):
-        referenced.update(
-            _get_manifest(client, bucket, keyprefix, v)["files"])
+    versions = arrow_s3_snapshot_versions(conf, uri)
+    manifests = {v: _get_manifest(client, bucket, keyprefix, v)
+                 for v in versions}
+    keep = versions if retain_versions is None \
+        else versions[-retain_versions:]
+    drop = [v for v in versions if v not in keep]
+    # replay-guard retention: the newest epoch-bearing (or epoch-
+    # propagating) manifest stays — see the docstring and the local twin
+    for v in reversed(versions):
+        if _manifest_epoch(manifests[v]) is not None:
+            if v in drop:
+                drop.remove(v)
+                keep = sorted(keep + [v])
+            break
+    referenced_keep: set[str] = set()
+    for v in keep:
+        referenced_keep.update(manifests[v]["files"])
+    referenced_drop: set[str] = set()
+    for v in drop:
+        referenced_drop.update(manifests[v]["files"])
+    expired = sorted(referenced_drop - referenced_keep)
+    # manifests first: a crash mid-GC must never leave a manifest whose
+    # files are gone (the local twin's ordering)
+    for v in drop:
+        client.delete_object(
+            Bucket=bucket, Key=f"{keyprefix}/_manifests/v{v}.json")
+    for rel in expired:
+        client.delete_object(Bucket=bucket, Key=f"{keyprefix}/{rel}")
 
     from pyarrow.fs import FileSelector, FileType
 
     fs = conf.filesystem()
     now = datetime.datetime.now(datetime.timezone.utc)
-    deleted = []
+    orphans = []
     sel = FileSelector(f"{prefix}/data", recursive=True, allow_not_found=True)
     for fi in fs.get_file_info(sel):
         if fi.type != FileType.File:
             continue
         rel = fi.path[len(prefix) + 1:]
-        if rel in referenced:
+        if rel in referenced_keep or rel in expired:
             continue
         mtime = fi.mtime if fi.mtime.tzinfo else fi.mtime.replace(
             tzinfo=datetime.timezone.utc)
         if (now - mtime).total_seconds() < orphan_grace_s:
             continue  # possibly an append mid-commit — leave it
         client.delete_object(Bucket=bucket, Key=f"{keyprefix}/{rel}")
-        deleted.append(rel)
-    return sorted(deleted)
+        orphans.append(rel)
+    return {"orphans": sorted(orphans), "expired": expired}

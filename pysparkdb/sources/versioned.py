@@ -215,7 +215,14 @@ def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
 def snapshot_read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Read the dataset as of `version` (default: latest). Spark plans
     exactly the manifest's files — no directory listing, no eventual-
-    consistency window, identical bytes on every replay."""
+    consistency window, identical bytes on every replay. A version whose
+    manifest lists NO files (an all-rows-erased ``snapshot_rewrite``, the
+    erasure terminal state) reads back as the EMPTY frame under its
+    recorded schema — the same contract as the remote twin
+    (arrow_s3_snapshot_read): an unreadable latest version would strand
+    the store until the next append."""
+    from pyspark.sql import types as T
+
     versions = snapshot_versions(root)
     if not versions:
         raise ValueError(f"no snapshot versions committed under {root!r}")
@@ -225,13 +232,16 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
         raise ValueError(f"version {version} not in {versions}")
     m = _read_manifest(root, version)
     if not m["files"]:
-        raise ValueError(f"version {version} is empty")
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                f"version {version} is empty and predates schema "
+                f"recording — nothing to reconstruct a frame from")
+        return spark.createDataFrame([], T.StructType.fromJson(schema))
     paths = [os.path.join(root, f) for f in m["files"]]
     schema = m.get("schema")
     if schema is None:  # legacy pre-schema manifest: original read path
         return spark.read.parquet(*paths)
-    from pyspark.sql import types as T
-
     # the manifest schema is DECLARED on the read: files predating a
     # column serve NULL for it, and the result shape never depends on
     # which footer Spark samples from a mixed-schema file list

@@ -29,9 +29,10 @@ both interactively and piped). Backslash commands:
     \\stats T [C..] profile an attach_arrow_s3 / pinned-snapshot remote
                    view from parquet footers (COUNT/MIN/MAX/nulls; zero
                    data-page GETs)
-    \\diff R A B K  change feed between snapshot versions A and B of
-                   root R (local or s3://) keyed on column(s) K —
-                   rows tagged _change ∈ {insert, delete}
+    \\diff R A B K [-u]  change feed between snapshot versions A and B
+                   of root R (local or s3://) keyed on column(s) K —
+                   rows tagged _change ∈ {insert, delete}; -u adds
+                   full-row null-safe 'update' rows (rewrite boundaries)
     \\q             quit
 """
 
@@ -213,27 +214,39 @@ def main(argv: list[str] | None = None) -> int:
                 pinned.add(parts[0])
                 print(f"{parts[0]}: {df.count()} rows")
         elif s.startswith("\\diff"):
-            # \diff <root> <from> <to> <key[,key...]> — the change feed
-            # between two snapshot versions (insert/delete rows tagged
-            # _change), local dir or s3:// root; what an incremental
-            # consumer inspects before shipping a delta
+            # \diff <root> <from> <to> <key[,key...]> [-u] — the change
+            # feed between two snapshot versions (insert/delete rows
+            # tagged _change; -u adds full-row null-safe 'update' rows —
+            # a rewrite that scrubs payloads under stable keys is
+            # invisible to the membership feed), local dir or s3:// root;
+            # what an incremental consumer inspects before shipping a
+            # delta
             parts = s[len("\\diff"):].split()
-            if len(parts) != 4:
-                print("usage: \\diff <root> <from_v> <to_v> <key[,key...]>",
-                      file=sys.stderr)
+            updates = False
+            if parts and parts[-1] in ("-u", "--updates"):
+                updates = True
+                parts = parts[:-1]
+            keys = ([k for k in parts[3].split(",") if k]
+                    if len(parts) == 4 else [])
+            if len(parts) != 4 or not keys:
+                # a degenerate key list (',', ',,') must die here with
+                # usage, not deep inside the diff join's analysis
+                print("usage: \\diff <root> <from_v> <to_v> "
+                      "<key[,key...]> [-u]", file=sys.stderr)
             else:
-                keys = [k for k in parts[3].split(",") if k]
                 if parts[0].startswith(("s3://", "s3a://")):
                     from pysparkdb.sources.arrow_s3 import arrow_s3_snapshot_diff
 
                     df = arrow_s3_snapshot_diff(
                         eng.spark, parts[0], _s3conf_from_env(),
-                        int(parts[1]), int(parts[2]), keys)
+                        int(parts[1]), int(parts[2]), keys,
+                        detect_updates=updates)
                 else:
                     from pysparkdb.sources.versioned import snapshot_diff
 
                     df = snapshot_diff(eng.spark, parts[0], int(parts[1]),
-                                       int(parts[2]), keys)
+                                       int(parts[2]), keys,
+                                       detect_updates=updates)
                 df.show(50, truncate=False)
         elif s.startswith("\\stats"):
             # \stats <view> [col ...] — footer-stats profile of a remote
