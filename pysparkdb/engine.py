@@ -104,6 +104,11 @@ class Engine:
         # the tiny task list, so without it a 100 TB remote fact table
         # would masquerade as broadcast-small.
         self._arrow_s3_tables: dict[str, _RemoteAttach] = {}
+        # attach_snapshot registry: local pinned-version views, kept so
+        # the predicate-transfer pass can see them as base tables (their
+        # LogicalRelation plans carry real parquet stats, so sizing is
+        # the ordinary plan-stat path)
+        self._snapshot_tables: dict[str, DataFrame] = {}
         # per-ENGINE predicate_transfer="auto" crossover (bytes/core):
         # an instance attribute so a caller tuning or force-flipping the
         # threshold (tests, the q5_auto certificate query) affects only
@@ -336,13 +341,17 @@ class Engine:
             ):
                 return self._route_views_through_cache(df, query, args)
             return df
-        # The transferable table universe: the local catalog plus every
-        # remote-attached view (attach_arrow_s3 / attach_arrow_s3_snapshot)
-        # — the reference applies its pre-pass to S3-backed tables in the
-        # first place, so the remote tier must be eligible here too.
+        # The transferable table universe: the local catalog, local
+        # pinned-snapshot views, and every remote-attached view
+        # (attach_arrow_s3 / attach_arrow_s3_snapshot) — the reference
+        # applies its pre-pass to S3-backed tables in the first place,
+        # so the remote tier must be eligible here too. Identical
+        # schemas across any two entries fall to extract_join_edges'
+        # ambiguity exclusion (no edge, never a wrong reduction).
         base_tables: dict[str, DataFrame] = dict(
             self.catalog.tables) if self.catalog is not None else {}
-        for rname, att in self._arrow_s3_tables.items():
+        base_tables.update(self._live_attached(self._snapshot_tables))
+        for rname, att in self._live_attached(self._arrow_s3_tables).items():
             base_tables[rname] = att.df
         assert base_tables, "attach a data_dir or remote tables first"
         from pysparkdb.plans.predicate_transfer import (
@@ -389,6 +398,22 @@ class Engine:
             finally:
                 for name, odf in base_tables.items():
                     odf.createOrReplaceTempView(name)
+
+    def _live_attached(self, registry: dict) -> dict:
+        """Filter an attach registry down to names whose CURRENT session
+        view still IS the registered plan. A view replaced or dropped by
+        other means must neither be swapped (wrong data under the name)
+        nor restored (the finally block would silently resurrect it) —
+        the same staleness rule arrow_s3_table_stats enforces."""
+        out = {}
+        for name, val in registry.items():
+            rdf = val.df if isinstance(val, _RemoteAttach) else val
+            try:
+                if self.spark.table(name).sameSemantics(rdf):
+                    out[name] = val
+            except Exception:
+                continue
+        return out
 
     def _remote_view_columns(self, df: DataFrame) -> dict[str, set]:
         """Per remote-attached view, the columns THIS query actually
@@ -466,10 +491,14 @@ class Engine:
             )
             for name, cols in needed.items()
         }
+        live_remote = self._live_attached(self._arrow_s3_tables)
         for name, cols in self._remote_view_columns(df).items():
-            att = self._arrow_s3_tables[name]
-            if not cols or att.nbytes is None or not att.files:
-                continue  # unsized or empty attach: plain plan
+            att = live_remote.get(name)
+            if att is None or not cols or att.nbytes is None \
+                    or not att.files:
+                # stale (view replaced since attach), unsized, or empty
+                # attach: plain plan
+                continue
             want = [c for c in att.df.columns if c in cols]
             routed[name] = self._segment_cache.project(
                 att.df, f"{name}@{att.origin}", want,
@@ -530,6 +559,7 @@ class Engine:
                 f"deliberately (no view was touched)")
         df = snapshot_read(self.spark, root, version)
         df.createOrReplaceTempView(name)
+        self._snapshot_tables[name] = df
         return df
 
     def attach_arrow_s3_snapshot(

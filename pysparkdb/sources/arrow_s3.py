@@ -1286,6 +1286,7 @@ def arrow_s3_snapshot_diff(
 def arrow_s3_snapshot_gc(
     conf: S3Conf, uri: str, orphan_grace_s: float = 600.0,
     retain_versions: int | None = None,
+    older_than_s: float | None = None,
 ) -> dict[str, list[str]]:
     """Garbage-collect the object-store snapshot root — the VACUUM analog,
     now with BOTH dead-byte classes of the local twin (sources/
@@ -1300,16 +1301,19 @@ def arrow_s3_snapshot_gc(
       set the grace above your longest plausible commit.
     - **expired**: with ``retain_versions=k``, manifests older than the
       newest k are DELETED and any object referenced ONLY by dropped
-      versions goes with them. This is what completes the right-to-
-      erasure story: an ``arrow_s3_snapshot_rewrite`` erases rows from
-      the new version onward, but the pre-rewrite manifests keep the
-      erased bytes readable (and GC-immune) until the horizon expires
-      them. Retained readers are untouched — their manifests still list
-      every object they need; time travel beyond the horizon is
-      explicitly given up. The newest manifest carrying a streaming
-      epoch signal (``_manifest_epoch``) is ALWAYS retained, whatever
-      the horizon — expiring it would let a crash-replayed micro-batch
-      re-commit and duplicate rows.
+      versions goes with them. ``older_than_s=t`` adds the AGE horizon
+      (Delta's ``VACUUM RETAIN n HOURS`` shape) keyed on each manifest
+      object's store mtime; with both given, a version drops if EITHER
+      rule drops it. This is what completes the right-to-erasure story:
+      an ``arrow_s3_snapshot_rewrite`` erases rows from the new version
+      onward, but the pre-rewrite manifests keep the erased bytes
+      readable (and GC-immune) until the horizon expires them. Retained
+      readers are untouched — their manifests still list every object
+      they need; time travel beyond the horizon is explicitly given up.
+      The newest version never drops, and the newest manifest carrying a
+      streaming epoch signal (``_manifest_epoch``) is ALWAYS retained,
+      whatever the horizon — expiring it would let a crash-replayed
+      micro-batch re-commit and duplicate rows.
 
     Concurrent-writer safety of expiry: the newest version is always
     retained (``retain_versions >= 1``), and an in-flight append's
@@ -1333,11 +1337,53 @@ def arrow_s3_snapshot_gc(
     bucket, keyprefix = _bucket_key(prefix, uri)
     client = _boto3_client(conf)
     versions = arrow_s3_snapshot_versions(conf, uri)
-    manifests = {v: _get_manifest(client, bucket, keyprefix, v)
-                 for v in versions}
-    keep = versions if retain_versions is None \
+    # manifest GETs run on a driver thread pool, not a serial loop: a
+    # streaming root commits one manifest per micro-batch, so a day at
+    # second-scale triggers is ~86k manifests — serial GETs make GC a
+    # driver-side scaling tail exactly like the footer planner's case
+    # (boto3 clients are thread-safe for concurrent calls). Horizon
+    # expiry itself is what keeps this count bounded over time.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if versions:
+        with ThreadPoolExecutor(
+                max_workers=min(32, len(versions))) as pool:
+            manifests = dict(zip(versions, pool.map(
+                lambda v: _get_manifest(client, bucket, keyprefix, v),
+                versions)))
+    else:
+        manifests = {}
+    # copy, never alias `versions`: the age rule below edits `keep`
+    keep = list(versions) if retain_versions is None \
         else versions[-retain_versions:]
     drop = [v for v in versions if v not in keep]
+    if older_than_s is not None and versions:
+        # the age horizon, keyed on each manifest OBJECT's store mtime
+        # (one LIST over _manifests); the newest version never age-drops
+        # — an idle root must stay readable however old it gets
+        import re as _re
+
+        from pyarrow.fs import FileSelector, FileType
+
+        now = datetime.datetime.now(datetime.timezone.utc)
+        fs = conf.filesystem()
+        sel = FileSelector(f"{prefix}/_manifests", recursive=False,
+                           allow_not_found=True)
+        ages: dict[int, float] = {}
+        for fi in fs.get_file_info(sel):
+            if fi.type != FileType.File:
+                continue
+            mm = _re.fullmatch(r"v(\d+)\.json", fi.path.rsplit("/", 1)[-1])
+            if mm is None:
+                continue
+            mtime = fi.mtime if fi.mtime.tzinfo else fi.mtime.replace(
+                tzinfo=datetime.timezone.utc)
+            ages[int(mm.group(1))] = (now - mtime).total_seconds()
+        for v in versions[:-1]:
+            if v not in drop and ages.get(v, 0.0) > older_than_s:
+                drop.append(v)
+                keep.remove(v)
+        drop.sort()
     # replay-guard retention: the newest epoch-bearing (or epoch-
     # propagating) manifest stays — see the docstring and the local twin
     for v in reversed(versions):

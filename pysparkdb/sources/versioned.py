@@ -250,7 +250,7 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
 
 def snapshot_gc(
     root: str, retain_versions: int | None = None,
-    orphan_grace_s: float = 600.0,
+    orphan_grace_s: float = 600.0, older_than_s: float | None = None,
 ) -> dict[str, list[str]]:
     """Garbage-collect the snapshot root — the VACUUM analog. Two classes
     of dead files, both identified purely from manifests (no data reads):
@@ -265,10 +265,15 @@ def snapshot_gc(
       (public designs); set it above your longest plausible commit.
     - **expired**: with ``retain_versions=k``, manifests older than the
       newest k are dropped and any file referenced ONLY by dropped
-      versions is deleted. Readers of retained versions are untouched
-      (their manifests still list every file they need); time travel
-      beyond the horizon is explicitly given up — the same contract as
-      Delta/Iceberg retention.
+      versions is deleted. ``older_than_s=t`` adds the AGE horizon
+      (Delta's ``VACUUM RETAIN n HOURS`` shape): versions whose manifest
+      mtime is older than ``t`` seconds drop too — with both given, a
+      version drops if EITHER rule drops it. The newest version (and the
+      newest epoch-bearing manifest — the streaming replay guard) always
+      survive, whatever the horizons. Readers of retained versions are
+      untouched (their manifests still list every file they need); time
+      travel beyond the horizon is explicitly given up — the same
+      contract as Delta/Iceberg retention.
 
     Returns {"orphans": [...], "expired": [...]} of deleted paths
     (root-relative). Safe on a root with live readers of RETAINED
@@ -287,8 +292,26 @@ def snapshot_gc(
     # reference sets — on a streaming root with thousands of micro-batch
     # versions the previous three passes tripled GC's file I/O
     manifests = {v: _read_manifest(root, v) for v in versions}
-    keep = versions if retain_versions is None else versions[-retain_versions:]
+    # copy, never alias `versions`: the age rule below edits `keep`
+    keep = list(versions) if retain_versions is None \
+        else versions[-retain_versions:]
     drop = [v for v in versions if v not in keep]
+    if older_than_s is not None:
+        # the age horizon (Delta VACUUM-RETAIN shape): a version's age is
+        # its manifest's mtime; the newest version never age-drops (an
+        # idle root must stay readable however old it gets)
+        now = _time.time()
+        for v in versions[:-1]:
+            if v in drop:
+                continue
+            try:
+                age = now - os.path.getmtime(_manifest_path(root, v))
+            except FileNotFoundError:
+                continue
+            if age > older_than_s:
+                drop.append(v)
+                keep.remove(v)
+        drop.sort()
     # The newest EPOCH-BEARING manifest is the streaming sink's replay
     # guard (last_committed_epoch): if the retained tail were all
     # epoch-less compactions, expiring it would let a crash-replayed

@@ -33,6 +33,9 @@ both interactively and piped). Backslash commands:
                    of root R (local or s3://) keyed on column(s) K —
                    rows tagged _change ∈ {insert, delete}; -u adds
                    full-row null-safe 'update' rows (rewrite boundaries)
+    \\gc R [K] [G]  VACUUM snapshot root R (local or s3://): orphan sweep
+                   with grace G seconds (default 600); retain_versions=K
+                   adds the version-horizon expiry (erasure completion)
     \\q             quit
 """
 
@@ -187,6 +190,32 @@ def main(argv: list[str] | None = None) -> int:
                 from pysparkdb.sources.versioned import snapshot_versions
 
                 print(snapshot_versions(root) or "(none)")
+        elif s.startswith("\\gc"):
+            # \gc <root> [retain_versions] [grace_s] — VACUUM a snapshot
+            # root (local dir or s3://): orphan sweep always; with
+            # retain_versions also the version-horizon expiry that
+            # completes the right-to-erasure story. Grace defaults to the
+            # library's writer-race window (600 s).
+            parts = s[len("\\gc"):].split()
+            if not parts or len(parts) > 3:
+                print("usage: \\gc <root> [retain_versions] [grace_s]",
+                      file=sys.stderr)
+            else:
+                retain = int(parts[1]) if len(parts) >= 2 else None
+                grace = float(parts[2]) if len(parts) == 3 else 600.0
+                if parts[0].startswith(("s3://", "s3a://")):
+                    from pysparkdb.sources.arrow_s3 import arrow_s3_snapshot_gc
+
+                    out = arrow_s3_snapshot_gc(
+                        _s3conf_from_env(), parts[0],
+                        orphan_grace_s=grace, retain_versions=retain)
+                else:
+                    from pysparkdb.sources.versioned import snapshot_gc
+
+                    out = snapshot_gc(parts[0], retain_versions=retain,
+                                      orphan_grace_s=grace)
+                print(f"expired {len(out['expired'])} object(s), "
+                      f"swept {len(out['orphans'])} orphan(s)")
         elif s.startswith("\\pin"):
             # \pin <view> <root> [version] — register a snapshot version as
             # a queryable view (time travel through the SQL front door);

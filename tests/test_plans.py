@@ -401,6 +401,44 @@ class TestJoinEdgeExtractionSafety:
             )
             assert transferred == plain
 
+    def test_transfer_over_pinned_snapshot_view(self, spark, sf_dir, tmp_path):
+        """A local pinned-snapshot view (attach_snapshot) is a base table
+        for the transfer pass: a selective join against a catalog table
+        returns identical rows with the semi-join reduction in the plan.
+        The pin's schema differs from the catalog twin's (column
+        dropped), so the signature is unambiguous; an identical-schema
+        pin would fall to the ambiguity exclusion instead (no edge,
+        never a wrong reduction). Dropping the pin afterwards must not
+        be resurrected by a later transfer call's view-restore."""
+        from pysparkdb import Engine
+        from pysparkdb.sources.versioned import snapshot_append
+
+        eng = Engine(spark)
+        eng.attach(sf_dir, validate=False)
+        root = str(tmp_path / "snap")
+        snapshot_append(
+            eng.table("nation").select("n_nationkey", "n_regionkey"), root)
+        eng.attach_snapshot("nation_pin", root)
+        try:
+            q = ("SELECT n.n_nationkey FROM region r, nation_pin n "
+                 "WHERE r.r_regionkey = n.n_regionkey "
+                 "AND r.r_name = 'ASIA' ORDER BY n.n_nationkey")
+            plain = [tuple(x) for x in eng.sql(q).collect()]
+            red = eng.sql(q, predicate_transfer=True)
+            assert [tuple(x) for x in red.collect()] == plain and plain
+            assert "LeftSemi" in \
+                red._jdf.queryExecution().executedPlan().toString()
+            spark.catalog.dropTempView("nation_pin")
+            eng.sql(
+                "SELECT COUNT(*) AS n FROM region r, nation n "
+                "WHERE r.r_regionkey = n.n_regionkey",
+                predicate_transfer=True).collect()
+            assert not spark.catalog.tableExists("nation_pin"), \
+                "a dropped pin must stay dropped through the view-restore"
+        finally:
+            if spark.catalog.tableExists("nation_pin"):
+                spark.catalog.dropTempView("nation_pin")
+
 
 class TestEngineParameterizedSql:
     def test_named_and_positional_args_bind_as_literals(self, spark, sf_dir):

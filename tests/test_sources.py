@@ -494,6 +494,40 @@ class TestSnapshotVersioning:
         keys = {r.n_nationkey for r in snapshot_read(spark, root, 1).collect()}
         assert keys == set(range(10))
 
+    def test_snapshot_gc_age_horizon(self, spark, sf_dir, tmp_path):
+        """older_than_s is the Delta VACUUM-RETAIN-shaped age horizon:
+        versions whose manifest mtime is beyond the age drop (their
+        exclusively-referenced files with them), young versions and the
+        newest version survive — the newest never age-drops, so an idle
+        root stays readable however old it gets."""
+        import time as _t
+
+        from pysparkdb.sources.versioned import (
+            _manifest_path, snapshot_append, snapshot_gc, snapshot_read,
+            snapshot_rewrite, snapshot_versions,
+        )
+
+        root = str(tmp_path / "snap")
+        region = tables(spark, sf_dir)["region"]
+        snapshot_append(region, root)                                  # v1
+        snapshot_rewrite(
+            spark, root, region.filter(F.col("r_regionkey") < 3))      # v2
+        snapshot_append(
+            region.filter(F.col("r_regionkey") >= 3), root)            # v3
+        v1_files = set(snapshot_read(spark, root, 1).inputFiles())
+        old = _t.time() - 7200
+        os.utime(_manifest_path(root, 1), (old, old))
+        out = snapshot_gc(root, older_than_s=3600, orphan_grace_s=0)
+        assert snapshot_versions(root) == [2, 3]
+        assert out["expired"], "v1's exclusively-referenced files expire"
+        assert snapshot_read(spark, root, 2).count() == 3
+        assert snapshot_read(spark, root, 3).count() == region.count()
+        # everything is now "older than 0 s", but the newest survives
+        snapshot_gc(root, older_than_s=0, orphan_grace_s=0)
+        assert snapshot_versions(root) == [3]
+        assert snapshot_read(spark, root).count() == region.count()
+        assert not v1_files & set(snapshot_read(spark, root).inputFiles())
+
     def test_rewrite_to_empty_reads_back_local(self, spark, sf_dir, tmp_path):
         """Local/remote contract parity on the erasure terminal state: a
         version whose manifest lists NO files reads back as the EMPTY
@@ -953,7 +987,9 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
          "-c", "SELECT COUNT(*) AS n FROM regions_v1",
          "-c", f"\\diff {root} 1 2 r_regionkey",
          "-c", f"\\diff {root} 2 3 r_regionkey -u",
-         "-c", f"\\diff {root} 1 2 ,,"],
+         "-c", f"\\diff {root} 1 2 ,,",
+         "-c", f"\\gc {root} 1 0",
+         "-c", f"\\versions {root}"],
         capture_output=True, text=True,
         cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240,
     )
@@ -967,6 +1003,9 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
     # a degenerate key list dies at the usage line, not inside the join
     assert "usage: \\diff" in out.stderr
     assert "Traceback" not in out.stderr
+    # \gc with a horizon expires v1/v2 and leaves only the rewrite
+    assert "expired" in out.stdout and "swept" in out.stdout
+    assert "[3]" in out.stdout
 
     # \pin must NOT clobber a registered catalog table: the console only
     # grants replace to names it pinned itself, so the engine's shadow
@@ -1857,6 +1896,82 @@ class TestArrowObjectStore:
         assert remaining  # non-vacuous: retained objects still listed
         assert not remaining & {
             f"testbkt/gchorizon/nation/{rel}" for rel in v0_objects}
+
+    def test_snapshot_gc_expiry_preserves_retained_reads(
+            self, spark, sf_dir, moto_s3):
+        """GC's core invariant under a mixed append/compact/rewrite
+        history: every RETAINED version reads bit-identical rows before
+        and after horizon expiry + orphan sweep (retained manifests still
+        list every object they need), while every dropped version's
+        read raises. The local twin's contract, proven on the remote
+        tier."""
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_compact,
+            arrow_s3_snapshot_gc,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_rewrite,
+            arrow_s3_snapshot_versions,
+        )
+
+        root = "s3://testbkt/gcmix/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(
+            nation.filter(F.col("n_nationkey") < 8), root, moto_s3)   # v0
+        arrow_s3_snapshot_append(
+            nation.filter(F.col("n_nationkey").between(8, 15)),
+            root, moto_s3)                                            # v1
+        arrow_s3_snapshot_compact(spark, root, moto_s3)               # v2
+        arrow_s3_snapshot_rewrite(
+            nation.filter(F.col("n_nationkey") < 5), root, moto_s3)   # v3
+        arrow_s3_snapshot_append(
+            nation.filter(F.col("n_nationkey") == 20), root, moto_s3)  # v4
+        before = {
+            v: sorted(map(tuple, arrow_s3_snapshot_read(
+                spark, root, moto_s3, version=v).collect()))
+            for v in arrow_s3_snapshot_versions(moto_s3, root)
+        }
+        arrow_s3_snapshot_gc(
+            moto_s3, root, orphan_grace_s=0, retain_versions=2)
+        assert arrow_s3_snapshot_versions(moto_s3, root) == [3, 4]
+        for v in (3, 4):
+            after = sorted(map(tuple, arrow_s3_snapshot_read(
+                spark, root, moto_s3, version=v).collect()))
+            assert after == before[v], f"retained v{v} changed under GC"
+        for v in (0, 1, 2):
+            with pytest.raises(ValueError):
+                arrow_s3_snapshot_read(spark, root, moto_s3, version=v)
+        # idempotent: a second sweep finds nothing left to collect
+        assert arrow_s3_snapshot_gc(
+            moto_s3, root, orphan_grace_s=0, retain_versions=2) == \
+            {"orphans": [], "expired": []}
+
+    def test_snapshot_gc_age_horizon_remote(self, spark, sf_dir, moto_s3):
+        """The age horizon on the remote tier, keyed on manifest-object
+        store mtime: with older_than_s=0 every version is 'too old', yet
+        the newest survives (it never age-drops) and keeps reading; the
+        pre-rewrite version's exclusive objects are reclaimed."""
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_gc,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_rewrite,
+            arrow_s3_snapshot_versions,
+        )
+
+        root = "s3://testbkt/gcage/region"
+        region = tables(spark, sf_dir)["region"]
+        arrow_s3_snapshot_append(region, root, moto_s3)               # v0
+        arrow_s3_snapshot_rewrite(
+            region.filter(F.col("r_regionkey") < 3), root, moto_s3)   # v1
+        arrow_s3_snapshot_append(
+            region.filter(F.col("r_regionkey") >= 3), root, moto_s3)  # v2
+        out = arrow_s3_snapshot_gc(
+            moto_s3, root, orphan_grace_s=3600, older_than_s=0)
+        assert out["expired"], "v0's exclusive objects reclaimed"
+        assert arrow_s3_snapshot_versions(moto_s3, root) == [2]
+        assert arrow_s3_snapshot_read(
+            spark, root, moto_s3).count() == region.count()
 
     def test_snapshot_gc_expiry_spares_inflight_append(
             self, spark, sf_dir, moto_s3):
