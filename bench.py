@@ -150,6 +150,35 @@ def main() -> None:
             reads.append(time.perf_counter() - t0)
         return round(_med(reads), 3)
 
+    def python_probe_sec(n: int = 3) -> float:
+        """Median of n Arrow-batched pandas-UDF micro-jobs — the
+        PYTHON-WORKER-bound host-phase stamp, closing the blind spot the
+        round-13 interleaved A/B exposed: dedup_embedding (a sustained
+        pandas-UDF query) read 10-65 s against its 1.4 s row while the
+        compute probe sat at 0.31 s beside it — whatever throttles
+        sustained Python-worker compute is invisible to a short JVM-only
+        exchange. This probe pushes a fixed arithmetic load through the
+        Arrow batch boundary (range(1M) → mapInPandas square-sum →
+        aggregate), exercising worker CPU + serialization without IO.
+        Stamps-only (the r12 compute-probe precedent): no frozen row
+        until recorded sweeps accumulate; adjudications should quote all
+        FOUR stamp pairs."""
+        from statistics import median as _med
+
+        def body(it):
+            for pdf in it:
+                pdf["id"] = pdf["id"] * pdf["id"] + 1
+                yield pdf
+
+        reads = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            (spark.range(1_000_000).repartition(int(cpus))
+                  .mapInPandas(body, schema="id long")
+                  .selectExpr("sum(id)").collect())
+            reads.append(time.perf_counter() - t0)
+        return round(_med(reads), 3)
+
     # ---- automated phase gate (BENCH_BASELINE.md protocol) ----------
     # The round-11 record sweep was gated by a MANUAL q1/ssb1_1/q6 probe;
     # this automates it: a scan probe above PHASE_GATE_RATIO x the frozen
@@ -181,6 +210,7 @@ def main() -> None:
     latency_before = empty_job_ms()
     scan_before = scan_probe_sec()
     compute_before = compute_probe_sec()
+    python_before = python_probe_sec()
     gate_mode = os.environ.get("PYSPARKDB_BENCH_PHASE_GATE", "label")
 
     def _probe_breaches(scan_sec: float, compute_sec: float) -> list[str]:
@@ -264,6 +294,12 @@ def main() -> None:
                 # adjudications
                 "compute_probe_sec_before": compute_before,
                 "compute_probe_sec_after": compute_after,
+                # Python-worker-bound stamps (see python_probe_sec):
+                # stamps-only — no frozen row yet; the round-13 A/B
+                # proved sustained pandas-UDF throttling is invisible to
+                # both gated probes
+                "python_probe_sec_before": python_before,
+                "python_probe_sec_after": python_probe_sec(),
                 # the automated phase gate's verdict: "ok" when the scan
                 # AND compute probes sat within their frozen bands before
                 # and after the sweep, "degraded" otherwise — a degraded
