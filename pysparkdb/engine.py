@@ -537,7 +537,7 @@ class Engine:
         return self.catalog.table(name)
 
     def attach_snapshot(
-        self, name: str, root: str, version: int | None = None,
+        self, name: str, root: str, version: int | str | None = None,
         replace: bool = False,
     ) -> DataFrame:
         """Register a snapshot-versioned dataset (sources/versioned.py) as
@@ -563,7 +563,7 @@ class Engine:
         return df
 
     def attach_arrow_s3_snapshot(
-        self, name: str, uri: str, conf, version: int | None = None,
+        self, name: str, uri: str, conf, version: int | str | None = None,
         replace: bool = False,
     ) -> DataFrame:
         """Register an object-store manifest snapshot as a queryable view

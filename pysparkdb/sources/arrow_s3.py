@@ -743,6 +743,108 @@ def arrow_s3_snapshot_versions(conf: S3Conf, uri: str) -> list[int]:
     return sorted(out)
 
 
+def _ref_key(keyprefix: str, name: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+        # the name doubles as an object key; reject separators/dotfiles
+        raise ValueError(f"invalid tag name {name!r}")
+    return f"{keyprefix}/_refs/{name}.json"
+
+
+def arrow_s3_snapshot_tag(
+    conf: S3Conf, uri: str, name: str, version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Pin ``version`` (default: latest) under a NAMED TAG on the object
+    store — the remote twin of ``snapshot_tag`` with the identical
+    contract: readers resolve the name (``arrow_s3_snapshot_read(...,
+    version="train-v1")``, ``Engine.attach_arrow_s3_snapshot(...,
+    version="train-v1")``), and a tagged version is RETENTION-PINNED
+    (``arrow_s3_snapshot_gc``'s horizons never expire it until
+    ``arrow_s3_snapshot_untag``). Overwriting refuses without
+    ``replace=True``. Returns the pinned version."""
+    import json
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
+    versions = arrow_s3_snapshot_versions(conf, uri)
+    if not versions:
+        raise ValueError(f"no snapshot versions committed under {uri!r}")
+    version = versions[-1] if version is None else version
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    client = _boto3_client(conf)
+    key = _ref_key(keyprefix, name)
+    if not replace:
+        from botocore.exceptions import ClientError
+
+        try:
+            have = json.loads(client.get_object(
+                Bucket=bucket, Key=key)["Body"].read())
+            raise ValueError(
+                f"tag {name!r} already exists (-> v{have['version']}); "
+                f"pass replace=True to move it deliberately")
+        except ClientError as exc:
+            if exc.response.get("Error", {}).get("Code") \
+                    not in ("NoSuchKey", "404"):
+                raise
+    client.put_object(Bucket=bucket, Key=key,
+                      Body=json.dumps({"version": version}).encode())
+    return version
+
+
+def arrow_s3_snapshot_tags(conf: S3Conf, uri: str) -> dict[str, int]:
+    """All tags under the root as {name: version} (one LIST + one GET
+    per tag — tag counts are human-scale, not manifest-scale)."""
+    import json
+
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
+    from pyarrow.fs import FileSelector, FileType
+
+    fs = conf.filesystem()
+    sel = FileSelector(f"{prefix}/_refs", recursive=False,
+                       allow_not_found=True)
+    client = _boto3_client(conf)
+    out: dict[str, int] = {}
+    for fi in fs.get_file_info(sel):
+        fname = fi.path.rsplit("/", 1)[-1]
+        if fi.type != FileType.File or not fname.endswith(".json"):
+            continue
+        body = json.loads(client.get_object(
+            Bucket=bucket,
+            Key=f"{keyprefix}/_refs/{fname}")["Body"].read())
+        out[fname[:-len(".json")]] = body["version"]
+    return out
+
+
+def arrow_s3_snapshot_untag(conf: S3Conf, uri: str, name: str) -> None:
+    """Delete a tag — releasing its retention pin (the version becomes
+    expirable by the next GC horizon like any other). Raises on a tag
+    that does not exist (a typo'd untag must not silently 'succeed'
+    while the real pin keeps bytes alive)."""
+    prefix = _strip_scheme(uri).rstrip("/")
+    bucket, keyprefix = _bucket_key(prefix, uri)
+    tags = arrow_s3_snapshot_tags(conf, uri)
+    if name not in tags:
+        raise ValueError(f"tag {name!r} not found (have: {sorted(tags)})")
+    _boto3_client(conf).delete_object(
+        Bucket=bucket, Key=_ref_key(keyprefix, name))
+
+
+def _arrow_resolve_version(
+    conf: S3Conf, uri: str, version: int | str | None
+) -> int | None:
+    """Tag names resolve to their pinned version; ints/None pass through."""
+    if not isinstance(version, str):
+        return version
+    tags = arrow_s3_snapshot_tags(conf, uri)
+    if version not in tags:
+        raise ValueError(f"tag {version!r} not found (have: {sorted(tags)})")
+    return tags[version]
+
+
 class ConcurrentAppendError(RuntimeError):
     """Another writer committed the same snapshot version first. The
     losing append's data objects are unreferenced (invisible to every
@@ -945,7 +1047,7 @@ def arrow_s3_snapshot_append(
 
 
 def arrow_s3_snapshot_schema(
-    conf: S3Conf, uri: str, version: int | None = None
+    conf: S3Conf, uri: str, version: int | str | None = None
 ):
     """The committed StructType of ``version`` (default: latest) from its
     manifest — the remote twin of the local ``snapshot_schema``, and the
@@ -1160,11 +1262,12 @@ def arrow_s3_snapshot_read(
     spark: SparkSession,
     uri: str,
     conf: S3Conf,
-    version: int | None = None,
+    version: int | str | None = None,
     columns: list[str] | None = None,
     filters: list[Conjunct] | None = None,
 ) -> DataFrame:
-    """Read the snapshot as of ``version`` (default latest) — plans
+    """Read the snapshot as of ``version`` (default latest; a string
+    is a tag name, resolved through arrow_s3_snapshot_tags) — plans
     EXACTLY the manifest's object list (no LIST over the data prefix, no
     eventual-consistency window, identical bytes on every replay; the
     time-travel contract of the local snapshot store on the jar-less
@@ -1195,14 +1298,15 @@ def arrow_s3_snapshot_read(
 
 
 def _snapshot_manifest(
-    conf: S3Conf, uri: str, version: int | None = None
+    conf: S3Conf, uri: str, version: int | str | None = None
 ) -> tuple[int, dict]:
     """Fetch (resolved version, manifest dict) — one GET after the
-    version LIST, with version validation shared by every reader."""
-    import json
-
+    version LIST, with version validation (and tag-name resolution: a
+    string version resolves through arrow_s3_snapshot_tags) shared by
+    every reader."""
     prefix = _strip_scheme(uri).rstrip("/")
     bucket, keyprefix = _bucket_key(prefix, uri)
+    version = _arrow_resolve_version(conf, uri, version)
     versions = arrow_s3_snapshot_versions(conf, uri)
     if not versions:
         raise ValueError(f"no snapshot versions committed under {uri!r}")
@@ -1215,7 +1319,7 @@ def _snapshot_manifest(
 
 
 def _snapshot_manifest_files(
-    conf: S3Conf, uri: str, version: int | None = None
+    conf: S3Conf, uri: str, version: int | str | None = None
 ) -> tuple[int, list[str], dict]:
     """Resolve (version, absolute data-object paths, manifest) from a
     snapshot manifest — the read path's planning step, shared with
@@ -1233,8 +1337,8 @@ def arrow_s3_snapshot_diff(
     spark: SparkSession,
     uri: str,
     conf: S3Conf,
-    from_version: int,
-    to_version: int,
+    from_version: int | str,
+    to_version: int | str,
     key_cols: list[str],
     detect_updates: bool = False,
 ) -> DataFrame:
@@ -1287,6 +1391,7 @@ def arrow_s3_snapshot_gc(
     conf: S3Conf, uri: str, orphan_grace_s: float = 600.0,
     retain_versions: int | None = None,
     older_than_s: float | None = None,
+    dry_run: bool = False,
 ) -> dict[str, list[str]]:
     """Garbage-collect the object-store snapshot root — the VACUUM analog,
     now with BOTH dead-byte classes of the local twin (sources/
@@ -1324,8 +1429,11 @@ def arrow_s3_snapshot_gc(
     re-collectable bytes but never a manifest whose objects are gone.
 
     Returns {"orphans": [...], "expired": [...]} of deleted keys
-    (root-relative). One LIST + one GET per manifest + one DELETE per
-    dead object."""
+    (root-relative). ``dry_run=True`` computes and returns the same
+    report while deleting NOTHING (Delta's ``VACUUM ... DRY RUN``) — the
+    review step an erasure/retention sweep runs before committing to
+    byte-level deletion. One LIST + one GET per manifest + (unless
+    dry_run) one DELETE per dead object."""
     import datetime
 
     if retain_versions is not None and retain_versions < 1:
@@ -1384,6 +1492,13 @@ def arrow_s3_snapshot_gc(
                 drop.append(v)
                 keep.remove(v)
         drop.sort()
+    # TAGGED versions are retention-pinned (the snapshot_tag contract on
+    # both tiers): a consumer that tagged the corpus it trained on must
+    # keep reading it until the tag is deliberately deleted
+    for tv in sorted(set(arrow_s3_snapshot_tags(conf, uri).values())):
+        if tv in drop:
+            drop.remove(tv)
+            keep = sorted(keep + [tv])
     # replay-guard retention: the newest epoch-bearing (or epoch-
     # propagating) manifest stays — see the docstring and the local twin
     for v in reversed(versions):
@@ -1401,11 +1516,12 @@ def arrow_s3_snapshot_gc(
     expired = sorted(referenced_drop - referenced_keep)
     # manifests first: a crash mid-GC must never leave a manifest whose
     # files are gone (the local twin's ordering)
-    for v in drop:
-        client.delete_object(
-            Bucket=bucket, Key=f"{keyprefix}/_manifests/v{v}.json")
-    for rel in expired:
-        client.delete_object(Bucket=bucket, Key=f"{keyprefix}/{rel}")
+    if not dry_run:
+        for v in drop:
+            client.delete_object(
+                Bucket=bucket, Key=f"{keyprefix}/_manifests/v{v}.json")
+        for rel in expired:
+            client.delete_object(Bucket=bucket, Key=f"{keyprefix}/{rel}")
 
     from pyarrow.fs import FileSelector, FileType
 
@@ -1423,6 +1539,7 @@ def arrow_s3_snapshot_gc(
             tzinfo=datetime.timezone.utc)
         if (now - mtime).total_seconds() < orphan_grace_s:
             continue  # possibly an append mid-commit — leave it
-        client.delete_object(Bucket=bucket, Key=f"{keyprefix}/{rel}")
+        if not dry_run:
+            client.delete_object(Bucket=bucket, Key=f"{keyprefix}/{rel}")
         orphans.append(rel)
     return {"orphans": sorted(orphans), "expired": expired}

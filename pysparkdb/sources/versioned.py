@@ -47,10 +47,89 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_REFS_DIR = "_refs"
 
 
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version}.json")
+
+
+def _ref_path(root: str, name: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+        # the name doubles as a filename/object key; reject separators
+        # and dotfiles before they hit the filesystem
+        raise ValueError(f"invalid tag name {name!r}")
+    return os.path.join(root, _REFS_DIR, f"{name}.json")
+
+
+def snapshot_tag(
+    root: str, name: str, version: int | None = None, replace: bool = False
+) -> int:
+    """Pin ``version`` (default: latest) under a NAMED TAG — the
+    Iceberg-tag analog for the reproducible-training workflow: a training
+    run tags the corpus it read (``snapshot_tag(root, "train-v1")``) and
+    every later reader resolves the name (``snapshot_read(spark, root,
+    "train-v1")``, ``Engine.attach_snapshot(..., version="train-v1")``)
+    instead of copying an integer between systems. A tagged version is
+    RETENTION-PINNED: snapshot_gc's horizons never expire it until the
+    tag is deleted (``snapshot_untag``) — the property that makes a tag
+    a contract rather than a comment. Overwriting an existing tag
+    refuses without ``replace=True`` (silently moving a name every
+    consumer resolves is the shadowing bug class again). Returns the
+    pinned version."""
+    versions = snapshot_versions(root)
+    if not versions:
+        raise ValueError(f"no snapshot versions committed under {root!r}")
+    version = versions[-1] if version is None else version
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    path = _ref_path(root, name)
+    if not replace and os.path.exists(path):
+        raise ValueError(
+            f"tag {name!r} already exists (-> v{json.load(open(path))['version']}); "
+            f"pass replace=True to move it deliberately")
+    os.makedirs(os.path.join(root, _REFS_DIR), exist_ok=True)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.rename(tmp, path)  # atomic publish, like manifests
+    return version
+
+
+def snapshot_tags(root: str) -> dict[str, int]:
+    """All tags under the root as {name: version}."""
+    rdir = os.path.join(root, _REFS_DIR)
+    if not os.path.isdir(rdir):
+        return {}
+    out: dict[str, int] = {}
+    for fname in os.listdir(rdir):
+        if not fname.endswith(".json") or ".tmp-" in fname:
+            continue
+        with open(os.path.join(rdir, fname)) as f:
+            out[fname[:-len(".json")]] = json.load(f)["version"]
+    return out
+
+
+def snapshot_untag(root: str, name: str) -> None:
+    """Delete a tag — releasing its retention pin (the version becomes
+    expirable by the next snapshot_gc horizon like any other)."""
+    try:
+        os.remove(_ref_path(root, name))
+    except FileNotFoundError:
+        raise ValueError(
+            f"tag {name!r} not found (have: {sorted(snapshot_tags(root))})"
+        ) from None
+
+
+def _resolve_version(root: str, version: int | str | None) -> int | None:
+    """Tag names resolve to their pinned version; ints/None pass through."""
+    if not isinstance(version, str):
+        return version
+    tags = snapshot_tags(root)
+    if version not in tags:
+        raise ValueError(
+            f"tag {version!r} not found (have: {sorted(tags)})")
+    return tags[version]
 
 
 def snapshot_versions(root: str) -> list[int]:
@@ -137,12 +216,13 @@ def _merge_schema(parent: dict | None, df_schema) -> dict:
     return out
 
 
-def snapshot_schema(root: str, version: int | None = None):
-    """The recorded StructType of ``version`` (default: latest), or None
-    for a pre-schema-evolution manifest (legacy roots keep their original
-    sampled-footer read path)."""
+def snapshot_schema(root: str, version: int | str | None = None):
+    """The recorded StructType of ``version`` (default: latest; a string
+    is a tag name), or None for a pre-schema-evolution manifest (legacy
+    roots keep their original sampled-footer read path)."""
     from pyspark.sql import types as T
 
+    version = _resolve_version(root, version)
     versions = snapshot_versions(root)
     if not versions:
         raise ValueError(f"no snapshot versions committed under {root!r}")
@@ -212,8 +292,11 @@ def snapshot_append(df: DataFrame, root: str, epoch: int | None = None) -> int:
     return version
 
 
-def snapshot_read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
-    """Read the dataset as of `version` (default: latest). Spark plans
+def snapshot_read(
+    spark: SparkSession, root: str, version: int | str | None = None
+) -> DataFrame:
+    """Read the dataset as of `version` (default: latest; a STRING is a
+    tag name, resolved through snapshot_tags). Spark plans
     exactly the manifest's files — no directory listing, no eventual-
     consistency window, identical bytes on every replay. A version whose
     manifest lists NO files (an all-rows-erased ``snapshot_rewrite``, the
@@ -223,6 +306,7 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
     the store until the next append."""
     from pyspark.sql import types as T
 
+    version = _resolve_version(root, version)
     versions = snapshot_versions(root)
     if not versions:
         raise ValueError(f"no snapshot versions committed under {root!r}")
@@ -251,6 +335,7 @@ def snapshot_read(spark: SparkSession, root: str, version: int | None = None) ->
 def snapshot_gc(
     root: str, retain_versions: int | None = None,
     orphan_grace_s: float = 600.0, older_than_s: float | None = None,
+    dry_run: bool = False,
 ) -> dict[str, list[str]]:
     """Garbage-collect the snapshot root — the VACUUM analog. Two classes
     of dead files, both identified purely from manifests (no data reads):
@@ -276,7 +361,10 @@ def snapshot_gc(
       contract as Delta/Iceberg retention.
 
     Returns {"orphans": [...], "expired": [...]} of deleted paths
-    (root-relative). Safe on a root with live readers of RETAINED
+    (root-relative). ``dry_run=True`` computes and returns the same
+    report while deleting NOTHING (Delta's ``VACUUM ... DRY RUN``) — the
+    review step an erasure/retention sweep runs before committing to
+    byte-level deletion. Safe on a root with live readers of RETAINED
     versions: deletion only ever touches files no retained manifest
     references, and manifests are removed before their now-unreferenced
     files."""
@@ -312,6 +400,13 @@ def snapshot_gc(
                 drop.append(v)
                 keep.remove(v)
         drop.sort()
+    # TAGGED versions are retention-pinned (the snapshot_tag contract):
+    # a consumer that tagged the corpus it trained on must keep reading
+    # it until the tag is deliberately deleted, whatever the horizons.
+    for tv in sorted(set(snapshot_tags(root).values())):
+        if tv in drop:
+            drop.remove(tv)
+            keep = sorted(keep + [tv])
     # The newest EPOCH-BEARING manifest is the streaming sink's replay
     # guard (last_committed_epoch): if the retained tail were all
     # epoch-less compactions, expiring it would let a crash-replayed
@@ -332,15 +427,17 @@ def snapshot_gc(
         referenced_drop.update(manifests[v]["files"])
 
     expired = sorted(referenced_drop - referenced_keep)
+    expired_set = set(expired)
     # manifests first: a crash mid-GC must never leave a manifest whose
     # files are gone
-    for v in drop:
-        os.remove(_manifest_path(root, v))
-    for rel in expired:
-        try:
-            os.remove(os.path.join(root, rel))
-        except FileNotFoundError:
-            pass
+    if not dry_run:
+        for v in drop:
+            os.remove(_manifest_path(root, v))
+        for rel in expired:
+            try:
+                os.remove(os.path.join(root, rel))
+            except FileNotFoundError:
+                pass
 
     orphans: list[str] = []
     now = _time.time()
@@ -355,7 +452,10 @@ def snapshot_gc(
             for name in data_files:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, root)
-                if rel in referenced_keep:
+                # expired files were already deleted above (or, in a dry
+                # run, are reported in their own class) — never double-
+                # report them as orphans
+                if rel in referenced_keep or rel in expired_set:
                     continue
                 try:
                     age = now - os.path.getmtime(full)
@@ -363,8 +463,11 @@ def snapshot_gc(
                     continue
                 if age < orphan_grace_s:
                     continue  # possibly an append mid-commit: leave it
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 orphans.append(rel)
+            if dry_run:
+                continue  # report-only: leave sidecars/dirs untouched
             remaining = [
                 n for n in os.listdir(dirpath) if not n.startswith(("_", "."))
             ]
@@ -390,7 +493,8 @@ def snapshot_gc(
             try:
                 if now - os.path.getmtime(full) < orphan_grace_s:
                     continue
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
             except FileNotFoundError:
                 continue
             orphans.append(os.path.relpath(full, root))
@@ -400,12 +504,14 @@ def snapshot_gc(
 def snapshot_diff(
     spark: SparkSession,
     root: str,
-    from_version: int,
-    to_version: int,
+    from_version: int | str,
+    to_version: int | str,
     key_cols: list[str],
     detect_updates: bool = False,
 ) -> DataFrame:
-    """Change-data feed between two committed versions: every key present
+    """Change-data feed between two committed versions (strings are tag
+    names — ``snapshot_diff(spark, root, "train-v1", "train-v2", keys)``
+    ships the delta between two tagged corpora): every key present
     in exactly one of the two snapshots, tagged ``_change ∈ {'insert',
     'delete'}`` (a key in `to` but not `from` is an insert; the reverse a
     delete), carrying the payload row from the version that HAS it. The
@@ -435,8 +541,8 @@ def snapshot_diff(
     the full snapshots and the join does the work; keys are assumed
     unique per snapshot (the ingest path dedups — callers with duplicate
     keys should diff on the full key). One shuffle by key either way."""
-    ma = _read_manifest(root, from_version)
-    mb = _read_manifest(root, to_version)
+    ma = _read_manifest(root, _resolve_version(root, from_version))
+    mb = _read_manifest(root, _resolve_version(root, to_version))
     fa, fb = set(ma["files"]), set(mb["files"])
     only_a, only_b = sorted(fa - fb), sorted(fb - fa)
 

@@ -23,9 +23,12 @@ both interactively and piped). Backslash commands:
     \\tables        list attached tables
     \\versions R    list snapshot versions under root R (local dir or
                    s3:// — the jar-less manifest store, AWS_* env vars)
-    \\pin V R [N]   register snapshot version N of root R as view V
-                   (local via attach_snapshot; s3:// via
+    \\pin V R [N]   register snapshot version N (or tag name) of root R
+                   as view V (local via attach_snapshot; s3:// via
                    attach_arrow_s3_snapshot — pinned-version time travel)
+    \\tag R N [V]   pin version V (default latest) of root R under tag
+                   name N — retention-pinned until untagged
+    \\tags R        list tags under root R
     \\stats T [C..] profile an attach_arrow_s3 / pinned-snapshot remote
                    view from parquet footers (COUNT/MIN/MAX/nulls; zero
                    data-page GETs)
@@ -33,9 +36,10 @@ both interactively and piped). Backslash commands:
                    of root R (local or s3://) keyed on column(s) K —
                    rows tagged _change ∈ {insert, delete}; -u adds
                    full-row null-safe 'update' rows (rewrite boundaries)
-    \\gc R [K] [G]  VACUUM snapshot root R (local or s3://): orphan sweep
-                   with grace G seconds (default 600); retain_versions=K
-                   adds the version-horizon expiry (erasure completion)
+    \\gc R [K] [G] [-n]  VACUUM snapshot root R (local or s3://): orphan
+                   sweep with grace G seconds (default 600);
+                   retain_versions=K adds the version-horizon expiry
+                   (erasure completion); -n reports without deleting
     \\q             quit
 """
 
@@ -190,15 +194,55 @@ def main(argv: list[str] | None = None) -> int:
                 from pysparkdb.sources.versioned import snapshot_versions
 
                 print(snapshot_versions(root) or "(none)")
+        elif s.startswith("\\tags"):
+            # \tags <root> — list named tags (name -> version)
+            root = s[len("\\tags"):].strip()
+            if not root:
+                print("usage: \\tags <root>", file=sys.stderr)
+            elif root.startswith(("s3://", "s3a://")):
+                from pysparkdb.sources.arrow_s3 import arrow_s3_snapshot_tags
+
+                print(arrow_s3_snapshot_tags(_s3conf_from_env(), root)
+                      or "(none)")
+            else:
+                from pysparkdb.sources.versioned import snapshot_tags
+
+                print(snapshot_tags(root) or "(none)")
+        elif s.startswith("\\tag"):
+            # \tag <root> <name> [version] — pin a version under a named
+            # tag (retention-pinned until untagged; readers resolve the
+            # name via \pin <view> <root> <name>)
+            parts = s[len("\\tag"):].split()
+            if len(parts) not in (2, 3):
+                print("usage: \\tag <root> <name> [version]",
+                      file=sys.stderr)
+            else:
+                ver = int(parts[2]) if len(parts) == 3 else None
+                if parts[0].startswith(("s3://", "s3a://")):
+                    from pysparkdb.sources.arrow_s3 import arrow_s3_snapshot_tag
+
+                    v = arrow_s3_snapshot_tag(
+                        _s3conf_from_env(), parts[0], parts[1], ver)
+                else:
+                    from pysparkdb.sources.versioned import snapshot_tag
+
+                    v = snapshot_tag(parts[0], parts[1], ver)
+                print(f"{parts[1]} -> v{v}")
         elif s.startswith("\\gc"):
-            # \gc <root> [retain_versions] [grace_s] — VACUUM a snapshot
-            # root (local dir or s3://): orphan sweep always; with
-            # retain_versions also the version-horizon expiry that
+            # \gc <root> [retain_versions] [grace_s] [-n] — VACUUM a
+            # snapshot root (local dir or s3://): orphan sweep always;
+            # with retain_versions also the version-horizon expiry that
             # completes the right-to-erasure story. Grace defaults to the
-            # library's writer-race window (600 s).
+            # library's writer-race window (600 s); -n/--dry-run reports
+            # what WOULD be deleted without deleting (the review step
+            # before byte-level erasure).
             parts = s[len("\\gc"):].split()
+            dry = False
+            if parts and parts[-1] in ("-n", "--dry-run"):
+                dry = True
+                parts = parts[:-1]
             if not parts or len(parts) > 3:
-                print("usage: \\gc <root> [retain_versions] [grace_s]",
+                print("usage: \\gc <root> [retain_versions] [grace_s] [-n]",
                       file=sys.stderr)
             else:
                 retain = int(parts[1]) if len(parts) >= 2 else None
@@ -208,14 +252,17 @@ def main(argv: list[str] | None = None) -> int:
 
                     out = arrow_s3_snapshot_gc(
                         _s3conf_from_env(), parts[0],
-                        orphan_grace_s=grace, retain_versions=retain)
+                        orphan_grace_s=grace, retain_versions=retain,
+                        dry_run=dry)
                 else:
                     from pysparkdb.sources.versioned import snapshot_gc
 
                     out = snapshot_gc(parts[0], retain_versions=retain,
-                                      orphan_grace_s=grace)
-                print(f"expired {len(out['expired'])} object(s), "
-                      f"swept {len(out['orphans'])} orphan(s)")
+                                      orphan_grace_s=grace, dry_run=dry)
+                verb = "would expire" if dry else "expired"
+                print(f"{verb} {len(out['expired'])} object(s), "
+                      f"{'would sweep' if dry else 'swept'} "
+                      f"{len(out['orphans'])} orphan(s)")
         elif s.startswith("\\pin"):
             # \pin <view> <root> [version] — register a snapshot version as
             # a queryable view (time travel through the SQL front door);
@@ -229,9 +276,13 @@ def main(argv: list[str] | None = None) -> int:
             # engine's refusal instead.
             parts = s[len("\\pin"):].split()
             if len(parts) not in (2, 3):
-                print("usage: \\pin <view> <root> [version]", file=sys.stderr)
+                print("usage: \\pin <view> <root> [version|tag]",
+                      file=sys.stderr)
             else:
-                ver = int(parts[2]) if len(parts) == 3 else None
+                # an integer is a version; anything else is a tag name
+                ver = None
+                if len(parts) == 3:
+                    ver = int(parts[2]) if parts[2].isdigit() else parts[2]
                 rep = parts[0] in pinned
                 if parts[1].startswith(("s3://", "s3a://")):
                     df = eng.attach_arrow_s3_snapshot(

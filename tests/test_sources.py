@@ -517,7 +517,13 @@ class TestSnapshotVersioning:
         v1_files = set(snapshot_read(spark, root, 1).inputFiles())
         old = _t.time() - 7200
         os.utime(_manifest_path(root, 1), (old, old))
+        # dry run first: same report, nothing deleted
+        preview = snapshot_gc(
+            root, older_than_s=3600, orphan_grace_s=0, dry_run=True)
+        assert snapshot_versions(root) == [1, 2, 3]
+        assert snapshot_read(spark, root, 1).count() == region.count()
         out = snapshot_gc(root, older_than_s=3600, orphan_grace_s=0)
+        assert out == preview, "the dry run previewed exactly this sweep"
         assert snapshot_versions(root) == [2, 3]
         assert out["expired"], "v1's exclusively-referenced files expire"
         assert snapshot_read(spark, root, 2).count() == 3
@@ -527,6 +533,61 @@ class TestSnapshotVersioning:
         assert snapshot_versions(root) == [3]
         assert snapshot_read(spark, root).count() == region.count()
         assert not v1_files & set(snapshot_read(spark, root).inputFiles())
+
+    def test_snapshot_tags_pin_and_survive_gc(self, spark, sf_dir, tmp_path):
+        """Named tags (the Iceberg-tag analog): a training run tags the
+        corpus version it read; readers resolve the NAME through
+        snapshot_read / attach_snapshot / snapshot_diff; a tagged version
+        is retention-PINNED (no GC horizon expires it) until the tag is
+        deliberately deleted — the property that makes a tag a contract
+        rather than a comment."""
+        from pysparkdb.engine import Engine
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_diff, snapshot_gc, snapshot_read,
+            snapshot_rewrite, snapshot_tag, snapshot_tags, snapshot_untag,
+            snapshot_versions,
+        )
+
+        root = str(tmp_path / "snap")
+        region = tables(spark, sf_dir)["region"]
+        snapshot_append(region, root)                                  # v1
+        snapshot_rewrite(
+            spark, root, region.filter(F.col("r_regionkey") < 3))      # v2
+        snapshot_append(
+            region.filter(F.col("r_regionkey") >= 3), root)            # v3
+        assert snapshot_tag(root, "train-v1", 1) == 1
+        assert snapshot_tag(root, "latest-good") == 3  # default: latest
+        assert snapshot_tags(root) == {"train-v1": 1, "latest-good": 3}
+        # readers resolve the name
+        assert snapshot_read(spark, root, "train-v1").count() == \
+            region.count()
+        d = snapshot_diff(spark, root, "train-v1", "latest-good",
+                          ["r_regionkey"])
+        assert d.count() == 0  # same key membership across the pair
+        eng = Engine(spark)
+        try:
+            eng.attach_snapshot("region_train", root, version="train-v1")
+            assert spark.table("region_train").count() == region.count()
+        finally:
+            spark.catalog.dropTempView("region_train")
+        # a tag is not silently movable
+        with pytest.raises(ValueError, match="already exists"):
+            snapshot_tag(root, "train-v1", 2)
+        with pytest.raises(ValueError, match="invalid tag name"):
+            snapshot_tag(root, "../escape", 1)
+        # retention pin: the horizon cannot expire the tagged v1
+        snapshot_gc(root, retain_versions=1, orphan_grace_s=0)
+        assert snapshot_versions(root) == [1, 3]
+        assert snapshot_read(spark, root, "train-v1").count() == \
+            region.count()
+        # untag releases the pin; the next sweep expires it
+        snapshot_untag(root, "train-v1")
+        with pytest.raises(ValueError, match="not found"):
+            snapshot_untag(root, "train-v1")
+        snapshot_gc(root, retain_versions=1, orphan_grace_s=0)
+        assert snapshot_versions(root) == [3]
+        with pytest.raises(ValueError, match="not found"):
+            snapshot_read(spark, root, "train-v1")
 
     def test_rewrite_to_empty_reads_back_local(self, spark, sf_dir, tmp_path):
         """Local/remote contract parity on the erasure terminal state: a
@@ -988,6 +1049,10 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
          "-c", f"\\diff {root} 1 2 r_regionkey",
          "-c", f"\\diff {root} 2 3 r_regionkey -u",
          "-c", f"\\diff {root} 1 2 ,,",
+         "-c", f"\\tag {root} trainv1 1",
+         "-c", f"\\tags {root}",
+         "-c", f"\\pin regions_tag {root} trainv1",
+         "-c", "SELECT COUNT(*) AS n FROM regions_tag",
          "-c", f"\\gc {root} 1 0",
          "-c", f"\\versions {root}"],
         capture_output=True, text=True,
@@ -1003,9 +1068,13 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
     # a degenerate key list dies at the usage line, not inside the join
     assert "usage: \\diff" in out.stderr
     assert "Traceback" not in out.stderr
-    # \gc with a horizon expires v1/v2 and leaves only the rewrite
+    # the tag workflow: pin v1 under a name, resolve it through \pin
+    assert "trainv1 -> v1" in out.stdout
+    assert "{'trainv1': 1}" in out.stdout
+    assert "regions_tag: 3 rows" in out.stdout
+    # \gc with a horizon drops v2 but the TAGGED v1 is retention-pinned
     assert "expired" in out.stdout and "swept" in out.stdout
-    assert "[3]" in out.stdout
+    assert "[1, 3]" in out.stdout
 
     # \pin must NOT clobber a registered catalog table: the console only
     # grants replace to names it pinned itself, so the engine's shadow
@@ -1878,8 +1947,19 @@ class TestArrowObjectStore:
         assert arrow_s3_snapshot_read(
             spark, root, moto_s3, version=0).count() == nation.count()
 
+        # dry run: the same report, nothing deleted — the review step
+        # before committing to byte-level erasure
+        preview = arrow_s3_snapshot_gc(
+            moto_s3, root, orphan_grace_s=3600, retain_versions=2,
+            dry_run=True)
+        assert set(preview["expired"]) == v0_objects
+        assert arrow_s3_snapshot_versions(moto_s3, root) == [0, 1, 2]
+        assert arrow_s3_snapshot_read(
+            spark, root, moto_s3, version=0).count() == nation.count()
+
         out = arrow_s3_snapshot_gc(
             moto_s3, root, orphan_grace_s=3600, retain_versions=2)
+        assert out == preview, "the dry run previewed exactly this sweep"
         assert set(out["expired"]) == v0_objects and out["orphans"] == []
         assert arrow_s3_snapshot_versions(moto_s3, root) == [1, 2]
         # time travel beyond the horizon is gone, by contract
@@ -1945,6 +2025,65 @@ class TestArrowObjectStore:
         assert arrow_s3_snapshot_gc(
             moto_s3, root, orphan_grace_s=0, retain_versions=2) == \
             {"orphans": [], "expired": []}
+
+    def test_snapshot_tags_remote(self, spark, sf_dir, moto_s3):
+        """Tags on the object store: same contract as the local twin —
+        name resolution through read/attach/diff, the overwrite guard,
+        retention pinning across GC horizons, and untag releasing the
+        pin (plus key-safety on the tag name)."""
+        from pysparkdb.engine import Engine
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_gc,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_rewrite,
+            arrow_s3_snapshot_tag,
+            arrow_s3_snapshot_tags,
+            arrow_s3_snapshot_untag,
+            arrow_s3_snapshot_versions,
+        )
+        from pysparkdb.sources.arrow_s3 import arrow_s3_snapshot_diff
+
+        root = "s3://testbkt/tags/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(nation, root, moto_s3)               # v0
+        arrow_s3_snapshot_rewrite(
+            nation.filter(F.col("n_nationkey") < 10), root, moto_s3)  # v1
+        assert arrow_s3_snapshot_tag(moto_s3, root, "train-v1", 0) == 0
+        assert arrow_s3_snapshot_tags(moto_s3, root) == {"train-v1": 0}
+        assert arrow_s3_snapshot_read(
+            spark, root, moto_s3, version="train-v1").count() == \
+            nation.count()
+        d = arrow_s3_snapshot_diff(
+            spark, root, moto_s3, "train-v1", 1, ["n_nationkey"])
+        assert {r._change for r in d.collect()} == {"delete"}
+        eng = Engine(spark)
+        try:
+            eng.attach_arrow_s3_snapshot(
+                "nation_train", root, moto_s3, version="train-v1")
+            assert spark.table("nation_train").count() == nation.count()
+        finally:
+            spark.catalog.dropTempView("nation_train")
+        with pytest.raises(ValueError, match="already exists"):
+            arrow_s3_snapshot_tag(moto_s3, root, "train-v1", 1)
+        with pytest.raises(ValueError, match="invalid tag name"):
+            arrow_s3_snapshot_tag(moto_s3, root, "a/b", 0)
+        # retention pin across the horizon
+        arrow_s3_snapshot_gc(
+            moto_s3, root, orphan_grace_s=0, retain_versions=1)
+        assert arrow_s3_snapshot_versions(moto_s3, root) == [0, 1]
+        assert arrow_s3_snapshot_read(
+            spark, root, moto_s3, version="train-v1").count() == \
+            nation.count()
+        # untag releases; the next sweep completes the erasure
+        arrow_s3_snapshot_untag(moto_s3, root, "train-v1")
+        out = arrow_s3_snapshot_gc(
+            moto_s3, root, orphan_grace_s=0, retain_versions=1)
+        assert out["expired"]
+        assert arrow_s3_snapshot_versions(moto_s3, root) == [1]
+        with pytest.raises(ValueError, match="not found"):
+            arrow_s3_snapshot_read(spark, root, moto_s3,
+                                   version="train-v1")
 
     def test_snapshot_gc_age_horizon_remote(self, spark, sf_dir, moto_s3):
         """The age horizon on the remote tier, keyed on manifest-object
