@@ -103,6 +103,13 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
               if v is None or v < thr}
     if failed:
         raise RuntimeError(f"expectation gate blocked promotion: {failed}")
+    # promotion IS a named tag: downstream training attaches "train-ready"
+    # instead of copying a version number between systems, and the tag
+    # retention-pins the gated corpus against every later GC horizon
+    # until deliberately untagged (sources.versioned.snapshot_tag)
+    from pysparkdb.sources.versioned import snapshot_tag
+
+    snapshot_tag(root, "train-ready", pinned)
 
     # --- 3. MAINTAIN: zordered compaction (new version; pin unaffected) ---
     snapshot_compact(
@@ -111,7 +118,8 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     )
 
     # --- 4. CURATE from the pinned version: near-dup removal --------------
-    corpus = snapshot_read(spark, root, pinned)
+    # resolved by NAME — the tag the gate published, not a copied integer
+    corpus = snapshot_read(spark, root, "train-ready")
     pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
     labels = cluster.connected_components(pairs).withColumnRenamed("did", "doc_id")
     curated = (
