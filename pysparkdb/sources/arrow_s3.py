@@ -603,17 +603,22 @@ def arrow_s3_read_csv(
 
 def _boto3_client(conf: S3Conf):
     import boto3
+    from botocore.config import Config
 
-    kwargs: dict = {}
+    # pool sized above the widest driver thread pool in this module (the
+    # GC's and footer planner's 32 workers): botocore's default of 10
+    # connections makes 32 concurrent GETs queue on the pool — measured
+    # as "Connection pool is full" warnings plus serialized tail latency
+    kwargs: dict = {"config": Config(max_pool_connections=64)}
     if conf.endpoint is not None:
         kwargs["endpoint_url"] = conf.endpoint
     if conf.region is not None:
         kwargs["region_name"] = conf.region
     if conf.anonymous:
         from botocore import UNSIGNED
-        from botocore.config import Config
 
-        kwargs["config"] = Config(signature_version=UNSIGNED)
+        kwargs["config"] = Config(
+            signature_version=UNSIGNED, max_pool_connections=64)
     elif conf.access_key is not None:
         kwargs["aws_access_key_id"] = conf.access_key
         kwargs["aws_secret_access_key"] = conf.secret_key
