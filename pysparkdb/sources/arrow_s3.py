@@ -781,21 +781,46 @@ def arrow_s3_snapshot_tag(
         raise ValueError(f"version {version} not in {versions}")
     client = _boto3_client(conf)
     key = _ref_key(keyprefix, name)
-    if not replace:
-        from botocore.exceptions import ClientError
+    payload = json.dumps({"version": version}).encode()
+    if replace:
+        client.put_object(Bucket=bucket, Key=key, Body=payload)
+        return version
+    # replace=False is atomic where the store supports conditional
+    # writes (the _commit_manifest pattern): two writers racing to
+    # create the same tag cannot both "win" silently — the loser's
+    # PUT fails 412. Stores that reject the precondition fall back to
+    # a GET-check + plain PUT (the residual race is the check-to-PUT
+    # window, same scope as the manifest fallback documents).
+    from botocore.exceptions import ClientError, ParamValidationError
 
-        try:
-            have = json.loads(client.get_object(
-                Bucket=bucket, Key=key)["Body"].read())
-            raise ValueError(
-                f"tag {name!r} already exists (-> v{have['version']}); "
-                f"pass replace=True to move it deliberately")
-        except ClientError as exc:
-            if exc.response.get("Error", {}).get("Code") \
-                    not in ("NoSuchKey", "404"):
-                raise
-    client.put_object(Bucket=bucket, Key=key,
-                      Body=json.dumps({"version": version}).encode())
+    def _exists_error():
+        have = json.loads(client.get_object(
+            Bucket=bucket, Key=key)["Body"].read())
+        return ValueError(
+            f"tag {name!r} already exists (-> v{have['version']}); "
+            f"pass replace=True to move it deliberately")
+
+    try:
+        client.put_object(Bucket=bucket, Key=key, Body=payload,
+                          IfNoneMatch="*")
+        return version
+    except ParamValidationError:
+        pass  # botocore predates conditional writes: fallback below
+    except ClientError as exc:
+        code = exc.response.get("Error", {}).get("Code", "")
+        if code in ("PreconditionFailed", "412"):
+            raise _exists_error() from exc
+        if code not in ("NotImplemented", "InvalidRequest",
+                        "InvalidArgument"):
+            raise
+    try:
+        client.get_object(Bucket=bucket, Key=key)
+        raise _exists_error()
+    except ClientError as exc:
+        if exc.response.get("Error", {}).get("Code") \
+                not in ("NoSuchKey", "404"):
+            raise
+    client.put_object(Bucket=bucket, Key=key, Body=payload)
     return version
 
 
