@@ -351,7 +351,8 @@ class Engine:
         base_tables: dict[str, DataFrame] = dict(
             self.catalog.tables) if self.catalog is not None else {}
         base_tables.update(self._live_attached(self._snapshot_tables))
-        for rname, att in self._live_attached(self._arrow_s3_tables).items():
+        live_remote = self._live_attached(self._arrow_s3_tables)
+        for rname, att in live_remote.items():
             base_tables[rname] = att.df
         assert base_tables, "attach a data_dir or remote tables first"
         from pysparkdb.plans.predicate_transfer import (
@@ -369,13 +370,17 @@ class Engine:
         # their size is the attach-recorded byte total — unknown (legacy
         # manifest without "bytes") means ∞: the table still RECEIVES
         # reductions but is never trusted as broadcast-small, the only
-        # safe default for what may be a 100 TB corpus.
+        # safe default for what may be a 100 TB corpus. Keyed on the
+        # LIVE-filtered attach set (the same dict base_tables was built
+        # from), not the raw registry: a name once attached remotely but
+        # since re-registered as a catalog/snapshot table must be sized
+        # by ITS plan stats, not the stale attach's byte total.
         sizes = {
             n: (
-                (self._arrow_s3_tables[n].nbytes
-                 if self._arrow_s3_tables[n].nbytes is not None
+                (live_remote[n].nbytes
+                 if live_remote[n].nbytes is not None
                  else float("inf"))
-                if n in self._arrow_s3_tables
+                if n in live_remote
                 else _plan_bytes(base_tables[n])
             )
             for n in edge_tables
