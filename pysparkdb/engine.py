@@ -740,17 +740,35 @@ class Engine:
                 f"since) — re-attach before profiling")
         if not files:
             # an all-rows-erased pinned version: the profile is exact by
-            # construction (0 rows, 0 nulls, no min/max to certify) and
-            # costs zero GETs — same column shape as the footer path
+            # construction (0 rows, 0 nulls, NULL min/max) and costs zero
+            # GETs — same column shape as the footer path, so a caller
+            # profiling the same table across the erasure terminal state
+            # reads one schema. Eligibility mirrors the footer path's
+            # _stats_minmax_eligible over the attached schema's arrow
+            # types (string/binary and — unless assume_no_nan —
+            # float/double get rows+nulls only). One honest caveat: the
+            # attached schema is Spark-side (timestamps are µs), so a
+            # source column that WAS ns-timestamp parquet — which the
+            # footer path refuses min/max for — is indistinguishable once
+            # every file is erased; its NULL min/max here certify the
+            # attached view's type, which is all that remains.
             from pyspark.sql import functions as F
+            from pyspark.sql.pandas.types import to_arrow_type
 
-            bad = [c for c in (columns or [])
-                   if c not in attached_df.columns]
+            from pysparkdb.sources.arrow_s3 import _stats_minmax_eligible
+
+            fields = {f.name: f.dataType for f in attached_df.schema.fields}
+            bad = [c for c in (columns or []) if c not in fields]
             if bad:
                 raise ValueError(f"column {bad[0]!r} not in parquet schema")
             sel = [F.lit(0).cast("long").alias("rows")]
-            sel += [F.lit(0).cast("long").alias(f"{c}_nulls")
-                    for c in (columns or [])]
+            for c in (columns or []):
+                t = fields[c]
+                if _stats_minmax_eligible(
+                        to_arrow_type(t), assume_no_nan) is None:
+                    sel += [F.lit(None).cast(t).alias(f"{c}_min"),
+                            F.lit(None).cast(t).alias(f"{c}_max")]
+                sel.append(F.lit(0).cast("long").alias(f"{c}_nulls"))
             return self.spark.range(1).select(*sel)
         return _scan_stats_files(
             self.spark, files, conf, columns=columns,

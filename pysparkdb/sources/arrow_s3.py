@@ -1558,12 +1558,16 @@ def arrow_s3_snapshot_gc(
     fs = conf.filesystem()
     now = datetime.datetime.now(datetime.timezone.utc)
     orphans = []
+    # set membership for the sweep: a streaming root after a horizon
+    # expiry can have tens of thousands of both objects and expired
+    # entries — list scans would make this O(objects × expired)
+    expired_set = set(expired)
     sel = FileSelector(f"{prefix}/data", recursive=True, allow_not_found=True)
     for fi in fs.get_file_info(sel):
         if fi.type != FileType.File:
             continue
         rel = fi.path[len(prefix) + 1:]
-        if rel in referenced_keep or rel in expired:
+        if rel in referenced_keep or rel in expired_set:
             continue
         mtime = fi.mtime if fi.mtime.tzinfo else fi.mtime.replace(
             tzinfo=datetime.timezone.utc)

@@ -92,7 +92,26 @@ def snapshot_tag(
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump({"version": version}, f)
-    os.rename(tmp, path)  # atomic publish, like manifests
+    if replace:
+        os.rename(tmp, path)  # atomic publish, like manifests
+    else:
+        # create-only publish must be ATOMIC: an exists-check followed by
+        # rename silently overwrites on POSIX, so two racing creators
+        # would both "succeed" last-writer-wins — the same race the
+        # remote tier closes with a conditional PUT. os.link refuses with
+        # FileExistsError when the target already exists.
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists "
+                f"(-> v{json.load(open(path))['version']}); "
+                f"pass replace=True to move it deliberately") from None
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
     return version
 
 

@@ -575,6 +575,16 @@ class TestSnapshotVersioning:
             snapshot_tag(root, "train-v1", 2)
         with pytest.raises(ValueError, match="invalid tag name"):
             snapshot_tag(root, "../escape", 1)
+        # ...even when the winner lands BETWEEN the exists-check and the
+        # publish: the create-only path links (O_EXCL semantics), so the
+        # racing loser gets the refusal, not a silent overwrite — the
+        # local twin of the remote conditional PUT (commit 39da-era race)
+        import unittest.mock as _mock
+
+        with _mock.patch("os.path.exists", return_value=False):
+            with pytest.raises(ValueError, match="already exists"):
+                snapshot_tag(root, "train-v1", 2)
+        assert snapshot_tags(root)["train-v1"] == 1  # winner undisturbed
         # retention pin: the horizon cannot expire the tagged v1
         snapshot_gc(root, retain_versions=1, orphan_grace_s=0)
         assert snapshot_versions(root) == [1, 3]
@@ -2272,19 +2282,36 @@ class TestArrowObjectStore:
             nation.filter(F.lit(False)), root, moto_s3)           # v1: erased
         eng = Engine(spark)
         try:
+            # footer-path profile of the SAME table at v0 — the schema
+            # the erased profile below must reproduce column-for-column
+            eng.attach_arrow_s3_snapshot("nation_v0", root, moto_s3,
+                                         version=0)
+            pre = eng.arrow_s3_table_stats(
+                "nation_v0", columns=["n_nationkey", "n_name"])
             df = eng.attach_arrow_s3_snapshot("nation_erased", root, moto_s3)
             assert df.schema == spark.table("nation_erased").schema
             assert [f.name for f in df.schema.fields] == nation.columns
             got = eng.sql(
                 "SELECT COUNT(*) AS n FROM nation_erased").collect()[0]
             assert got.n == 0
-            st = eng.arrow_s3_table_stats(
-                "nation_erased", columns=["n_nationkey"]).collect()[0]
+            st_df = eng.arrow_s3_table_stats(
+                "nation_erased", columns=["n_nationkey", "n_name"])
+            # profiling across the erasure terminal state returns the
+            # SAME column shape: min/max present (NULL) for eligible
+            # types, absent for string — not a rows+nulls-only subset
+            assert st_df.columns == pre.columns == [
+                "rows", "n_nationkey_min", "n_nationkey_max",
+                "n_nationkey_nulls", "n_name_nulls"]
+            st = st_df.collect()[0]
             assert st.rows == 0 and st.n_nationkey_nulls == 0
+            assert st.n_nationkey_min is None and st.n_nationkey_max is None
+            assert st_df.schema["n_nationkey_min"].dataType == \
+                pre.schema["n_nationkey_min"].dataType
             with pytest.raises(ValueError, match="not in parquet schema"):
                 eng.arrow_s3_table_stats("nation_erased", columns=["nope"])
         finally:
             spark.catalog.dropTempView("nation_erased")
+            spark.catalog.dropTempView("nation_v0")
 
     def test_remote_views_route_through_segment_cache(
             self, spark, sf_dir, moto_s3):
