@@ -25,6 +25,60 @@ import os
 import sys
 import time
 
+# ---- phase-gate frozen rows (BENCH_BASELINE.md protocol) -------------
+# Module-level so tests can drive the verdict function directly.
+SCAN_PROBE_FROZEN_SEC = 0.2158  # q6's frozen row, BENCH_BASELINE.md
+PHASE_GATE_RATIO = 1.5
+# Compute-probe frozen row (BENCH_BASELINE.md round-13 amendment):
+# median of 10 isolated probe medians on the healthy protocol host
+# (0.442-0.84 s, median 0.527), consistent with the round-12 first
+# readings (0.37/0.91). The band is WIDER than the scan probe's
+# (2.5x vs 1.5x) because the probe's healthy variance is ~2x; the
+# trip point (1.375 s) sits above every recorded healthy reading and
+# far below the 3.6-5.2 s compute-phase episodes it exists to catch
+# (the 183.4-vs-226.0 ok-probed pair that motivated it).
+COMPUTE_PROBE_FROZEN_SEC = 0.55
+COMPUTE_PHASE_GATE_RATIO = 2.5
+# Python-probe frozen row (round-14 amendment): MAX of 3 back-to-back
+# sustained mapInPandas jobs (~2 s of all-core worker arithmetic each) —
+# the round-13 probe body was too short to hit the sustained-load
+# throttle it exists to detect (its readings sat flat at 0.7-1.3 s
+# across both the 192 s calm window and the 298 s hot one). The
+# lengthened body reads 1.9-2.6 s calm (max-of-3 over 5 calm trials at
+# the protocol config); the throttle that produced 12-65 s
+# dedup_embedding episodes against a 1.4 s row (9-46x) puts sustained
+# worker CPU far past the 3x trip point (7.2 s).
+PYTHON_PROBE_FROZEN_SEC = 2.4
+PYTHON_PHASE_GATE_RATIO = 3.0
+
+
+def probe_breaches(
+    scan_sec: float, compute_sec: float, python_sec: float | None = None
+) -> list[str]:
+    """Which probe(s) exceed their frozen band — ALL seated probes hold a
+    vote in the gate verdict: the 183.4/226.0 ok-probed pair proved
+    compute-phase episodes sail straight through a scan-only gate
+    (round-13 amendment), and the round-13 interleaved A/B proved
+    sustained Python-worker throttling is invisible to both JVM-side
+    probes (round-14 amendment seats the python probe)."""
+    out = []
+    if scan_sec > PHASE_GATE_RATIO * SCAN_PROBE_FROZEN_SEC:
+        out.append(
+            f"scan probe {scan_sec:.3f}s > {PHASE_GATE_RATIO}x "
+            f"frozen {SCAN_PROBE_FROZEN_SEC}s")
+    if compute_sec > COMPUTE_PHASE_GATE_RATIO * COMPUTE_PROBE_FROZEN_SEC:
+        out.append(
+            f"compute probe {compute_sec:.3f}s > "
+            f"{COMPUTE_PHASE_GATE_RATIO}x frozen "
+            f"{COMPUTE_PROBE_FROZEN_SEC}s")
+    if python_sec is not None and python_sec > (
+            PYTHON_PHASE_GATE_RATIO * PYTHON_PROBE_FROZEN_SEC):
+        out.append(
+            f"python probe {python_sec:.3f}s > "
+            f"{PYTHON_PHASE_GATE_RATIO}x frozen "
+            f"{PYTHON_PROBE_FROZEN_SEC}s")
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,58 +205,55 @@ def main() -> None:
         return round(_med(reads), 3)
 
     def python_probe_sec(n: int = 3) -> float:
-        """Median of n Arrow-batched pandas-UDF micro-jobs — the
+        """MAX of n back-to-back SUSTAINED pandas-UDF jobs — the
         PYTHON-WORKER-bound host-phase stamp, closing the blind spot the
         round-13 interleaved A/B exposed: dedup_embedding (a sustained
         pandas-UDF query) read 10-65 s against its 1.4 s row while the
         compute probe sat at 0.31 s beside it — whatever throttles
         sustained Python-worker compute is invisible to a short JVM-only
-        exchange. This probe pushes a fixed arithmetic load through the
-        Arrow batch boundary (range(1M) → mapInPandas square-sum →
-        aggregate), exercising worker CPU + serialization without IO.
-        Stamps-only (the r12 compute-probe precedent): no frozen row
-        until recorded sweeps accumulate; adjudications should quote all
-        FOUR stamp pairs."""
-        from statistics import median as _med
-
+        exchange. The round-13 body (range(1M), one square per batch)
+        was too SHORT to trip that throttle: its readings sat flat at
+        0.7-1.3 s across both the 192 s calm record window and the 298 s
+        hot one, so it stamped without separating phases. This body
+        pushes ~2 s of all-core worker arithmetic per job (range(8M) →
+        40 modmul rounds per Arrow batch → aggregate) and reports the
+        MAX of n jobs, so one throttled job in ~6 s of sustained load is
+        enough to read hot. Frozen row + band in BENCH_BASELINE.md
+        (round-14 amendment): 2.4 s x 3.0 — the probe now holds the
+        third gate seat; adjudications quote all FOUR stamp pairs."""
         def body(it):
+            import pandas as _pd  # noqa: F401 (worker-local)
+
             for pdf in it:
-                pdf["id"] = pdf["id"] * pdf["id"] + 1
+                x = pdf["id"]
+                for _ in range(40):
+                    x = x * x % 1000003 + 1
+                pdf["id"] = x
                 yield pdf
 
         reads = []
         for _ in range(n):
             t0 = time.perf_counter()
-            (spark.range(1_000_000).repartition(int(cpus))
+            (spark.range(8_000_000).repartition(int(cpus))
                   .mapInPandas(body, schema="id long")
                   .selectExpr("sum(id)").collect())
             reads.append(time.perf_counter() - t0)
-        return round(_med(reads), 3)
+        return round(max(reads), 3)
 
     # ---- automated phase gate (BENCH_BASELINE.md protocol) ----------
     # The round-11 record sweep was gated by a MANUAL q1/ssb1_1/q6 probe;
-    # this automates it: a scan probe above PHASE_GATE_RATIO x the frozen
-    # q6 row means the HOST is in a degraded-throughput phase and any
-    # sweep timed now is protocol-incomparable with the frozen baselines.
-    # Default behavior is to LABEL the sweep ("phase": "degraded" in the
-    # JSON) so unattended per-round runs still produce a record; set
-    # PYSPARKDB_BENCH_PHASE_GATE=refuse to exit(3) before timing instead
-    # (the definitive record-sweep mode — a degraded sweep then cannot
-    # silently become a baseline).
-    SCAN_PROBE_FROZEN_SEC = 0.2158  # q6's frozen row, BENCH_BASELINE.md
-    PHASE_GATE_RATIO = 1.5
-    # Compute-probe frozen row (BENCH_BASELINE.md round-13 amendment):
-    # median of 10 isolated probe medians on the healthy protocol host
-    # (0.442-0.84 s, median 0.527), consistent with the round-12 first
-    # readings (0.37/0.91). The band is WIDER than the scan probe's
-    # (2.5x vs 1.5x) because the probe's healthy variance is ~2x; the
-    # trip point (1.375 s) sits above every recorded healthy reading and
-    # far below the 3.6-5.2 s compute-phase episodes it exists to catch
-    # (the 183.4-vs-226.0 ok-probed pair that motivated it).
-    COMPUTE_PROBE_FROZEN_SEC = 0.55
-    COMPUTE_PHASE_GATE_RATIO = 2.5
-    # the frozen probe row was recorded at the protocol config (sf0.1,
-    # local[32]); a quick iteration run at sf0.01 reads the probe as
+    # this automates it: a probe above its frozen band means the HOST is
+    # in a degraded-throughput phase and any sweep timed now is
+    # protocol-incomparable with the frozen baselines. Frozen rows +
+    # verdict logic live at module level (probe_breaches) so the gate is
+    # unit-testable. Default behavior is to LABEL the sweep ("phase":
+    # "degraded" in the JSON) so unattended per-round runs still produce
+    # a record; set PYSPARKDB_BENCH_PHASE_GATE=refuse to exit(3) before
+    # timing instead (the definitive record-sweep mode — a degraded
+    # sweep then cannot silently become a baseline).
+    #
+    # the frozen probe rows were recorded at the protocol config (sf0.1,
+    # local[32]); a quick iteration run at sf0.01 reads the probes as
     # fixed overhead and would trip the gate spuriously — only a
     # protocol-comparable sweep gets gated/labelled
     gate_applicable = sf_dir.rstrip("/").endswith("sf0.1") and cpus == "32"
@@ -213,25 +264,8 @@ def main() -> None:
     python_before = python_probe_sec()
     gate_mode = os.environ.get("PYSPARKDB_BENCH_PHASE_GATE", "label")
 
-    def _probe_breaches(scan_sec: float, compute_sec: float) -> list[str]:
-        """Which probe(s) exceed their frozen band — BOTH probes hold a
-        seat in the gate verdict (round-13 amendment): the 183.4/226.0
-        ok-probed pair proved compute-phase episodes sail straight
-        through a scan-only gate."""
-        out = []
-        if scan_sec > PHASE_GATE_RATIO * SCAN_PROBE_FROZEN_SEC:
-            out.append(
-                f"scan probe {scan_sec:.3f}s > {PHASE_GATE_RATIO}x "
-                f"frozen {SCAN_PROBE_FROZEN_SEC}s")
-        if compute_sec > COMPUTE_PHASE_GATE_RATIO * COMPUTE_PROBE_FROZEN_SEC:
-            out.append(
-                f"compute probe {compute_sec:.3f}s > "
-                f"{COMPUTE_PHASE_GATE_RATIO}x frozen "
-                f"{COMPUTE_PROBE_FROZEN_SEC}s")
-        return out
-
     if gate_applicable:
-        breaches = _probe_breaches(scan_before, compute_before)
+        breaches = probe_breaches(scan_before, compute_before, python_before)
         if breaches:
             print("phase gate: " + "; ".join(breaches) +
                   " — degraded host phase", file=sys.stderr)
@@ -239,13 +273,29 @@ def main() -> None:
                 raise SystemExit(3)
     repeats = int(os.environ.get("PYSPARKDB_BENCH_REPEATS", "3"))
     times: dict[str, list[float]] = {name: [] for name in names}
+    # Per-execution timeline (VERDICT r13 #1): every reading's sweep
+    # position, rep, wall-clock start (unix epoch + offset from the first
+    # timed query) and duration, written as a SIDECAR json so an in-sweep
+    # episode (the three-round ev_interval_overlap breach) can be
+    # correlated with its neighbors and the probe stamps without bloating
+    # the one-line driver record.
+    timeline: list[dict] = []
+    sweep_t0 = time.time()
     for _rep in range(repeats):
-        for name in names:
+        for pos, name in enumerate(names):
             spec = specs[name]
             keep_python_pool_warm()
+            t_wall = time.time()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
-            times[name].append(time.perf_counter() - t0)
+            dur = time.perf_counter() - t0
+            times[name].append(dur)
+            timeline.append({
+                "name": name, "rep": _rep, "pos": pos,
+                "start_unix": round(t_wall, 3),
+                "start_offset_sec": round(t_wall - sweep_t0, 3),
+                "sec": round(dur, 4),
+            })
         # NOTE: no clearCache between sweeps — the frozen baselines were
         # recorded with warm cross-sweep caches (segment cache + library
         # persist pins), and a measured A/B showed per-sweep clearing
@@ -260,13 +310,29 @@ def main() -> None:
     total = sum(per_query.values())
     scan_after = scan_probe_sec()
     compute_after = compute_probe_sec()
+    python_after = python_probe_sec()
     if not gate_applicable:
         phase = "ungated"  # non-protocol config: probe not comparable
-    elif not (_probe_breaches(scan_before, compute_before)
-              + _probe_breaches(scan_after, compute_after)):
+    elif not (probe_breaches(scan_before, compute_before, python_before)
+              + probe_breaches(scan_after, compute_after, python_after)):
         phase = "ok"
     else:
         phase = "degraded"
+
+    timeline_file = os.environ.get(
+        "PYSPARKDB_BENCH_TIMELINE", "bench_timeline_last.json")
+    with open(timeline_file, "w") as f:
+        json.dump({
+            "sweep_start_unix": round(sweep_t0, 3),
+            "probes": {
+                "scan_before": scan_before, "scan_after": scan_after,
+                "compute_before": compute_before,
+                "compute_after": compute_after,
+                "python_before": python_before,
+                "python_after": python_after,
+            },
+            "timeline": timeline,
+        }, f)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -295,17 +361,19 @@ def main() -> None:
                 "compute_probe_sec_before": compute_before,
                 "compute_probe_sec_after": compute_after,
                 # Python-worker-bound stamps (see python_probe_sec):
-                # stamps-only — no frozen row yet; the round-13 A/B
-                # proved sustained pandas-UDF throttling is invisible to
-                # both gated probes
+                # frozen row 2.4 s x 3.0 band (round-14 amendment) — the
+                # sustained max-of-3 body that SEPARATES calm from hot,
+                # now holding the third gate seat
                 "python_probe_sec_before": python_before,
-                "python_probe_sec_after": python_probe_sec(),
-                # the automated phase gate's verdict: "ok" when the scan
-                # AND compute probes sat within their frozen bands before
-                # and after the sweep, "degraded" otherwise — a degraded
-                # sweep must not be frozen into BENCH_BASELINE.md (see
-                # protocol note there)
+                "python_probe_sec_after": python_after,
+                # the automated phase gate's verdict: "ok" when the scan,
+                # compute AND python probes sat within their frozen bands
+                # before and after the sweep, "degraded" otherwise — a
+                # degraded sweep must not be frozen into BENCH_BASELINE.md
+                # (see protocol note there)
                 "phase": phase,
+                # per-execution timeline sidecar (VERDICT r13 #1)
+                "timeline_file": timeline_file,
             }
         )
     )

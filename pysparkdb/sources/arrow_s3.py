@@ -1421,7 +1421,7 @@ def arrow_s3_snapshot_gc(
     conf: S3Conf, uri: str, orphan_grace_s: float = 600.0,
     retain_versions: int | None = None,
     older_than_s: float | None = None,
-    dry_run: bool = False,
+    dry_run: bool = False, _pre_delete_hook=None,
 ) -> dict[str, list[str]]:
     """Garbage-collect the object-store snapshot root — the VACUUM analog,
     now with BOTH dead-byte classes of the local twin (sources/
@@ -1547,6 +1547,29 @@ def arrow_s3_snapshot_gc(
     # manifests first: a crash mid-GC must never leave a manifest whose
     # files are gone (the local twin's ordering)
     if not dry_run:
+        # LAST-INSTANT tag re-read (the tag-vs-GC race, both tiers): an
+        # arrow_s3_snapshot_tag conditional PUT landing after the
+        # reference-set build above but before the deletes would be
+        # silently expired — the pin-travels-with-the-data contract the
+        # tag exists to provide. Re-reading tags immediately before the
+        # delete loop shrinks the race to the read-to-delete instant
+        # (one LIST + the DELETE round-trips); a tagger needing a HARD
+        # guarantee against a concurrent sweep should verify its version
+        # still exists after tagging (the tag call returns the version;
+        # arrow_s3_snapshot_versions confirms). ``_pre_delete_hook`` is
+        # test injection for exactly this window.
+        if _pre_delete_hook is not None:
+            _pre_delete_hook()
+        rescued = [
+            tv for tv in sorted(
+                set(arrow_s3_snapshot_tags(conf, uri).values()))
+            if tv in drop]
+        for tv in rescued:
+            drop.remove(tv)
+            keep = sorted(keep + [tv])
+            referenced_keep.update(manifests[tv]["files"])
+        if rescued:
+            expired = sorted(referenced_drop - referenced_keep)
         for v in drop:
             client.delete_object(
                 Bucket=bucket, Key=f"{keyprefix}/_manifests/v{v}.json")

@@ -354,7 +354,7 @@ def snapshot_read(
 def snapshot_gc(
     root: str, retain_versions: int | None = None,
     orphan_grace_s: float = 600.0, older_than_s: float | None = None,
-    dry_run: bool = False,
+    dry_run: bool = False, _pre_delete_hook=None,
 ) -> dict[str, list[str]]:
     """Garbage-collect the snapshot root — the VACUUM analog. Two classes
     of dead files, both identified purely from manifests (no data reads):
@@ -446,9 +446,30 @@ def snapshot_gc(
         referenced_drop.update(manifests[v]["files"])
 
     expired = sorted(referenced_drop - referenced_keep)
-    expired_set = set(expired)
     # manifests first: a crash mid-GC must never leave a manifest whose
     # files are gone
+    if not dry_run:
+        # LAST-INSTANT tag re-read (the tag-vs-GC race): a snapshot_tag
+        # landing after the reference-set build above but before the
+        # deletes would be silently expired — the exact pin-travels-
+        # with-the-data contract the tag exists to provide. Re-reading
+        # tags immediately before the delete loop shrinks the race to
+        # the read-to-delete instant below (~µs of local syscalls); a
+        # tagger needing a HARD guarantee against a concurrent sweep
+        # should verify its version still exists after tagging
+        # (snapshot_tag returns the version; snapshot_versions confirms).
+        # ``_pre_delete_hook`` is test injection for exactly this window.
+        if _pre_delete_hook is not None:
+            _pre_delete_hook()
+        rescued = [tv for tv in sorted(set(snapshot_tags(root).values()))
+                   if tv in drop]
+        for tv in rescued:
+            drop.remove(tv)
+            keep = sorted(keep + [tv])
+            referenced_keep.update(manifests[tv]["files"])
+        if rescued:
+            expired = sorted(referenced_drop - referenced_keep)
+    expired_set = set(expired)
     if not dry_run:
         for v in drop:
             os.remove(_manifest_path(root, v))

@@ -599,6 +599,46 @@ class TestSnapshotVersioning:
         with pytest.raises(ValueError, match="not found"):
             snapshot_read(spark, root, "train-v1")
 
+    def test_tag_created_during_gc_survives_local(
+            self, spark, sf_dir, tmp_path):
+        """The tag-vs-GC race (VERDICT r13 #3): a snapshot_tag landing
+        AFTER the sweep's reference-set build but BEFORE its deletes must
+        still pin its version — the sweep re-reads tags at the last
+        instant before deleting. Injects the tag through the GC's
+        ``_pre_delete_hook`` seam, exactly the window the old code lost."""
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_gc, snapshot_read, snapshot_rewrite,
+            snapshot_tag, snapshot_versions,
+        )
+
+        root = str(tmp_path / "snapgcrace")
+        region = tables(spark, sf_dir)["region"]
+        snapshot_append(region.filter(F.col("r_regionkey") < 2), root)  # v1
+        snapshot_append(region.filter(F.col("r_regionkey") >= 2), root)  # v2
+        # terminal rewrite-to-empty: v3 references NOTHING, so without
+        # the racing tag the sweep would expire every byte v1/v2 hold
+        snapshot_rewrite(spark, root, region.limit(0))                   # v3
+
+        def racing_tagger():
+            snapshot_tag(root, "train-late", 1)
+
+        out = snapshot_gc(root, retain_versions=1, orphan_grace_s=0,
+                          _pre_delete_hook=racing_tagger)
+        assert out["expired"]  # v2's exclusive bytes still reclaimed
+        # v1 was in the drop set when the reference sets were built; the
+        # last-instant re-read must rescue it (manifest AND bytes intact)
+        assert 1 in snapshot_versions(root)
+        assert 2 not in snapshot_versions(root)
+        assert snapshot_read(spark, root, "train-late").count() == \
+            region.filter(F.col("r_regionkey") < 2).count()
+        # nothing v1 references was expired
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(root, "_manifests", "v1.json")) as f:
+            v1_files = set(_json.load(f)["files"])
+        assert not (v1_files & set(out["expired"]))
+
     def test_rewrite_to_empty_reads_back_local(self, spark, sf_dir, tmp_path):
         """Local/remote contract parity on the erasure terminal state: a
         version whose manifest lists NO files reads back as the EMPTY
@@ -2094,6 +2134,44 @@ class TestArrowObjectStore:
         with pytest.raises(ValueError, match="not found"):
             arrow_s3_snapshot_read(spark, root, moto_s3,
                                    version="train-v1")
+
+    def test_tag_created_during_gc_survives_remote(
+            self, spark, sf_dir, moto_s3):
+        """The tag-vs-GC race on the REMOTE tier (VERDICT r13 #3): a
+        conditional-PUT tag landing between the sweep's reference-set
+        build and its manifest deletes must still pin its version — the
+        sweep re-reads tags at the last instant before deleting."""
+        from pysparkdb.sources import (
+            arrow_s3_snapshot_append,
+            arrow_s3_snapshot_gc,
+            arrow_s3_snapshot_read,
+            arrow_s3_snapshot_rewrite,
+            arrow_s3_snapshot_tag,
+            arrow_s3_snapshot_versions,
+        )
+
+        root = "s3://testbkt/gcrace/nation"
+        nation = tables(spark, sf_dir)["nation"]
+        arrow_s3_snapshot_append(
+            nation.filter(F.col("n_nationkey") < 5), root, moto_s3)   # v0
+        arrow_s3_snapshot_append(
+            nation.filter(F.col("n_nationkey") >= 5), root, moto_s3)  # v1
+        # terminal rewrite-to-empty: v2 references NOTHING, so without
+        # the racing tag the sweep would expire every byte v0/v1 hold
+        arrow_s3_snapshot_rewrite(nation.limit(0), root, moto_s3)     # v2
+
+        def racing_tagger():
+            arrow_s3_snapshot_tag(moto_s3, root, "train-late", 0)
+
+        out = arrow_s3_snapshot_gc(
+            moto_s3, root, orphan_grace_s=0, retain_versions=1,
+            _pre_delete_hook=racing_tagger)
+        assert 0 in arrow_s3_snapshot_versions(moto_s3, root)
+        assert 1 not in arrow_s3_snapshot_versions(moto_s3, root)
+        assert arrow_s3_snapshot_read(
+            spark, root, moto_s3, version="train-late").count() == \
+            nation.filter(F.col("n_nationkey") < 5).count()
+        assert out["expired"]  # v1's exclusive objects still reclaimed
 
     def test_snapshot_gc_age_horizon_remote(self, spark, sf_dir, moto_s3):
         """The age horizon on the remote tier, keyed on manifest-object
