@@ -52,6 +52,32 @@ PYTHON_PROBE_FROZEN_SEC = 2.4
 PYTHON_PHASE_GATE_RATIO = 3.0
 
 
+def host_counters() -> dict:
+    """CPU-steal jiffies and PSI some-total — the two counters that
+    attribute an in-sweep episode to the HOST rather than the plan. The
+    round-13/14 diagnosis of the three-round ev_interval_overlap band
+    breach: the VM is episodically descheduled by a co-tenant (a plain
+    time.sleep(5) loop lost 14-28 s of wall-clock with ZERO local CPU
+    use, and /proc/stat steal shows ~0.6 cores stolen on average over
+    this host's uptime). A query reading taken inside such a window is a
+    measurement of the hypervisor, not the query; recording the steal /
+    pressure DELTA beside every reading makes that attribution data, not
+    adjudication prose."""
+    out = {}
+    try:
+        with open("/proc/stat") as f:
+            out["steal_jiffies"] = int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        pass
+    try:
+        with open("/proc/pressure/cpu") as f:
+            out["psi_some_total_us"] = int(
+                f.readline().rsplit("total=", 1)[1])
+    except (OSError, IndexError, ValueError):
+        pass
+    return out
+
+
 def probe_breaches(
     scan_sec: float, compute_sec: float, python_sec: float | None = None
 ) -> list[str]:
@@ -285,17 +311,29 @@ def main() -> None:
         for pos, name in enumerate(names):
             spec = specs[name]
             keep_python_pool_warm()
+            hc0 = host_counters()
             t_wall = time.time()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             dur = time.perf_counter() - t0
+            hc1 = host_counters()
             times[name].append(dur)
-            timeline.append({
+            entry = {
                 "name": name, "rep": _rep, "pos": pos,
                 "start_unix": round(t_wall, 3),
                 "start_offset_sec": round(t_wall - sweep_t0, 3),
                 "sec": round(dur, 4),
-            })
+            }
+            # host-attribution deltas (see host_counters): steal is in
+            # jiffies (10 ms each, summed across vCPUs) — a reading with
+            # steal_d comparable to sec*100 spent its wall-clock being
+            # descheduled, not computing
+            if "steal_jiffies" in hc0 and "steal_jiffies" in hc1:
+                entry["steal_d"] = hc1["steal_jiffies"] - hc0["steal_jiffies"]
+            if "psi_some_total_us" in hc0 and "psi_some_total_us" in hc1:
+                entry["psi_d_us"] = (
+                    hc1["psi_some_total_us"] - hc0["psi_some_total_us"])
+            timeline.append(entry)
         # NOTE: no clearCache between sweeps — the frozen baselines were
         # recorded with warm cross-sweep caches (segment cache + library
         # persist pins), and a measured A/B showed per-sweep clearing

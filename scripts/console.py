@@ -229,21 +229,36 @@ def main(argv: list[str] | None = None) -> int:
                     v = snapshot_tag(parts[0], parts[1], ver)
                 print(f"{parts[1]} -> v{v}")
         elif s.startswith("\\gc"):
-            # \gc <root> [retain_versions] [grace_s] [-n] — VACUUM a
-            # snapshot root (local dir or s3://): orphan sweep always;
-            # with retain_versions also the version-horizon expiry that
-            # completes the right-to-erasure story. Grace defaults to the
-            # library's writer-race window (600 s); -n/--dry-run reports
-            # what WOULD be deleted without deleting (the review step
-            # before byte-level erasure).
+            # \gc <root> [retain_versions] [grace_s] [--age <s>] [-n] —
+            # VACUUM a snapshot root (local dir or s3://): orphan sweep
+            # always; with retain_versions also the version-horizon
+            # expiry that completes the right-to-erasure story; --age
+            # adds the AGE horizon (Delta VACUUM-RETAIN shape — versions
+            # whose manifest is older than <s> seconds expire too, the
+            # newest always survives). Grace defaults to the library's
+            # writer-race window (600 s); -n/--dry-run reports what WOULD
+            # be deleted without deleting (the review step before
+            # byte-level erasure).
             parts = s[len("\\gc"):].split()
             dry = False
             if parts and parts[-1] in ("-n", "--dry-run"):
                 dry = True
                 parts = parts[:-1]
-            if not parts or len(parts) > 3:
-                print("usage: \\gc <root> [retain_versions] [grace_s] [-n]",
-                      file=sys.stderr)
+            age = None
+            bad_age = False
+            if "--age" in parts:
+                i = parts.index("--age")
+                if i + 1 >= len(parts):
+                    print("--age needs a value (seconds)", file=sys.stderr)
+                    bad_age = True
+                else:
+                    age = float(parts[i + 1])
+                    parts = parts[:i] + parts[i + 2:]
+            if bad_age:
+                pass
+            elif not parts or len(parts) > 3:
+                print("usage: \\gc <root> [retain_versions] [grace_s] "
+                      "[--age <s>] [-n]", file=sys.stderr)
             else:
                 retain = int(parts[1]) if len(parts) >= 2 else None
                 grace = float(parts[2]) if len(parts) == 3 else 600.0
@@ -253,12 +268,13 @@ def main(argv: list[str] | None = None) -> int:
                     out = arrow_s3_snapshot_gc(
                         _s3conf_from_env(), parts[0],
                         orphan_grace_s=grace, retain_versions=retain,
-                        dry_run=dry)
+                        older_than_s=age, dry_run=dry)
                 else:
                     from pysparkdb.sources.versioned import snapshot_gc
 
                     out = snapshot_gc(parts[0], retain_versions=retain,
-                                      orphan_grace_s=grace, dry_run=dry)
+                                      orphan_grace_s=grace,
+                                      older_than_s=age, dry_run=dry)
                 verb = "would expire" if dry else "expired"
                 print(f"{verb} {len(out['expired'])} object(s), "
                       f"{'would sweep' if dry else 'swept'} "

@@ -1104,6 +1104,13 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
          "-c", f"\\pin regions_tag {root} trainv1",
          "-c", "SELECT COUNT(*) AS n FROM regions_tag",
          "-c", f"\\gc {root} 1 0",
+         "-c", f"\\versions {root}",
+         # the age horizon through the console (--age, Delta
+         # VACUUM-RETAIN shape): 0 s = everything retained-by-count is
+         # still too old, yet the newest and the TAGGED v1 survive;
+         # dry-run first (the review-step default posture)
+         "-c", f"\\gc {root} --age 0 -n",
+         "-c", f"\\gc {root} 3 0 --age 0",
          "-c", f"\\versions {root}"],
         capture_output=True, text=True,
         cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=240,
@@ -1125,6 +1132,10 @@ def test_console_snapshot_commands(spark, sf_dir, tmp_path):
     # \gc with a horizon drops v2 but the TAGGED v1 is retention-pinned
     assert "expired" in out.stdout and "swept" in out.stdout
     assert "[1, 3]" in out.stdout
+    # --age dry-run previews without deleting; the wet sweep age-expires
+    # nothing protected: newest (v3) never age-drops, v1 is tag-pinned
+    assert "would expire" in out.stdout
+    assert out.stdout.rstrip().endswith("[1, 3]")
 
     # \pin must NOT clobber a registered catalog table: the console only
     # grants replace to names it pinned itself, so the engine's shadow
