@@ -307,32 +307,62 @@ def main() -> None:
     # the one-line driver record.
     timeline: list[dict] = []
     sweep_t0 = time.time()
+    n_cpus = os.cpu_count() or int(cpus)
+    # Stall-aware retry (round-14 metrology amendment, BENCH_BASELINE.md):
+    # when the steal counter PROVES a reading spent >25% of the box's
+    # cpu-time descheduled by a co-tenant (the three-round
+    # ev_interval_overlap band-breach root cause — whole-VM stalls of
+    # 14-28 s land mid-sweep), the reading measures the hypervisor, not
+    # the query: re-measure ONCE and keep the better reading, recording
+    # both in the timeline. This can only REMOVE host poison — a retry
+    # cannot read faster than the query's true cost — so medians stay
+    # protocol-comparable with the frozen baselines. Off via
+    # PYSPARKDB_BENCH_STALL_RETRY=0.
+    stall_retry = os.environ.get("PYSPARKDB_BENCH_STALL_RETRY", "1") != "0"
+
+    def timed_run(spec):
+        hc0 = host_counters()
+        t_wall = time.time()
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        dur = time.perf_counter() - t0
+        hc1 = host_counters()
+        deltas = {}
+        # host-attribution deltas (see host_counters): steal is in
+        # jiffies (10 ms each, summed across vCPUs) — a reading whose
+        # steal_d approaches n_cpus*sec*100 spent its wall-clock being
+        # descheduled, not computing
+        if "steal_jiffies" in hc0 and "steal_jiffies" in hc1:
+            deltas["steal_d"] = hc1["steal_jiffies"] - hc0["steal_jiffies"]
+        if "psi_some_total_us" in hc0 and "psi_some_total_us" in hc1:
+            deltas["psi_d_us"] = (
+                hc1["psi_some_total_us"] - hc0["psi_some_total_us"])
+        return t_wall, dur, deltas
+
+    def stalled(dur: float, deltas: dict) -> bool:
+        steal_share = deltas.get("steal_d", 0) * 0.01 / (n_cpus * max(dur, 1e-9))
+        return dur > 0.5 and steal_share > 0.25
+
     for _rep in range(repeats):
         for pos, name in enumerate(names):
             spec = specs[name]
             keep_python_pool_warm()
-            hc0 = host_counters()
-            t_wall = time.time()
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            dur = time.perf_counter() - t0
-            hc1 = host_counters()
-            times[name].append(dur)
+            t_wall, dur, deltas = timed_run(spec)
             entry = {
                 "name": name, "rep": _rep, "pos": pos,
                 "start_unix": round(t_wall, 3),
                 "start_offset_sec": round(t_wall - sweep_t0, 3),
-                "sec": round(dur, 4),
+                "sec": round(dur, 4), **deltas,
             }
-            # host-attribution deltas (see host_counters): steal is in
-            # jiffies (10 ms each, summed across vCPUs) — a reading with
-            # steal_d comparable to sec*100 spent its wall-clock being
-            # descheduled, not computing
-            if "steal_jiffies" in hc0 and "steal_jiffies" in hc1:
-                entry["steal_d"] = hc1["steal_jiffies"] - hc0["steal_jiffies"]
-            if "psi_some_total_us" in hc0 and "psi_some_total_us" in hc1:
-                entry["psi_d_us"] = (
-                    hc1["psi_some_total_us"] - hc0["psi_some_total_us"])
+            if stall_retry and stalled(dur, deltas):
+                _, dur2, deltas2 = timed_run(spec)
+                entry["stalled_sec"] = entry["sec"]
+                entry["retry_sec"] = round(dur2, 4)
+                entry.update(
+                    {f"retry_{k}": v for k, v in deltas2.items()})
+                dur = min(dur, dur2)  # the retry may hit the same window
+                entry["sec"] = round(dur, 4)
+            times[name].append(dur)
             timeline.append(entry)
         # NOTE: no clearCache between sweeps — the frozen baselines were
         # recorded with warm cross-sweep caches (segment cache + library

@@ -86,6 +86,13 @@ class _RemoteAttach(NamedTuple):
     origin: str        # stable identity (prefix / uri@version) for cache keys
 
 
+class _SnapshotAttach(NamedTuple):
+    """One local attach_snapshot registration (manifest-pinned view)."""
+
+    df: DataFrame      # the registered plan (identity check)
+    origin: str        # root@vN — stable identity for cache keys
+
+
 class Engine:
     def __init__(self, spark: SparkSession | None = None, data_dir: str | None = None):
         self.spark = apply_engine_confs(spark or get_spark())
@@ -108,7 +115,7 @@ class Engine:
         # the predicate-transfer pass can see them as base tables (their
         # LogicalRelation plans carry real parquet stats, so sizing is
         # the ordinary plan-stat path)
-        self._snapshot_tables: dict[str, DataFrame] = {}
+        self._snapshot_tables: dict[str, _SnapshotAttach] = {}
         # per-ENGINE predicate_transfer="auto" crossover (bytes/core):
         # an instance attribute so a caller tuning or force-flipping the
         # threshold (tests, the q5_auto certificate query) affects only
@@ -338,6 +345,7 @@ class Engine:
         if not predicate_transfer:
             if self._mode in ("caching", "hybrid") and (
                 self.catalog is not None or self._arrow_s3_tables
+                or self._snapshot_tables
             ):
                 return self._route_views_through_cache(df, query, args)
             return df
@@ -350,7 +358,8 @@ class Engine:
         # ambiguity exclusion (no edge, never a wrong reduction).
         base_tables: dict[str, DataFrame] = dict(
             self.catalog.tables) if self.catalog is not None else {}
-        base_tables.update(self._live_attached(self._snapshot_tables))
+        for sname, satt in self._live_attached(self._snapshot_tables).items():
+            base_tables[sname] = satt.df
         live_remote = self._live_attached(self._arrow_s3_tables)
         for rname, att in live_remote.items():
             base_tables[rname] = att.df
@@ -412,7 +421,7 @@ class Engine:
         the same staleness rule arrow_s3_table_stats enforces."""
         out = {}
         for name, val in registry.items():
-            rdf = val.df if isinstance(val, _RemoteAttach) else val
+            rdf = getattr(val, "df", val)
             try:
                 if self.spark.table(name).sameSemantics(rdf):
                     out[name] = val
@@ -420,13 +429,17 @@ class Engine:
                 continue
         return out
 
-    def _remote_view_columns(self, df: DataFrame) -> dict[str, set]:
-        """Per remote-attached view, the columns THIS query actually
-        references — the working set the segment cache routes for the
-        jar-less tier. The local tables' plan-walk (leaf file paths
-        against catalog paths) cannot attribute a mapInArrow scan, whose
-        leaf is the task list; here attribution is by VIEW NAME on the
-        ANALYZED plan (resolved temp views keep their SubqueryAlias
+    def _attached_view_columns(
+        self, df: DataFrame, names
+    ) -> dict[str, set]:
+        """Per attached view (any name in ``names``), the columns THIS
+        query actually references — the working set the segment cache
+        routes for remote attaches AND local snapshot pins. The catalog
+        tables' plan-walk (leaf file paths against catalog paths) cannot
+        attribute a mapInArrow scan (whose leaf is the task list) nor a
+        manifest-pinned view (whose leaf paths are the manifest's file
+        list, not the catalog dir); here attribution is by VIEW NAME on
+        the ANALYZED plan (resolved temp views keep their SubqueryAlias
         wrapper there), and the working set is the view-output attributes
         whose exprIds any operator references (or the query returns)."""
         analyzed = df._jdf.queryExecution().analyzed()
@@ -442,7 +455,7 @@ class Engine:
                 used_ids.add(refs.next().exprId().id())
             if node.getClass().getSimpleName() == "SubqueryAlias":
                 name = node.alias()
-                if name in self._arrow_s3_tables:
+                if name in names:
                     o = node.output()
                     per_view.setdefault(name, []).extend(
                         (o.apply(i).name(), o.apply(i).exprId().id())
@@ -497,28 +510,44 @@ class Engine:
             for name, cols in needed.items()
         }
         live_remote = self._live_attached(self._arrow_s3_tables)
-        for name, cols in self._remote_view_columns(df).items():
+        live_snap = self._live_attached(self._snapshot_tables)
+        attached_cols = self._attached_view_columns(
+            df, set(live_remote) | set(live_snap))
+        for name, cols in attached_cols.items():
             att = live_remote.get(name)
-            if att is None or not cols or att.nbytes is None \
-                    or not att.files:
-                # stale (view replaced since attach), unsized, or empty
-                # attach: plain plan
+            if att is not None:
+                if not cols or att.nbytes is None or not att.files:
+                    # unsized or empty attach: plain plan
+                    continue
+                want = [c for c in att.df.columns if c in cols]
+                routed[name] = self._segment_cache.project(
+                    att.df, f"{name}@{att.origin}", want,
+                    size_hint=max(
+                        1,
+                        att.nbytes * len(want) // max(len(att.df.columns), 1)
+                    ),
+                )
                 continue
-            want = [c for c in att.df.columns if c in cols]
+            # local attach_snapshot pin: same view-name attribution; its
+            # plan is an ordinary parquet read over the manifest's file
+            # list, so plan-stat sizing applies (no size_hint needed) —
+            # the local/remote parity the mode-axis matrix promises
+            satt = live_snap[name]
+            if not cols:
+                continue
+            want = [c for c in satt.df.columns if c in cols]
             routed[name] = self._segment_cache.project(
-                att.df, f"{name}@{att.origin}", want,
-                size_hint=max(
-                    1, att.nbytes * len(want) // max(len(att.df.columns), 1)
-                ),
-            )
+                satt.df, f"{name}@{satt.origin}", want)
         if not routed:
             return df
         from pyspark.errors import AnalysisException
 
         restore = {n: self.catalog.tables[n] for n in needed} if needed else {}
         for name in routed:
-            if name not in restore:
-                restore[name] = self._arrow_s3_tables[name].df
+            if name in restore:
+                continue
+            restore[name] = (live_remote[name].df if name in live_remote
+                             else live_snap[name].df)
         with _RESOLVE_LOCK:
             try:
                 for name, rdf in routed.items():
@@ -564,7 +593,19 @@ class Engine:
                 f"deliberately (no view was touched)")
         df = snapshot_read(self.spark, root, version)
         df.createOrReplaceTempView(name)
-        self._snapshot_tables[name] = df
+        # resolve the pinned version (tag name / None-latest -> int) for
+        # the cache-identity origin: two pins of the same root at
+        # different versions must never share a cached segment
+        from pysparkdb.sources.versioned import (
+            _resolve_version,
+            snapshot_versions,
+        )
+
+        resolved = _resolve_version(root, version)
+        if resolved is None:
+            resolved = snapshot_versions(root)[-1]
+        self._snapshot_tables[name] = _SnapshotAttach(
+            df, f"{root}@v{resolved}")
         return df
 
     def attach_arrow_s3_snapshot(

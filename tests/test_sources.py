@@ -639,6 +639,48 @@ class TestSnapshotVersioning:
             v1_files = set(_json.load(f)["files"])
         assert not (v1_files & set(out["expired"]))
 
+    def test_local_snapshot_views_route_through_segment_cache(
+            self, spark, sf_dir, tmp_path):
+        """The mode axis applies to local attach_snapshot pins (VERDICT
+        r13 #4): a manifest-pinned view routes through the
+        SegmentCacheManager in caching/hybrid modes exactly as its remote
+        twin does — view-name attribution, plan-stat sizing, four-mode
+        identity, hit-ratio contract."""
+        from pysparkdb.engine import Engine
+        from pysparkdb.sources.versioned import snapshot_append
+
+        root = str(tmp_path / "snapcache")
+        nation = tables(spark, sf_dir)["nation"]
+        snapshot_append(nation, root)                                 # v1
+        snapshot_append(nation.limit(0), root)                        # v2
+        eng = Engine(spark)
+        try:
+            eng.attach_snapshot("nation_pin", root, version=1)
+            q = ("SELECT n_regionkey, COUNT(*) AS n FROM nation_pin "
+                 "GROUP BY n_regionkey ORDER BY n_regionkey")
+            base = eng.sql(q).collect()
+            for mode in ("pullup", "pushdown", "caching", "hybrid"):
+                assert eng.sql(q, mode=mode).collect() == base, mode
+            cm = eng._segment_cache
+            assert cm is not None and cm.entries, "working set admitted"
+            (key, cols), = [k for k in cm.entries]
+            assert key == f"nation_pin@{root}@v1"
+            assert cols == ("n_regionkey",)
+            hits0 = cm.hit_count
+            assert eng.sql(q, mode="caching").collect() == base
+            assert cm.hit_count > hits0, "repeat served from the segment"
+            # a broader working set on the SAME pin still answers right
+            q2 = ("SELECT n_regionkey, COUNT(DISTINCT n_name) AS n "
+                  "FROM nation_pin GROUP BY n_regionkey "
+                  "ORDER BY n_regionkey")
+            want = [tuple(r) for r in eng.sql(q2, mode="pushdown").collect()]
+            got = [tuple(r) for r in eng.sql(q2, mode="hybrid").collect()]
+            assert got == want
+        finally:
+            eng.clear_segment_cache()
+            eng.set_mode("pushdown")
+            spark.catalog.dropTempView("nation_pin")
+
     def test_rewrite_to_empty_reads_back_local(self, spark, sf_dir, tmp_path):
         """Local/remote contract parity on the erasure terminal state: a
         version whose manifest lists NO files reads back as the EMPTY
