@@ -44,11 +44,14 @@ COMPUTE_PHASE_GATE_RATIO = 2.5
 # the round-13 probe body was too short to hit the sustained-load
 # throttle it exists to detect (its readings sat flat at 0.7-1.3 s
 # across both the 192 s calm window and the 298 s hot one). The
-# lengthened body reads 1.9-2.6 s calm (max-of-3 over 5 calm trials at
-# the protocol config); the throttle that produced 12-65 s
-# dedup_embedding episodes against a 1.4 s row (9-46x) puts sustained
-# worker CPU far past the 3x trip point (7.2 s).
-PYTHON_PROBE_FROZEN_SEC = 2.4
+# lengthened body reads 1.9-2.5 s per job steady-state; in BENCH
+# context the max-of-3 reads 3.0-3.8 s calm (the first job pays
+# residual worker warmup) and 13.3-15.4 s in the two hot windows
+# recorded while seating it — the separation the old body never
+# showed. The throttle that produced 12-65 s dedup_embedding episodes
+# against a 1.4 s row (9-46x) puts sustained worker CPU far past the
+# 3x trip point (9.6 s).
+PYTHON_PROBE_FROZEN_SEC = 3.2
 PYTHON_PHASE_GATE_RATIO = 3.0
 
 
@@ -245,7 +248,7 @@ def main() -> None:
         40 modmul rounds per Arrow batch → aggregate) and reports the
         MAX of n jobs, so one throttled job in ~6 s of sustained load is
         enough to read hot. Frozen row + band in BENCH_BASELINE.md
-        (round-14 amendment): 2.4 s x 3.0 — the probe now holds the
+        (round-14 amendment): 3.2 s x 3.0 — the probe now holds the
         third gate seat; adjudications quote all FOUR stamp pairs."""
         def body(it):
             import pandas as _pd  # noqa: F401 (worker-local)
@@ -429,7 +432,7 @@ def main() -> None:
                 "compute_probe_sec_before": compute_before,
                 "compute_probe_sec_after": compute_after,
                 # Python-worker-bound stamps (see python_probe_sec):
-                # frozen row 2.4 s x 3.0 band (round-14 amendment) — the
+                # frozen row 3.2 s x 3.0 band (round-14 amendment) — the
                 # sustained max-of-3 body that SEPARATES calm from hot,
                 # now holding the third gate seat
                 "python_probe_sec_before": python_before,

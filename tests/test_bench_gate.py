@@ -14,16 +14,16 @@ import bench  # noqa: E402
 class TestPhaseGateVerdict:
     def test_calm_window_passes_all_seats(self):
         # healthy readings from the round-13/14 calm records
-        assert bench.probe_breaches(0.22, 0.55, 2.2) == []
+        assert bench.probe_breaches(0.22, 0.55, 3.4) == []
 
     def test_scan_seat_refuses(self):
-        out = bench.probe_breaches(0.60, 0.5, 2.0)
+        out = bench.probe_breaches(0.60, 0.5, 3.0)
         assert len(out) == 1 and "scan probe" in out[0]
 
     def test_compute_seat_refuses(self):
         # the 183.4/226.0 ok-scan-probed pair's episode shape: compute
         # throughput degraded while the scan probe read normal
-        out = bench.probe_breaches(0.25, 3.8, 2.0)
+        out = bench.probe_breaches(0.25, 3.8, 3.0)
         assert len(out) == 1 and "compute probe" in out[0]
 
     def test_python_seat_refuses_sustained_throttle(self):
