@@ -323,14 +323,32 @@ def main() -> None:
     # PYSPARKDB_BENCH_STALL_RETRY=0.
     stall_retry = os.environ.get("PYSPARKDB_BENCH_STALL_RETRY", "1") != "0"
 
+    def driver_gc_ms() -> int:
+        """Cumulative driver-JVM GC time — the third attribution axis
+        beside steal and PSI: a multi-second reading whose gc_d_ms
+        approaches its wall-clock was a driver full-GC pause (the 16 GiB
+        heap carrying ~200 queries of accumulated plan/broadcast state),
+        not the query's plan."""
+        try:
+            beans = (spark._jvm.java.lang.management.ManagementFactory
+                     .getGarbageCollectorMXBeans())
+            return sum(beans.get(i).getCollectionTime()
+                       for i in range(beans.size()))
+        except Exception:
+            return 0
+
     def timed_run(spec):
         hc0 = host_counters()
+        gc0 = driver_gc_ms()
         t_wall = time.time()
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         dur = time.perf_counter() - t0
         hc1 = host_counters()
         deltas = {}
+        gc1 = driver_gc_ms()
+        if gc1 or gc0:
+            deltas["gc_d_ms"] = gc1 - gc0
         # host-attribution deltas (see host_counters): steal is in
         # jiffies (10 ms each, summed across vCPUs) — a reading whose
         # steal_d approaches n_cpus*sec*100 spent its wall-clock being
