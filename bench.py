@@ -310,18 +310,26 @@ def main() -> None:
     # the one-line driver record.
     timeline: list[dict] = []
     sweep_t0 = time.time()
+    sweep_hc0 = host_counters()
     n_cpus = os.cpu_count() or int(cpus)
     # Stall-aware retry (round-14 metrology amendment, BENCH_BASELINE.md):
-    # when the steal counter PROVES a reading spent >25% of the box's
-    # cpu-time descheduled by a co-tenant (the three-round
-    # ev_interval_overlap band-breach root cause — whole-VM stalls of
-    # 14-28 s land mid-sweep), the reading measures the hypervisor, not
-    # the query: re-measure ONCE and keep the better reading, recording
-    # both in the timeline. This can only REMOVE host poison — a retry
-    # cannot read faster than the query's true cost — so medians stay
-    # protocol-comparable with the frozen baselines. Off via
+    # when the steal counter shows a co-tenant took >5% of the box's
+    # cpu-time during a reading, the reading measured the hypervisor,
+    # not the query: re-measure ONCE and keep the better reading,
+    # recording both in the timeline. The threshold is 5%, not 25%,
+    # because of BARRIER AMPLIFICATION: stealing k of 32 vCPUs hard
+    # inflates every 32-task wave by the straggler's slowdown while
+    # box-level steal share stays ≈k/32 — measured in this round's
+    # sweeps: episode readings (ev_interval_overlap 39.9 s,
+    # dedup_embedding 44 s, ev_stream_join 17.6 s) carried 8-24% share
+    # while the calm-reading median share was 0.09-0.37%. A retry can
+    # only REMOVE host poison — it cannot read faster than the query's
+    # true cost — so medians stay protocol-comparable with the frozen
+    # baselines. Total retry time is budgeted (120 s/sweep) so a
+    # fully-hot sweep cannot double its own wall-clock. Off via
     # PYSPARKDB_BENCH_STALL_RETRY=0.
     stall_retry = os.environ.get("PYSPARKDB_BENCH_STALL_RETRY", "1") != "0"
+    retry_budget_s = 120.0
 
     def driver_gc_ms() -> int:
         """Cumulative driver-JVM GC time — the third attribution axis
@@ -362,7 +370,7 @@ def main() -> None:
 
     def stalled(dur: float, deltas: dict) -> bool:
         steal_share = deltas.get("steal_d", 0) * 0.01 / (n_cpus * max(dur, 1e-9))
-        return dur > 0.5 and steal_share > 0.25
+        return dur > 0.5 and steal_share > 0.05
 
     for _rep in range(repeats):
         for pos, name in enumerate(names):
@@ -376,13 +384,17 @@ def main() -> None:
                 "sec": round(dur, 4), **deltas,
             }
             if stall_retry and stalled(dur, deltas):
-                _, dur2, deltas2 = timed_run(spec)
-                entry["stalled_sec"] = entry["sec"]
-                entry["retry_sec"] = round(dur2, 4)
-                entry.update(
-                    {f"retry_{k}": v for k, v in deltas2.items()})
-                dur = min(dur, dur2)  # the retry may hit the same window
-                entry["sec"] = round(dur, 4)
+                if retry_budget_s <= 0:
+                    entry["retry_skipped"] = True
+                else:
+                    _, dur2, deltas2 = timed_run(spec)
+                    retry_budget_s -= dur2
+                    entry["stalled_sec"] = entry["sec"]
+                    entry["retry_sec"] = round(dur2, 4)
+                    entry.update(
+                        {f"retry_{k}": v for k, v in deltas2.items()})
+                    dur = min(dur, dur2)  # retry may hit the same window
+                    entry["sec"] = round(dur, 4)
             times[name].append(dur)
             timeline.append(entry)
         # NOTE: no clearCache between sweeps — the frozen baselines were
@@ -461,6 +473,16 @@ def main() -> None:
                 # degraded sweep must not be frozen into BENCH_BASELINE.md
                 # (see protocol note there)
                 "phase": phase,
+                # whole-sweep co-tenant steal share (fraction of the
+                # box's cpu-time stolen between the first and last timed
+                # reading): the gate probes bracket the sweep but cannot
+                # see a hot MIDDLE — this stamp can. Adjudication data,
+                # not a gate seat (yet): the r14 sweeps read 313.99 s
+                # "ok"-probed with the heat entirely mid-sweep.
+                "sweep_steal_share": round(
+                    (host_counters().get("steal_jiffies", 0)
+                     - sweep_hc0.get("steal_jiffies", 0)) * 0.01
+                    / (n_cpus * max(time.time() - sweep_t0, 1e-9)), 4),
                 # per-execution timeline sidecar (VERDICT r13 #1)
                 "timeline_file": timeline_file,
             }
