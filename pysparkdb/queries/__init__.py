@@ -77,11 +77,17 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 # rotation exactly). Latest-green ages entering this round, recomputed
 # from CORRECTNESS_r01..r13: r10: 50 rows, r11: 50, r12: 50, r13: 50 —
 # the exact saturated 4-round cycle the growth policy above targets.
-# Composition (ZERO new registrations and ZERO reshapes — round 14's
+# Composition (ZERO new registrations, ONE reshape — round 14's other
 # changes are engine/protocol surfaces: local attach_snapshot cache
 # routing, tag-vs-GC race closure both tiers, bench per-query
 # timestamps + python-probe phase gate, attach-stats schema parity,
-# all with pytest-e2e evidence per the policy above): the full 50-row
+# all with pytest-e2e evidence per the policy above. The reshape is
+# ev_interval_overlap — ALREADY IN this window, so it verifies fresh:
+# its tiny broadcast interval side now builds from spark.range
+# (JVM-only) instead of spark.createDataFrame(list), removing the
+# Python-worker RDD dependency that round-14 timeline attribution
+# isolated as the last source of its in-sweep episodes; oracle
+# unchanged, re-verified at HEAD): the full 50-row
 # r10 bank in registry order — TPC-H second half + originals +
 # join-order variants, the SSB flat suite, the streaming ev_ family,
 # op_ batch 2 with the s3/skew rows, and the ann/nb/token-budget

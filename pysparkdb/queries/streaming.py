@@ -781,21 +781,32 @@ def ev_interval_overlap(spark, sf_dir):
     (user, day); the interval set is tiny and BROADCAST, so the overlap
     predicate evaluates map-side (BroadcastNestedLoopJoin — the one
     NLJ-legitimate shape beside op_join_theta: 6 interval probes per row,
-    no shuffle). At 100 TB with a LARGE interval side, bucket both sides
-    onto a time grid (the ev_range_join pattern) so the range predicate
-    joins equi-first on the grid key; the overlap math is unchanged."""
+    no shuffle). The interval side is built from spark.range — a
+    JVM-only plan — NOT spark.createDataFrame(list): local-data
+    conversion routes through the Python-worker RDD path, which put a
+    Python worker dependency INSIDE this otherwise JVM-pure plan's
+    broadcast job; intermittent worker-pool restarts (the documented
+    2-7 s PythonWorkerFactory reaper artifact) were the last
+    unattributed source of this query's in-sweep episodes after
+    host-steal and GC were instrumented away (round-14 timelines:
+    6.7/8.1 s readings with steal_d≤31, gc=0, calm neighbors). At
+    100 TB with a LARGE interval side, bucket both sides onto a time
+    grid (the ev_range_join pattern) so the range predicate joins
+    equi-first on the grid key; the overlap math is unchanged."""
     e = tables(spark, sf_dir)["events"]
     act = e.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
-    camp = spark.createDataFrame(
-        [(i + 1, f"2024-01-{1 + 5 * i:02d} 00:00:00",
-          f"2024-01-{3 + 5 * i:02d} 12:00:00") for i in range(6)],
-        "cid long, css string, ces string",
-    ).select(
-        "cid",
-        F.col("css").cast("timestamp").alias("cs"),
-        F.col("ces").cast("timestamp").alias("ce"),
+    camp = spark.range(1, 7).select(
+        F.col("id").alias("cid"),
+        F.to_timestamp(F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((F.col("id") - 1) * 5 + 1).cast("string"), 2, "0"),
+            F.lit(" 00:00:00"))).alias("cs"),
+        F.to_timestamp(F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((F.col("id") - 1) * 5 + 3).cast("string"), 2, "0"),
+            F.lit(" 12:00:00"))).alias("ce"),
     )
     j = act.join(
         F.broadcast(camp),
