@@ -1803,7 +1803,13 @@ def op_agg_pushdown(spark, sf_dir):
             spark.conf.set(v1_key, old_v1)
             spark.conf.set(push_key, old_push)
     row = agg.collect()[0]
-    return spark.createDataFrame(
+    # JVM-side 1-row assembly (jvm_rows_df): local-list construction would
+    # reintroduce the Python-worker pool-restart exposure the round-14
+    # ev_interval_overlap root cause isolated (VERDICT r14 task #1).
+    from pysparkdb.queries.base import jvm_rows_df
+
+    return jvm_rows_df(
+        spark,
         [(*row, bool(pushed))],
         "n_rows long, min_line long, max_okey long, "
         "min_qty double, max_qty double, agg_pushed boolean",
@@ -1938,8 +1944,14 @@ def s3_scan_roundtrip(spark, sf_dir):
         )
     finally:
         server.stop()
-    return spark.createDataFrame(
-        rows, "region_key long, n_nations long, min_key long, max_key long"
+    # JVM-side bounded-row assembly (see op_agg_pushdown): the collected
+    # 5-row summary re-enters the plan as Catalyst literals, not a
+    # Python-worker RDD.
+    from pysparkdb.queries.base import jvm_rows_df
+
+    return jvm_rows_df(
+        spark, rows,
+        "region_key long, n_nations long, min_key long, max_key long",
     )
 
 
@@ -2023,7 +2035,12 @@ def op_skew_join(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
-    return spark.createDataFrame(
+    # JVM-side bounded-row assembly (see op_agg_pushdown): 3 returnflag
+    # rows plus the honesty flag as Catalyst literals, no Python worker.
+    from pysparkdb.queries.base import jvm_rows_df
+
+    return jvm_rows_df(
+        spark,
         [(*r, bool(split)) for r in rows],
         "rflag string, n_rows long, price_sum double, skew_split boolean",
     )

@@ -1958,8 +1958,13 @@ def pipeline_snapshot_curation(spark, sf_dir):
         shutil.rmtree(workdir, ignore_errors=True)
 
     # Counts were materialized above (the pipeline ran eagerly); the
-    # result frame is a 5-row literal — the sanctioned Collate point.
-    return spark.createDataFrame(
+    # result frame is a 5-row literal — the sanctioned Collate point,
+    # assembled JVM-side (jvm_rows_df) so no Python-worker RDD sits in
+    # the plan (VERDICT r14 task #1 / the ev_interval_overlap root cause).
+    from pysparkdb.queries.base import jvm_rows_df
+
+    return jvm_rows_df(
+        spark,
         [
             ("landed", n_landed),
             ("ingested", n_ingested),
@@ -2080,7 +2085,13 @@ def pipeline_incremental_refresh(spark, sf_dir):
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-    return spark.createDataFrame(out, "lang string, n_docs long, incremental_matches boolean")
+    # JVM-side assembly of the bounded per-lang certificate (|langs| rows)
+    # — no Python-worker RDD in the plan (VERDICT r14 task #1).
+    from pysparkdb.queries.base import jvm_rows_df
+
+    return jvm_rows_df(
+        spark, out, "lang string, n_docs long, incremental_matches boolean"
+    )
 
 
 @register(
@@ -2154,7 +2165,12 @@ def pipeline_schema_evolution(spark, sf_dir):
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-    return spark.createDataFrame(
+    # JVM-side assembly of the bounded per-lang certificate (|langs| rows)
+    # — no Python-worker RDD in the plan (VERDICT r14 task #1).
+    from pysparkdb.queries.base import jvm_rows_df
+
+    return jvm_rows_df(
+        spark,
         out,
         "lang string, n_docs long, n_scored long, sum_quality double, "
         "v1_lacked_quality boolean",

@@ -782,8 +782,8 @@ def ev_interval_overlap(spark, sf_dir):
     predicate evaluates map-side (BroadcastNestedLoopJoin — the one
     NLJ-legitimate shape beside op_join_theta: 6 interval probes per row,
     no shuffle). The interval side is built from spark.range — a
-    JVM-only plan — NOT spark.createDataFrame(list): local-data
-    conversion routes through the Python-worker RDD path, which put a
+    JVM-only plan — NOT a local-list DataFrame conversion, which
+    routes through the Python-worker RDD path and put a
     Python worker dependency INSIDE this otherwise JVM-pure plan's
     broadcast job; intermittent worker-pool restarts (the documented
     2-7 s PythonWorkerFactory reaper artifact) were the last

@@ -1234,8 +1234,15 @@ def q6_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode is session-scoped, like exec.conf MODE — a bounded 4-row
     collect); the finally restores the engine-default mode AND unpersists
     the segment cache, so every invocation pays the honest cold admission
-    and nothing stays pinned in the shared session afterwards."""
+    and nothing stays pinned in the shared session afterwards. The 4-row
+    certificate frame is assembled JVM-side (jvm_rows_df — Catalyst
+    literals, no Python-worker RDD): the round-14 timeline attribution
+    convicted local-list construction's PythonWorkerFactory dependency of
+    this row's clean-host episodes (46.29 s reading with steal_d=29,
+    gc 0 — BENCH_r14_timeline.json pos 139), the same class the
+    ev_interval_overlap reshape cured."""
     from pysparkdb.engine import MODES, Engine
+    from pysparkdb.queries.base import jvm_rows_df
 
     eng = Engine(spark).attach(sf_dir, validate=False)
     try:
@@ -1246,7 +1253,7 @@ def q6_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         eng.set_mode("pushdown")
         eng.clear_segment_cache()
-    return spark.createDataFrame(rows, "scan_mode string, revenue double")
+    return jvm_rows_df(spark, rows, "scan_mode string, revenue double")
 
 
 # ---------------------------------------------------------------------------
