@@ -72,47 +72,56 @@ def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], Q
 #      s3_scan_roundtrip) are adjudicated NOT reshapes — the banked
 #      evidence still certifies the plan that runs.
 #
-# ROUND-14 WINDOW. CORRECTNESS_r13 banked all 50 r13-window rows green
-# (the round-13 judge verified the keys equal that round's staged
-# rotation exactly). Latest-green ages entering this round, recomputed
-# from CORRECTNESS_r01..r13: r10: 50 rows, r11: 50, r12: 50, r13: 50 —
-# the exact saturated 4-round cycle the growth policy above targets.
-# Composition (ZERO new registrations, ONE reshape — round 14's other
-# changes are engine/protocol surfaces: local attach_snapshot cache
-# routing, tag-vs-GC race closure both tiers, bench per-query
-# timestamps + python-probe phase gate, attach-stats schema parity,
-# all with pytest-e2e evidence per the policy above. The reshape is
-# ev_interval_overlap — ALREADY IN this window, so it verifies fresh:
-# its tiny broadcast interval side now builds from spark.range
-# (JVM-only) instead of spark.createDataFrame(list), removing the
-# Python-worker RDD dependency that round-14 timeline attribution
-# isolated as the last source of its in-sweep episodes; oracle
-# unchanged, re-verified at HEAD): the full 50-row
-# r10 bank in registry order — TPC-H second half + originals +
-# join-order variants, the SSB flat suite, the streaming ev_ family,
-# op_ batch 2 with the s3/skew rows, and the ann/nb/token-budget
-# tail. The round-15 queue is the 50-row r11 bank (q22 + typed SSB +
-# analytics/window/graph rows — recompute from the CORRECTNESS files
-# when rotating). All 50 rows below were pre-verified green against
-# the DuckDB oracle at sf0.01 at round-14 HEAD before the closing
-# commit.
+# ROUND-15 WINDOW. CORRECTNESS_r14 banked all 50 r14-window rows green
+# (the round-14 judge verified the keys equal that round's staged
+# rotation exactly, with the in-window ev_interval_overlap reshape
+# verified fresh on its new body). Latest-green ages entering this
+# round: r11: 50 rows, r12: 50, r13: 50, r14: 50 — still the
+# saturated 4-round cycle. Composition (ZERO new registrations,
+# SEVEN reshapes — VERDICT r14 task #1's createDataFrame(list)
+# excision, all now assembling their bounded certificate results
+# JVM-side via queries/base.py:jvm_rows_df; oracles unchanged):
+#   1-7: the seven reshaped bodies, entering the window FIRST per the
+#        rotation policy (reshapes verify fresh before banked top-up) —
+#        q6_modes, op_agg_pushdown, s3_scan_roundtrip, op_skew_join,
+#        pipeline_snapshot_curation (also the oldest r11-banked row),
+#        pipeline_incremental_refresh, pipeline_schema_evolution.
+#   8-50: the r11 bank in registry order, MINUS pipeline_snapshot_
+#        curation (slot 5 above) and MINUS the six rows the round-14
+#        judge independently re-ran against the DuckDB oracle at
+#        round-14 HEAD (VERDICT r14 header: q9_jo2, op_grouping_sets,
+#        ssb_t3_2, ev_retention, op_window_range_frame, text_tfidf —
+#        all match). Six reshape slots had to displace six banked rows
+#        (50 r11 rows + 6 non-r11 reshapes > 50); the displaced six
+#        are exactly the ones carrying fresh judge-verified HEAD
+#        evidence, and they go FIRST in the round-16 window so no row's
+#        driver-green age exceeds the documented 5-round reshape-budget
+#        worst case.
+# All 50 rows below were pre-verified green against the DuckDB oracle
+# at sf0.01 at round-15 HEAD (scripts/verify_window.py) before the
+# closing commit.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r10-banked, registry order: TPC-H core second half + originals
-    "q13", "q14", "q18", "q19", "q2", "q11", "q15", "q16", "q17",
-    "q20", "q21", "q2_orig", "q11_orig", "q16_orig", "q20_orig",
-    "q5_jo1", "q5_jo2", "q9_orig",
-    # r10-banked: SSB flat suite
-    "ssb1_1", "ssb1_2", "ssb1_3", "ssb2_1", "ssb2_2", "ssb2_3",
-    "ssb3_1", "ssb3_2", "ssb4_1", "ssb4_2", "ssb4_3",
-    # r10-banked: streaming events family
-    "ev_tumbling", "ev_sliding", "ev_session", "ev_json",
-    "ev_range_join", "ev_rollup", "ev_interval_overlap",
-    "ev_stream_join",
-    # r10-banked: relational op_ batch 2 + s3/skew + tail
-    "op_project", "op_sort_multikey", "op_limit_sort", "op_limit",
-    "op_distinct", "op_agg_pushdown", "s3_scan_roundtrip",
-    "op_skew_join", "op_null_safe_join", "op_bag_set_ops",
-    "ann_quantized", "text_naive_bayes", "pipeline_token_budget",
+    # reshaped bodies (VERDICT r14 task #1) — verify fresh first
+    "q6_modes", "op_agg_pushdown", "s3_scan_roundtrip", "op_skew_join",
+    "pipeline_snapshot_curation", "pipeline_incremental_refresh",
+    "pipeline_schema_evolution",
+    # r11-banked: co-located joins + generated SSB
+    "q_co_join", "q_co_join3",
+    "ssb_gen1", "ssb_gen2", "ssb_gen3", "ssb_gen4", "ssb_gen5",
+    # r11-banked: analytics op_ batch
+    "op_approx_percentile", "op_approx_distinct", "op_rollup",
+    "op_window_lead_lag", "op_min_max_by", "op_hash_sample",
+    "op_sessionize", "op_pivot", "op_histogram", "op_collect_set",
+    "op_string_funcs", "op_date_trunc", "op_window_analytics",
+    # r11-banked: text/embedding analysis
+    "text_stratified_sample", "emb_norm_stats", "text_inverted_index",
+    # r11-banked: typed SSB suite (ssb_t3_2 bumped — judge-verified r14)
+    "ssb_t1_1", "ssb_t1_2", "ssb_t1_3", "ssb_t2_1", "ssb_t2_2",
+    "ssb_t2_3", "ssb_t3_1", "ssb_t4_1", "ssb_t4_2", "ssb_t4_3",
+    # r11-banked: event analytics + tail op_ batch
+    "ev_funnel", "ev_rollup_cascade", "ev_zscore_outliers",
+    "op_freq_items", "op_cube", "op_upsert", "op_scd2",
+    "op_weighted_sample", "op_winsorize", "op_winsorize_approx",
 )
 
 
