@@ -591,11 +591,16 @@ class Engine:
                 f"attach_snapshot({name!r}) would replace an "
                 f"already-registered view; pass replace=True to do this "
                 f"deliberately (no view was touched)")
-        df = snapshot_read(self.spark, root, version)
-        df.createOrReplaceTempView(name)
-        # resolve the pinned version (tag name / None-latest -> int) for
-        # the cache-identity origin: two pins of the same root at
-        # different versions must never share a cached segment
+        # Resolve the pinned version (tag name / None-latest -> int)
+        # BEFORE reading, and read at the resolved int: resolving after
+        # snapshot_read would let a concurrent append (or tag move)
+        # between the two calls record origin root@vN+1 while the
+        # registered df actually reads vN — in caching/hybrid mode a
+        # later pin at the real vN+1 could then share cached segments
+        # with this stale view. Resolving first guarantees the df and
+        # its cache-identity origin name the same version (two pins of
+        # the same root at different versions must never share a
+        # cached segment).
         from pysparkdb.sources.versioned import (
             _resolve_version,
             snapshot_versions,
@@ -603,7 +608,13 @@ class Engine:
 
         resolved = _resolve_version(root, version)
         if resolved is None:
-            resolved = snapshot_versions(root)[-1]
+            versions = snapshot_versions(root)
+            if not versions:
+                raise ValueError(
+                    f"no snapshot versions committed under {root!r}")
+            resolved = versions[-1]
+        df = snapshot_read(self.spark, root, resolved)
+        df.createOrReplaceTempView(name)
         self._snapshot_tables[name] = _SnapshotAttach(
             df, f"{root}@v{resolved}")
         return df

@@ -37,6 +37,7 @@ manifest is the same idea made multi-version.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import re
@@ -99,7 +100,11 @@ def snapshot_tag(
         # rename silently overwrites on POSIX, so two racing creators
         # would both "succeed" last-writer-wins — the same race the
         # remote tier closes with a conditional PUT. os.link refuses with
-        # FileExistsError when the target already exists.
+        # FileExistsError when the target already exists. Filesystems
+        # WITHOUT hard-link support (some NFS/overlay/FAT mounts) raise
+        # OSError(EPERM/ENOTSUP) instead — fall back to open(path, 'x'):
+        # O_CREAT|O_EXCL gives the same create-only atomicity without a
+        # link, at the cost of writing the payload twice.
         try:
             os.link(tmp, path)
         except FileExistsError:
@@ -107,6 +112,19 @@ def snapshot_tag(
                 f"tag {name!r} already exists "
                 f"(-> v{json.load(open(path))['version']}); "
                 f"pass replace=True to move it deliberately") from None
+        except OSError as exc:
+            if exc.errno not in (
+                    errno.EPERM, errno.ENOTSUP, getattr(
+                        errno, "EOPNOTSUPP", errno.ENOTSUP)):
+                raise
+            try:
+                with open(path, "x") as f:
+                    json.dump({"version": version}, f)
+            except FileExistsError:
+                raise ValueError(
+                    f"tag {name!r} already exists "
+                    f"(-> v{json.load(open(path))['version']}); "
+                    f"pass replace=True to move it deliberately") from None
         finally:
             try:
                 os.remove(tmp)

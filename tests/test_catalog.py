@@ -193,3 +193,45 @@ def test_engine_attach_snapshot_refuses_to_shadow_view(spark, sf_dir, tmp_path):
             "SELECT COUNT(*) AS n FROM nation_pin").collect()[0].n == nation.count()
     finally:
         spark.catalog.dropTempView("nation_pin")
+
+
+def test_engine_attach_snapshot_origin_consistent_under_concurrent_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r14: attach_snapshot must resolve the pinned version BEFORE
+    reading and read at the resolved int — resolving after snapshot_read
+    let a concurrent append between the two calls record origin root@vN+1
+    while the registered df actually read vN, so a later pin at the real
+    vN+1 could share cached segments with the stale view. Injected race:
+    an append fires inside the read; the recorded origin and the df's
+    contents must still name the SAME version."""
+    from pyspark.sql import functions as F
+
+    from pysparkdb import Engine
+    from pysparkdb.queries.base import tables
+    from pysparkdb.sources import versioned
+    from pysparkdb.sources.versioned import snapshot_append
+
+    root = str(tmp_path / "snap")
+    nation = tables(spark, sf_dir)["nation"]
+    snapshot_append(nation.filter(F.col("n_nationkey") < 10), root)  # v1
+
+    real_read = versioned.snapshot_read
+    seen_versions = []
+
+    def racing_read(sp, r, version=None):
+        seen_versions.append(version)
+        df = real_read(sp, r, version)
+        # concurrent ingest lands v2 between this attach's read and any
+        # later metadata step
+        snapshot_append(nation.filter(F.col("n_nationkey") >= 10), root)
+        return df
+
+    monkeypatch.setattr(versioned, "snapshot_read", racing_read)
+    eng = Engine(spark)
+    df = eng.attach_snapshot("docs", root)  # version=None -> latest (v1)
+    # the read was issued at the RESOLVED int, never None-latest
+    assert seen_versions == [1]
+    # origin and contents agree: both name v1
+    assert eng._snapshot_tables["docs"].origin.endswith("@v1")
+    assert df.count() == 10

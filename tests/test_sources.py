@@ -599,6 +599,43 @@ class TestSnapshotVersioning:
         with pytest.raises(ValueError, match="not found"):
             snapshot_read(spark, root, "train-v1")
 
+    def test_snapshot_tag_publish_without_hardlink_support(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        """ADVICE r14: create-only tag publish relies on os.link raising
+        FileExistsError, but filesystems without hard-link support (some
+        NFS/overlay/FAT mounts) raise OSError(EPERM/ENOTSUP) instead. The
+        fallback open(path, 'x') must publish with the same create-only
+        atomicity: first publish succeeds, a second refuses with the
+        already-exists message, replace=True still moves the tag."""
+        import os as _os
+
+        from pysparkdb.sources.versioned import (
+            snapshot_append, snapshot_tag, snapshot_tags,
+        )
+
+        root = str(tmp_path / "snap")
+        region = tables(spark, sf_dir)["region"]
+        snapshot_append(region, root)                                  # v1
+        snapshot_append(region, root)                                  # v2
+
+        import errno
+
+        def no_link(src, dst, **kw):
+            raise OSError(errno.EPERM, "Operation not permitted")
+
+        monkeypatch.setattr(_os, "link", no_link)
+        assert snapshot_tag(root, "train", 1) == 1
+        assert snapshot_tags(root) == {"train": 1}
+        with pytest.raises(ValueError, match="already exists"):
+            snapshot_tag(root, "train", 2)
+        assert snapshot_tags(root) == {"train": 1}  # refused publish left v1
+        assert snapshot_tag(root, "train", 2, replace=True) == 2
+        assert snapshot_tags(root) == {"train": 2}
+        # no tmp litter from either path
+        refs = _os.listdir(_os.path.join(root, "_refs"))
+        assert all(".tmp-" not in f for f in refs)
+
     def test_tag_created_during_gc_survives_local(
             self, spark, sf_dir, tmp_path):
         """The tag-vs-GC race (VERDICT r13 #3): a snapshot_tag landing
