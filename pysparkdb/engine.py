@@ -665,8 +665,10 @@ class Engine:
                 raise ValueError(
                     f"version {_version} is empty and predates schema "
                     f"recording — nothing to reconstruct a view from")
-            df = self.spark.createDataFrame(
-                [], T.StructType.fromJson(_json.loads(schema_json)))
+            from pysparkdb.sources.versioned import empty_frame
+
+            df = empty_frame(
+                self.spark, T.StructType.fromJson(_json.loads(schema_json)))
         df.createOrReplaceTempView(name)
         self._arrow_s3_tables[name] = _RemoteAttach(
             files, conf, df, manifest.get("bytes"), f"{uri}@v{_version}")

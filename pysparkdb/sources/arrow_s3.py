@@ -1318,8 +1318,10 @@ def arrow_s3_snapshot_read(
 
         from pyspark.sql import types as T
 
-        out = spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(schema_json)))
+        from pysparkdb.sources.versioned import empty_frame
+
+        out = empty_frame(
+            spark, T.StructType.fromJson(json.loads(schema_json)))
         return out.select(*columns) if columns else out
     prefix = _strip_scheme(uri).rstrip("/")
     return _read_parquet_files(

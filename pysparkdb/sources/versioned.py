@@ -158,6 +158,20 @@ def snapshot_untag(root: str, name: str) -> None:
         ) from None
 
 
+def empty_frame(spark: SparkSession, schema) -> DataFrame:
+    """Zero-row frame under ``schema``, built JVM-side (range(0) +
+    NULL-literal casts — handles nested types: CAST(NULL AS struct<...>)
+    is valid for any Spark type). ``spark.createDataFrame([], schema)``
+    would route even an EMPTY local list through the Python-worker RDD
+    path, putting a PythonWorkerFactory dependency (and its documented
+    pool-restart artifact) inside otherwise JVM-pure attach/read plans —
+    the round-14/15 certificate-query excision, applied to the erased-
+    snapshot reconstruction path."""
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def _resolve_version(root: str, version: int | str | None) -> int | None:
     """Tag names resolve to their pinned version; ints/None pass through."""
     if not isinstance(version, str):
@@ -358,7 +372,7 @@ def snapshot_read(
             raise ValueError(
                 f"version {version} is empty and predates schema "
                 f"recording — nothing to reconstruct a frame from")
-        return spark.createDataFrame([], T.StructType.fromJson(schema))
+        return empty_frame(spark, T.StructType.fromJson(schema))
     paths = [os.path.join(root, f) for f in m["files"]]
     schema = m.get("schema")
     if schema is None:  # legacy pre-schema manifest: original read path
