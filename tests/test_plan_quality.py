@@ -509,3 +509,52 @@ def test_token_budget_single_stratum_exchange(spark, sf_dir):
     kinds = re.findall(r"Arguments: (hashpartitioning|rangepartitioning)", p)
     assert kinds.count("hashpartitioning") == 1, p
     assert kinds.count("rangepartitioning") == 1, p
+
+
+def test_jvm_rows_df_is_python_worker_free(spark):
+    """queries/base.jvm_rows_df — the sanctioned replacement for
+    spark.createDataFrame(local list) in certificate queries (the
+    round-14/15 excision): the assembled frame must be ONE JVM plan
+    (Range -> Generate inline) with no Python-worker node and no RDD
+    scan, and every literal must round-trip exactly (doubles included —
+    the oracle hash depends on it)."""
+    from pysparkdb.plans.pushdown import explain_str
+    from pysparkdb.queries.base import jvm_rows_df
+
+    rows = [("caching", 0.1 + 0.2), ("hybrid", None), ("pullup", 2.84)]
+    df = jvm_rows_df(spark, rows, "scan_mode string, revenue double")
+    p = explain_str(df)
+    assert "EvalPython" not in p, p          # no Python worker
+    assert "Scan ExistingRDD" not in p, p    # no parallelize(list) path
+    assert "inline(" in p, p                 # single JVM literal source
+    got = [(r.scan_mode, r.revenue) for r in df.collect()]
+    assert got == rows                        # exact double round-trip
+
+    # empty rows: zero-row frame under the declared schema, still JVM-only
+    e = jvm_rows_df(spark, [], "a bigint, b boolean")
+    assert e.count() == 0 and [f.name for f in e.schema.fields] == ["a", "b"]
+    assert "EvalPython" not in explain_str(e)
+
+
+def test_empty_frame_reconstruction_is_python_worker_free(spark):
+    """versioned.empty_frame (erased-snapshot reconstruction, both tiers):
+    zero-row frame under an arbitrary schema — nested types included —
+    as a pure JVM plan."""
+    from pyspark.sql import types as T
+
+    from pysparkdb.plans.pushdown import explain_str
+    from pysparkdb.sources.versioned import empty_frame
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("lang", T.StringType()),
+            T.StructField("scores", T.ArrayType(T.DoubleType())),
+        ])),
+    ])
+    df = empty_frame(spark, schema)
+    assert df.count() == 0
+    assert df.schema["doc_id"].dataType == T.LongType()
+    assert df.schema["meta"].dataType == schema["meta"].dataType
+    p = explain_str(df)
+    assert "EvalPython" not in p and "Scan ExistingRDD" not in p, p
