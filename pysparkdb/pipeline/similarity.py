@@ -314,8 +314,12 @@ def build_lsh_index(
     _non_null_vecs(df, vec_col).select(
         "vec_id", v.alias("v"), norm(v).alias("nrm")
     ).write.mode("overwrite").parquet(f"{path}/vectors.parquet")
-    df.sparkSession.createDataFrame(
-        [(dim, nbits, tables, seed)], "dim: int, nbits: int, tables: int, seed: int"
+    from pysparkdb.functions.local_rows import jvm_rows_df
+
+    jvm_rows_df(
+        df.sparkSession,
+        [(dim, nbits, tables, seed)],
+        "dim int, nbits int, tables int, seed int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
@@ -507,9 +511,15 @@ def build_ivf_index(
     """
     centroids = train_ivf_centroids(df, dim, vec_col, nlist=nlist)
     spark = df.sparkSession
-    cdf = spark.createDataFrame(
+    # nlist rows of literal arrays — JVM-side (functions/local_rows): the
+    # pickled-RDD path would make the index build's ONLY non-UDF job carry
+    # a Python-worker dependency
+    from pysparkdb.functions.local_rows import jvm_rows_df
+
+    cdf = jvm_rows_df(
+        spark,
         [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell: int, c: array<double>",
+        "cell int, c array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids.parquet")
     e = _spread(with_norm(df, vec_col))

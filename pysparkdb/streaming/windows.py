@@ -272,13 +272,26 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     parquet/Kafka sinks with checkpointing.
 
     Owns the sink lifecycle: the memory-sink view is dropped before
-    returning and the result handed back as an independent local-rows
+    returning and the result handed back as an independent materialized
     DataFrame, so (a) repeat runs never accumulate one result set per
-    invocation in driver memory, and (b) the returned frame stays valid
-    however long the caller holds it — a frame still reading the view
-    lazily would break the moment any later run dropped or replaced it.
-    Result sets are small by this harness's purpose (windowed aggregates);
-    the collect is driver-bounded by design."""
+    invocation (the checkpoint blocks are freed by the ContextCleaner
+    when the frame is garbage-collected, exactly like the collected rows
+    the previous form held on the Python heap), and (b) the returned
+    frame stays valid however long the caller holds it — a frame still
+    reading the view lazily would break the moment any later run dropped
+    or replaced it. Result sets are small by this harness's purpose
+    (windowed aggregates); the materialization is driver-bounded by design.
+
+    The materialization is ``localCheckpoint(eager=True)`` — a pure-JVM
+    copy of the sink rows into block storage — NOT ``collect`` +
+    ``createDataFrame(rows)``: the local-list rebuild routes through an
+    RDD of pickled Python rows, which put a PythonWorkerFactory
+    dependency (the measured 2–7 s pool-restart artifact, round-14
+    ``ev_interval_overlap`` root cause) inside every streaming result,
+    including otherwise JVM-pure stream-stream joins. Produced rows are
+    identical by construction (same sink table, no recompute), so banked
+    correctness evidence for the ev_* family certifies this path
+    unchanged."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -288,10 +301,9 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    sink = spark.table(name)
-    rows, schema = sink.collect(), sink.schema
+    out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 def read_documents_stream(

@@ -143,6 +143,19 @@ def test_run_to_memory_owns_sink_lifecycle(spark, sf_dir, events_stream):
     )
 
 
+def test_run_to_memory_result_is_python_worker_free(spark, sf_dir, events_stream):
+    """run_to_memory materializes its result JVM-side (localCheckpoint),
+    NOT via collect + createDataFrame(rows): the local-list rebuild's
+    pickled-RDD lineage put a PythonWorkerFactory dependency (the
+    round-14 ev_interval_overlap 2-7 s pool-restart artifact) inside
+    every streaming result, including otherwise JVM-pure stream-stream
+    joins. The lineage must show the checkpoint and no Python node."""
+    got = S.run_to_memory(S.tumbling_agg(events_stream), "t_purity")
+    dbg = got._jdf.queryExecution().toRdd().toDebugString()
+    assert "PythonRDD" not in dbg, dbg        # no pickled-list rebuild
+    assert "LocalCheckpointRDD" in dbg, dbg   # materialized JVM-side
+
+
 def test_ev_stateful_repeat_runs_are_independent(spark, sf_dir):
     """The registered ev_stateful runs repeatedly in one session (bench
     sweeps): each run must return the full result and earlier results
