@@ -562,22 +562,46 @@ def ivf_topk_from_index(
     return _probe_and_score(q, cand, k=k, nprobe=nprobe, exclude_self=exclude_self)
 
 
-def _int8_codes(v: Column) -> Column:
-    """Symmetric int8 codes for a double-array column: scale = max|v|/127
-    (1.0 for zero vectors), q_i = floor(v_i/scale + 0.5) clamped to
-    [-127, 127], as LONGs. THE quantization rule, defined once — the
-    storage path (quantize_embeddings) and the scoring path
-    (quantized_topk_neighbors) must quantize identically or the
-    ann_quantized recall certificate silently measures a different code
-    space than the corpus stores. floor(x+0.5) is the explicit half-up
-    rule both engines share (round() is half-even in one, half-up in the
-    other)."""
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+def _int8_staged(df: DataFrame, vec_col: str) -> DataFrame:
+    """(vec_id, _vd, _amax, _scale) with the cast vector, abs-max and scale
+    each computed ONCE PER ROW as materialized columns. Staging is the
+    whole point: a single Column expression embedding ``scale`` inside the
+    per-element transform lambda re-evaluates the array_max subtree per
+    ELEMENT (and the CASE WHEN carries it twice), turning an O(dim) row
+    into O(dim²) interpreted work — measured as the ~4 s driver-side
+    broadcast build of the quantized candidate side (r15 optimization,
+    guide §1.2 'fix the per-task work'). Attribute references keep values
+    bit-identical; CollapseProject cannot re-inline _amax (referenced
+    twice, non-cheap) so the heavy subtree stays per-row."""
+    vd = _as_double(F.col(vec_col))
+    return (
+        _non_null_vecs(df, vec_col)
+        .select("vec_id", vd.alias("_vd"))
+        .withColumn("_amax", F.array_max(F.transform(F.col("_vd"), F.abs)))
+        .withColumn(
+            "_scale",
+            F.when(F.col("_amax") == 0.0, F.lit(1.0)).otherwise(
+                F.col("_amax") / F.lit(127.0)
+            ),
+        )
+    )
+
+
+def _int8_codes_col() -> Column:
+    """Symmetric int8 codes over the _int8_staged columns: q_i =
+    floor(v_i/scale + 0.5) clamped to [-127, 127], as LONGs. THE
+    quantization rule, defined once — the storage path
+    (quantize_embeddings) and the scoring path (quantized_topk_neighbors)
+    must quantize identically or the ann_quantized recall certificate
+    silently measures a different code space than the corpus stores.
+    floor(x+0.5) is the explicit half-up rule both engines share (round()
+    is half-even in one, half-up in the other). The lambda touches only
+    the _vd element and the _scale attribute — per-element cost is O(1),
+    see _int8_staged."""
     return F.transform(
-        v,
+        F.col("_vd"),
         lambda x: F.greatest(
-            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5))
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / F.col("_scale") + 0.5))
         ).cast("long"),
     )
 
@@ -602,13 +626,10 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     mode along with the Arrow transfer. Zero vectors quantize against
     scale 1.0. Map-side only: no shuffle, output partitioning inherits
     the scan."""
-    v = _as_double(F.col(vec_col))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
-    return _spread(_non_null_vecs(df, vec_col)).select(
+    return _int8_staged(_spread(df), vec_col).select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.array_join(_int8_codes(v), ",").alias("q"),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        F.array_join(_int8_codes_col(), ",").alias("q"),
     )
 
 
@@ -643,8 +664,6 @@ def quantized_topk_neighbors(
     At 100 TB the standard stack is: LSH/IVF candidate generation →
     int8 scan (this, bounded) → exact float rerank of the survivors
     (``topk_neighbors`` on the candidate subset)."""
-    codes = _int8_codes(_as_double(F.col(vec_col)))
-
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -652,8 +671,16 @@ def quantized_topk_neighbors(
             lambda acc, x: acc + x,
         )
 
-    base = _non_null_vecs(df, vec_col).select(
-        "vec_id", codes.alias("v"), F.sqrt(idot(codes, codes).cast("double")).alias("nrm")
+    # codes materialize as a column BEFORE nrm references them — idot over
+    # the "v" attribute, not two fresh copies of the quantization tree
+    # (which would re-run the per-row staging twice; see _int8_staged)
+    base = (
+        _int8_staged(df, vec_col)
+        .select("vec_id", _int8_codes_col().alias("v"))
+        .select(
+            "vec_id", "v",
+            F.sqrt(idot(F.col("v"), F.col("v")).cast("double")).alias("nrm"),
+        )
     )
     q = base if query_filter is None else base.filter(query_filter)
     q = _spread(q).withColumnsRenamed({"vec_id": "qid", "v": "qv", "nrm": "qn"})

@@ -256,6 +256,24 @@ class TestPipelinePlans:
         # the only exchange is _spread's round-robin rebalance
         assert p.count("Exchange") <= 1, p
 
+    def test_quantize_scale_stays_out_of_the_element_lambda(self, spark, sf_dir):
+        """The int8 scale (array_max subtree) must be a STAGED per-row
+        column, not re-embedded inside the per-element transform lambda:
+        the embedded form re-evaluates abs-max per ELEMENT (O(dim²)
+        interpreted work per row, and the CASE WHEN carries it twice) —
+        measured as a ~4 s driver-side broadcast build on the quantized
+        candidate side (r15 optimization; _int8_staged). Every plan line
+        whose lambda does the FLOOR quantization must reference the staged
+        attribute (_scale, or _amax when CollapseProject inlines the cheap
+        CASE) and carry no array_max of its own."""
+        for name in ("emb_quantize", "ann_quantized"):
+            p = plan(name, spark, sf_dir, mode="formatted")
+            floor_lines = [ln for ln in p.splitlines() if "FLOOR" in ln]
+            assert floor_lines, p  # the quantization lambda exists
+            for ln in floor_lines:
+                assert "array_max" not in ln, (name, ln)
+                assert "_scale" in ln or "_amax" in ln, (name, ln)
+
     def test_bm25_topk_is_take_ordered(self, spark, sf_dir):
         """The BM25 top-10 must plan as TakeOrderedAndProject (per-partition
         heaps + merge), never a global sort or single-partition window —
