@@ -258,6 +258,40 @@ class Catalog:
         return self.tables[name]
 
 
+# One Catalog per (session, data_dir): parquet footers are read once per
+# process, not once per Engine/attach (a full register_all costs ~0.8-1 s
+# in footer reads + view registration — measured as the dominant slice of
+# every Engine-constructing certificate query, r15 optimization).
+# Weak-keyed on the session so a stopped/discarded SparkSession releases
+# its catalogs (an id()-keyed dict would both pin every session forever
+# and risk serving a STALE catalog to a new session that reuses the old
+# object's id after gc). Reuse is OPT-IN at the attach layer because a
+# cached Catalog pins the data_dir's file list from first registration:
+# correct for immutable benchmark/warehouse directories, wrong for a dir
+# the caller rewrites between attaches.
+import weakref as _weakref
+
+_CATALOG_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict[str, Catalog]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def cached_catalog(spark: SparkSession, data_dir: str) -> Catalog:
+    """The shared per-(session, data_dir) Catalog, built (validated) on
+    first use. On reuse the temp views are re-pointed at the cached
+    DataFrames so a caller that re-registered other data under the same
+    names still gets THIS catalog's tables."""
+    per_session = _CATALOG_CACHE.setdefault(spark, {})
+    cat = per_session.get(data_dir)
+    if cat is None:
+        cat = Catalog(spark, data_dir).register_all(validate=True)
+        per_session[data_dir] = cat
+    else:
+        for name, df in cat.tables.items():
+            df.createOrReplaceTempView(name)
+    return cat
+
+
 def zone_map(path: str) -> list[dict]:
     """Per-row-group min/max statistics from the parquet footer — the
     reference's zoneMap.json, read from where Parquet already keeps it

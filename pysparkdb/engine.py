@@ -265,13 +265,29 @@ class Engine:
             return None
         return None
 
-    def attach(self, data_dir: str, validate: bool = True) -> "Engine":
+    def attach(
+        self, data_dir: str, validate: bool = True, reuse: bool = False
+    ) -> "Engine":
         """Register every known table under ``data_dir`` as a temp view.
 
         Equivalent of Client::getCatalogueEntry (Client.cpp:118-132) — the
         declared schemas come from pysparkdb.catalog.DECLARED_SCHEMAS.
-        """
-        self.catalog = Catalog(self.spark, data_dir).register_all(validate=validate)
+
+        ``reuse=True`` adopts the process-wide per-(session, data_dir)
+        catalog (pysparkdb.catalog.cached_catalog) instead of re-reading
+        ten parquet footers per attach — measured ~0.8-1 s per call, the
+        dominant slice of every Engine-constructing certificate query
+        (r15 optimization). Opt-in because the cached catalog pins the
+        directory's file list from first registration: pass it only for
+        immutable directories (the benchmark datasets); an attach after
+        rewriting ``data_dir`` must keep the default rebuild."""
+        if reuse:
+            from pysparkdb.catalog import cached_catalog
+
+            self.catalog = cached_catalog(self.spark, data_dir)
+        else:
+            self.catalog = Catalog(self.spark, data_dir).register_all(
+                validate=validate)
         return self
 
     def sql(

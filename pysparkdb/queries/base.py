@@ -7,26 +7,23 @@ import weakref
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pysparkdb.catalog import Catalog
+from pysparkdb.catalog import cached_catalog
 
-# One Catalog per (session, data_dir): parquet footers are read once.
-# Weak-keyed on the session so a stopped/discarded SparkSession releases
-# its catalogs (an id()-keyed dict would both pin every session forever
-# and risk serving a STALE catalog to a new session that reuses the old
-# object's id after gc).
-_CATALOGS: "weakref.WeakKeyDictionary[SparkSession, dict[str, Catalog]]" = (
-    weakref.WeakKeyDictionary()
-)
+# sessions whose engine confs were applied once (the driver may hand us an
+# untuned session); a WeakSet so a stopped session is released
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    per_session = _CATALOGS.setdefault(spark, {})
-    if sf_dir not in per_session:
+    # the per-(session, data_dir) catalog cache lives in pysparkdb.catalog
+    # (r15: shared with Engine.attach(reuse=True) so Engine-constructing
+    # certificate queries stop re-reading ten parquet footers per call)
+    if spark not in _CONFS_APPLIED:
         from pysparkdb.session import apply_engine_confs
 
-        apply_engine_confs(spark)  # driver may hand us an untuned session
-        per_session[sf_dir] = Catalog(spark, sf_dir).register_all(validate=True)
-    return per_session[sf_dir].tables
+        apply_engine_confs(spark)
+        _CONFS_APPLIED.add(spark)
+    return cached_catalog(spark, sf_dir).tables
 
 
 def r2(c) -> F.Column:

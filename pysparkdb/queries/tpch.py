@@ -707,7 +707,7 @@ def q5_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkdb.engine import Engine
     from pysparkdb.plans.pushdown import explain_str
 
-    eng = Engine(spark).attach(sf_dir, validate=False)
+    eng = Engine(spark).attach(sf_dir, reuse=True)
     below = eng.sql(_Q5_TEXT, predicate_transfer="auto")
     plain_below = "LeftSemi" not in explain_str(below, "simple")
     eng.auto_bytes_per_core = 0
@@ -1244,7 +1244,7 @@ def q6_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkdb.engine import MODES, Engine
     from pysparkdb.queries.base import jvm_rows_df
 
-    eng = Engine(spark).attach(sf_dir, validate=False)
+    eng = Engine(spark).attach(sf_dir, reuse=True)
     try:
         rows = [
             (m, eng.sql(_Q6_TEXT, mode=m).collect()[0][0])

@@ -235,3 +235,30 @@ def test_engine_attach_snapshot_origin_consistent_under_concurrent_append(
     # origin and contents agree: both name v1
     assert eng._snapshot_tables["docs"].origin.endswith("@v1")
     assert df.count() == 10
+
+
+def test_cached_catalog_shared_and_attach_reuse(spark, sf_dir):
+    """r15: cached_catalog hands out ONE Catalog per (session, data_dir) —
+    Engine.attach(reuse=True) adopts it instead of re-reading every parquet
+    footer per attach — and reuse re-points the temp views at the cached
+    tables even after another registration shadowed the names."""
+    from pysparkdb.catalog import cached_catalog
+    from pysparkdb.engine import Engine
+
+    cat1 = cached_catalog(spark, sf_dir)
+    cat2 = cached_catalog(spark, sf_dir)
+    assert cat1 is cat2
+
+    eng = Engine(spark).attach(sf_dir, reuse=True)
+    assert eng.catalog is cat1
+
+    # shadow a view, then reuse-attach again: the view must point back at
+    # the cached catalog's table
+    spark.range(3).createOrReplaceTempView("nation")
+    assert spark.table("nation").count() == 3
+    Engine(spark).attach(sf_dir, reuse=True)
+    assert spark.table("nation").count() == cat1.tables["nation"].count()
+
+    # default attach still builds a fresh catalog (mutable-dir contract)
+    eng3 = Engine(spark).attach(sf_dir)
+    assert eng3.catalog is not cat1
