@@ -35,7 +35,14 @@ from pyspark.sql import functions as F
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) undirected edge frame -> edges linking each node's larger
-    neighbors to min(N(u) + {u}). Emits both (v, m) and keeps (u, m)."""
+    neighbors to min(N(u) + {u}). Emits both (v, m) and keeps (u, m).
+
+    NO distinct here (one exchange per round saved, r15): on a distinct
+    input each bi edge with v > u emits exactly one row, so duplicates
+    are bounded by the edge count, and every consumer is
+    duplicate-insensitive -- _small_star's aggregations are MINs and its
+    final distinct restores set semantics before the convergence
+    checksum ever sees the frame. Labels are provably identical."""
     bi = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -48,7 +55,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         bi.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -85,17 +91,23 @@ def connected_components(
     exponential planning cost that OOMs the driver within a handful of
     rounds regardless of data size. Checkpointing truncates lineage to the
     materialized frame (persist alone does NOT -- it caches execution but
-    keeps the logical plan). On a real cluster prefer reliable
-    ``checkpoint()`` with a checkpoint dir (localCheckpoint loses
-    partitions with a dead executor mid-algorithm). Rounds are
-    O(log^2 n), bounded by ``max_rounds`` -- hitting the bound raises
-    rather than returning a half-contracted labeling.
+    keeps the logical plan). The checkpoint is LAZY (the bfs_hops idiom):
+    plan truncation happens at the mark, materialization folds into the
+    round's checksum action -- ONE job per round instead of an eager
+    checkpoint job plus a checksum job (measured ~2x on the per-round
+    driver/stage overhead that dominates small edge sets, r15; the
+    checkpointed RDD computes once and every later round reuses it). On
+    a real cluster prefer reliable ``checkpoint()`` with a checkpoint
+    dir (localCheckpoint loses partitions with a dead executor
+    mid-algorithm). Rounds are O(log^2 n), bounded by ``max_rounds`` --
+    hitting the bound raises rather than returning a half-contracted
+    labeling.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _checksum(e: DataFrame):
@@ -110,7 +122,7 @@ def connected_components(
 
     prev_sum = _checksum(edges)
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur_sum = _checksum(nxt)
         edges = nxt
         if cur_sum == prev_sum:

@@ -1562,11 +1562,23 @@ def op_winsorize(spark, sf_dir):
     with LEAST/GREATEST (pure codegen), aggregate the clipped column
     through the exact decimal sum. At 100 TB the percentile pass swaps
     for approx_percentile (op_approx_percentile is the certified sketch
-    path) and the clip stays map-side."""
+    path) and the clip stays map-side.
+
+    Both percentiles come from ONE percentile(col, array(...)) aggregate:
+    two separate percentile() calls each buffer the whole group's value
+    multiset independently (l_extendedprice is near-all-distinct, so the
+    buffer is a 600k-entry counts map per call at sf0.1 — measured 2.2 s
+    vs 1.3 s for the shared-buffer array form, r15); the array form sorts
+    the one shared buffer and interpolates both points from it, yielding
+    bit-identical doubles (same counts map, same per-percentage
+    interpolation path)."""
     l = tables(spark, sf_dir)["lineitem"]
     st = l.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.expr("percentile(l_extendedprice, array(0.05, 0.95))").alias("_pe"),
+    ).select(
+        "l_returnflag",
+        F.col("_pe")[0].alias("p05"),
+        F.col("_pe")[1].alias("p95"),
     )
     clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
     return (
@@ -1617,13 +1629,24 @@ def op_winsorize_approx(spark, sf_dir):
     band, yet the band still fails loudly if the sketch ever degrades.
     Plan: one scan for both percentile pairs (same groupBy), broadcast
     bounds onto the fact scan, both clip aggregates in one second pass —
-    the exact twin's two-pass shape with the first pass sketch-sized."""
+    the exact twin's two-pass shape with the first pass sketch-sized.
+    Each percentile PAIR comes from one array-form aggregate (the
+    op_winsorize shared-buffer rationale; for the sketch side one GK
+    summary queried at both points replaces two identical summaries —
+    GK state is deterministic in the input multiset and accuracy, so
+    the approx values are unchanged, verified value-identical)."""
     l = tables(spark, sf_dir)["lineitem"]
     st = l.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
-        F.expr("approx_percentile(l_extendedprice, 0.05, 10000)").alias("p05a"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("p95a"),
+        F.expr("percentile(l_extendedprice, array(0.05, 0.95))").alias("_pe"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.05, 0.95), 10000)"
+        ).alias("_pa"),
+    ).select(
+        "l_returnflag",
+        F.col("_pe")[0].alias("p05"),
+        F.col("_pe")[1].alias("p95"),
+        F.col("_pa")[0].alias("p05a"),
+        F.col("_pa")[1].alias("p95a"),
     )
     clip_e = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
     clip_a = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05a")), F.col("p95a"))
