@@ -1933,15 +1933,17 @@ def pipeline_snapshot_curation(spark, sf_dir):
             drain()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # ONE read of the pinned version serves both the ingest count and
+        # the curation stage (r15: the second snapshot_read re-resolved
+        # the manifest and rebuilt the frame for the same version)
         pinned = snapshot_versions(root)[-1]
-        n_ingested = snapshot_read(spark, root, pinned).count()
+        corpus = snapshot_read(spark, root, pinned)
+        n_ingested = corpus.count()
 
         snapshot_compact(spark, root, target_files=2,
                          zorder_cols=["doc_id", "n_chars"])
         versions = snapshot_versions(root)
         n_compacted = snapshot_read(spark, root, versions[-1]).count()
-
-        corpus = snapshot_read(spark, root, pinned)
         pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
         labels = cluster.connected_components(pairs).withColumnRenamed(
             "did", "doc_id"
