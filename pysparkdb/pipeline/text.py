@@ -190,11 +190,14 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     kind flag) → count per (doc, kind, gram) → per-doc rollup with
     kind-conditional aggregates. The previous form ran two separate
     scan+explode+double-aggregation pipelines and joined them on doc_id —
-    two corpus scans and ~5 exchanges for the same counts (measured
-    2.5 s → 1.6 s at sf0.1); conditional aggregation over the tagged
-    stream is count-identical, including the NULL bigram stats of a
-    single-token document (its bigram-conditional MAX/SUM aggregate over
-    zero rows is NULL, exactly what the LEFT join produced). Both
+    two corpus scans and 5 exchanges for the same counts; the fused plan
+    is 1 scan and 2 exchanges (plans/r15/text_repetition_*; local sf0.1
+    wall-clock is parity within host noise — the shuffled gram volume is
+    unchanged — the win is the halved corpus scan, which is what
+    dominates at real corpus scale). Conditional aggregation over the
+    tagged stream is count-identical, including the NULL bigram stats of
+    a single-token document (its bigram-conditional MAX/SUM aggregate
+    over zero rows is NULL, exactly what the LEFT join produced). Both
     aggregations partial-combine map-side and shuffle on keys that
     include doc_id, so shuffle volume is bounded by distinct grams per
     document — scan-speed at corpus scale. All ratios are single
