@@ -516,16 +516,25 @@ def naive_bayes_predict(
     raw double log-sum would be summation-order-nondeterministic, the
     same trap dsum documents) — and argmax ties break on label order.
 
-    Scale shape: token explode → one (label, token) count Exchange
-    (partial-aggregated); scoring is test-tokens ⋈ count-table on token
-    (Zipf-skewed — AQE skew split applies), one (doc, label) aggregation,
-    and a 5-row broadcast of per-label constants; the argmax is one
-    window over doc. Nothing driver-side, nothing quadratic."""
+    Scale shape: ONE token-explode pass over the corpus, persisted —
+    the token frame feeds SEVEN independent aggregate subtrees (five
+    off the train split, two off the test split), and Catalyst does not
+    share common subtrees across DataFrame branches, so the unpersisted
+    form scanned and exploded the corpus 7× per run (guide §1.2 / §5:
+    cache exactly when reused and recompute is expensive; the
+    lsh_near_dup_pairs persist policy). Every aggregation plan above
+    the cache point is byte-identical to the unpersisted form, so
+    scores and predictions are unchanged. Scoring stays test-tokens ⋈
+    count-table on token (Zipf-skewed — AQE skew split applies), one
+    (doc, label) aggregation, a 5-row broadcast of per-label constants,
+    one window argmax. Nothing driver-side, nothing quadratic."""
+    from pyspark.storagelevel import StorageLevel
+
     tok = df.select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("actual"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     train = tok.filter(F.col("id") % train_mod == 0)
     test = tok.filter(F.col("id") % train_mod != 0)
 

@@ -1940,22 +1940,46 @@ def pipeline_snapshot_curation(spark, sf_dir):
         corpus = snapshot_read(spark, root, pinned)
         n_ingested = corpus.count()
 
-        snapshot_compact(spark, root, target_files=2,
-                         zorder_cols=["doc_id", "n_chars"])
-        versions = snapshot_versions(root)
-        n_compacted = snapshot_read(spark, root, versions[-1]).count()
-        pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
-        labels = cluster.connected_components(pairs).withColumnRenamed(
-            "did", "doc_id"
-        )
-        n_curated = (
-            corpus.join(labels, "doc_id", "left")
-            .filter(
-                F.col("cluster_id").isNull()
-                | (F.col("cluster_id") == F.col("doc_id"))
+        # Compaction (+ its row-count) and near-dup curation are
+        # independent by construction: curation reads the PINNED
+        # pre-compaction version while compaction only appends a new one.
+        # Run the two job chains from a 2-thread pool (guide §2.6
+        # "overlap independent jobs"): the curation cc rounds back-fill
+        # the cores the single-writer compaction stage leaves idle, and
+        # the scheduler interleaves the chains' stages FIFO. Results are
+        # the same two scalars the sequential form produced; job
+        # descriptions are thread-local so each chain stays labelled.
+        def _compact_branch():
+            spark.sparkContext.setJobDescription(
+                "snapshot_curation: compact + count")
+            snapshot_compact(spark, root, target_files=2,
+                             zorder_cols=["doc_id", "n_chars"])
+            vs = snapshot_versions(root)
+            return vs, snapshot_read(spark, root, vs[-1]).count()
+
+        def _curate_branch():
+            spark.sparkContext.setJobDescription(
+                "snapshot_curation: near-dup curation")
+            pairs = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+            labels = cluster.connected_components(pairs).withColumnRenamed(
+                "did", "doc_id"
             )
-            .count()
-        )
+            return (
+                corpus.join(labels, "doc_id", "left")
+                .filter(
+                    F.col("cluster_id").isNull()
+                    | (F.col("cluster_id") == F.col("doc_id"))
+                )
+                .count()
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_compact = pool.submit(_compact_branch)
+            f_curate = pool.submit(_curate_branch)
+            versions, n_compacted = f_compact.result()
+            n_curated = f_curate.result()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

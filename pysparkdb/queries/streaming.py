@@ -301,10 +301,23 @@ def ev_stateful(spark, sf_dir):
     # run_to_memory owns the sink lifecycle (drops its view, returns
     # independent local rows), so a constant name is fine: availableNow
     # queries are inactive by return time and only ACTIVE query names
-    # must be unique
-    out = S.run_to_memory(
-        S.stateful_user_counter(stream), "ev_stateful_sink", output_mode="update"
-    )
+    # must be unique.
+    # Size the state-store partition count to the STREAM's volume, the
+    # ev_stream_join / pipeline_snapshot_curation convention: shuffle
+    # partitions fix the number of state-store instances (open/commit per
+    # instance per micro-batch) AND the number of Python workers the
+    # applyInPandasWithState stage spins up — at this replay's volume 32
+    # instances are pure per-instance overhead. Performance-only conf,
+    # scoped to the stream run; a real deployment sizes it UP per ingest.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = S.run_to_memory(
+            S.stateful_user_counter(stream), "ev_stateful_sink",
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return out.groupBy("user_id").agg(
         bigint(F.max("n_events")).alias("n_events")
     )
