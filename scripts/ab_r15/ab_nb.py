@@ -23,7 +23,7 @@ def main():
     from pysparkdb.session import get_spark
     import pysparkdb.pipeline.text as new_text
 
-    old_text = load_mod("/tmp/oldmods/text_head.py  # git show fe9f2cb^:pysparkdb/pipeline/text.py", "text_head")
+    old_text = load_mod("/tmp/oldmods/text_head.py", "text_head")  # git show fe9f2cb^:pysparkdb/pipeline/text.py
 
     sf_dir = "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

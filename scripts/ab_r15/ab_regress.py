@@ -24,8 +24,9 @@ def main():
     from pysparkdb.session import get_spark
     from pyspark.sql import functions as F
 
-    old_cluster = load_mod("/tmp/oldmods/cluster_old.py  # git show f5a94e0^:pysparkdb/pipeline/cluster.py", "cluster_old")
-    old_text = load_mod("/tmp/oldmods/text_old.py  # git show 7e4bef8^:pysparkdb/pipeline/text.py", "text_old")
+    # old module: git show f5a94e0^:pysparkdb/pipeline/cluster.py
+    old_cluster = load_mod("/tmp/oldmods/cluster_old.py", "cluster_old")
+    old_text = load_mod("/tmp/oldmods/text_old.py", "text_old")  # git show 7e4bef8^:pysparkdb/pipeline/text.py
     import pysparkdb.pipeline.cluster as new_cluster
     import pysparkdb.pipeline.text as new_text
     from pysparkdb.pipeline import dedup
