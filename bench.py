@@ -78,6 +78,30 @@ def host_counters() -> dict:
                 f.readline().rsplit("total=", 1)[1])
     except (OSError, IndexError, ValueError):
         pass
+    # Disk-side attribution (VERDICT r15 task #5): the round-15 close saw
+    # zero-steal, zero-PSI windows still failing the scan probe — shared-I/O
+    # co-tenancy that neither CPU counter prices. Sum sectors moved and
+    # ms-doing-I/O across whole-disk devices (/sys/block lists only whole
+    # disks, so partitions are not double-counted); a reading whose
+    # disk_ms_d approaches its wall-clock spent the window waiting on the
+    # device, and a scan-speed reading with huge disk_sect_d against calm
+    # neighbors marks an I/O-phase episode.
+    try:
+        disks = {
+            d for d in os.listdir("/sys/block")
+            if not d.startswith(("loop", "ram", "zram"))
+        }
+        sect = ms = 0
+        with open("/proc/diskstats") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 13 and parts[2] in disks:
+                    sect += int(parts[5]) + int(parts[9])
+                    ms += int(parts[12])
+        out["disk_sectors"] = sect
+        out["disk_io_ms"] = ms
+    except (OSError, IndexError, ValueError):
+        pass
     return out
 
 
@@ -459,6 +483,12 @@ def main() -> None:
         if "psi_some_total_us" in hc0 and "psi_some_total_us" in hc1:
             deltas["psi_d_us"] = (
                 hc1["psi_some_total_us"] - hc0["psi_some_total_us"])
+        # disk-side attribution (see host_counters): sectors moved and
+        # device-busy ms across the reading's window
+        if "disk_sectors" in hc0 and "disk_sectors" in hc1:
+            deltas["disk_sect_d"] = hc1["disk_sectors"] - hc0["disk_sectors"]
+        if "disk_io_ms" in hc0 and "disk_io_ms" in hc1:
+            deltas["disk_ms_d"] = hc1["disk_io_ms"] - hc0["disk_io_ms"]
         return t_wall, dur, deltas
 
     for _rep in range(repeats):
@@ -549,8 +579,7 @@ def main() -> None:
         }, f)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    record_json = json.dumps(
             {
                 "metric": "pysparkdb headline queries total wall-clock (per-query median)",
                 "value": round(total, 4),
@@ -599,8 +628,20 @@ def main() -> None:
                 # per-execution timeline sidecar (VERDICT r13 #1)
                 "timeline_file": timeline_file,
             }
-        )
     )
+    print(record_json)
+    # Durability mirror (VERDICT r15 task #9): the round-14 driver record
+    # was lost to a truncated stdout tail (the ~8 KB one-line JSON cut
+    # mid-dict cost the round its round-over-round comparison). Write the
+    # SAME line to a sidecar file so a clipped capture is always
+    # recoverable. Driver contract untouched: stdout still carries the
+    # one-line JSON; the file is an extra artifact.
+    json_mirror = os.environ.get("PYSPARKDB_BENCH_JSON", "bench_last.json")
+    try:
+        with open(json_mirror, "w") as f:
+            f.write(record_json + "\n")
+    except OSError as exc:
+        print(f"bench: JSON mirror not written ({exc})", file=sys.stderr)
     spark.stop()
 
 

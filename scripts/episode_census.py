@@ -13,11 +13,21 @@ BENCH_BASELINE.md row (plus band where one is recorded) by more than
   ambiguous   — steal share between the clean wire (1%) and the stall
                 wire (5%): some co-tenant heat present, not enough to
                 convict it alone (the r14 watch-item class).
+  disk        — steal and gc clean but the block devices were busy for
+                more than DISK_BUSY_SHARE of the reading's wall
+                (disk_ms_d, recorded per reading from round 16): the
+                shared-I/O co-tenancy class the round-15 close exposed —
+                a zero-steal, zero-PSI window that still fails the scan
+                probe was waiting on the device, not computing (VERDICT
+                r15 task #5).
   clean_host  — steal AND gc both below noise: the zero-steal episode
                 class whose only remaining cause is in-process (the
                 createDataFrame(list) worker-pool-restart artifact the
                 round-14/15 reshapes excised). THIS bucket shrinking
                 across rounds is the reshape campaign's success metric.
+                (Sidecars older than round 16 carry no disk counters, so
+                their I/O episodes census as clean_host — compare the
+                disk bucket only across r16+ sidecars.)
 
 A reading that fired the stall retry is censused on its RAW (pre-retry)
 duration — ``stalled_sec`` — because the census counts episodes that
@@ -42,10 +52,16 @@ import bench  # noqa: E402
 
 BREACH_RATIO = 2.0
 N_CPUS = 32  # the protocol config the sidecars are recorded at
+# device-busy share of the reading's wall above which an otherwise-clean
+# breach is attributed to shared I/O (the block device serviced requests
+# for most of the window — calm scan readings on this box sit well under
+# 10% because the page cache absorbs the re-read working set)
+DISK_BUSY_SHARE = 0.5
 
 
 def census(timeline: list[dict], frozen: dict, bands: dict) -> dict:
-    buckets = {"steal": [], "gc": [], "ambiguous": [], "clean_host": []}
+    buckets = {"steal": [], "gc": [], "ambiguous": [], "disk": [],
+               "clean_host": []}
     n_frozen_readings = 0
     for e in timeline:
         row = frozen.get(e["name"])
@@ -59,19 +75,23 @@ def census(timeline: list[dict], frozen: dict, bands: dict) -> dict:
         share = bench.reading_steal_share(
             dur, {"steal_d": e.get("steal_d", 0)}, N_CPUS)
         gc_share = e.get("gc_d_ms", 0) / 1000.0 / max(dur, 1e-9)
+        disk_share = e.get("disk_ms_d", 0) / 1000.0 / max(dur, 1e-9)
         if share > bench.STALL_STEAL_SHARE:
             bucket = "steal"
         elif gc_share > bench.CLEAN_GC_SHARE:
             bucket = "gc"
         elif share >= bench.CLEAN_STEAL_SHARE:
             bucket = "ambiguous"
+        elif disk_share > DISK_BUSY_SHARE:
+            bucket = "disk"
         else:
             bucket = "clean_host"
         buckets[bucket].append(
             {"name": e["name"], "rep": e.get("rep"), "pos": e.get("pos"),
              "sec": round(dur, 2), "ratio": round(dur / row, 2),
              "steal_share": round(share, 4),
-             "gc_d_ms": e.get("gc_d_ms", 0)})
+             "gc_d_ms": e.get("gc_d_ms", 0),
+             "disk_share": round(disk_share, 4)})
     return {
         "readings_with_frozen_row": n_frozen_readings,
         "episodes": sum(len(v) for v in buckets.values()),
@@ -94,13 +114,14 @@ def main(argv: list[str]) -> int:
         print(f"{path}: {out['episodes']} episodes "
               f"/ {out['readings_with_frozen_row']} readings — "
               f"steal {counts['steal']}, gc {counts['gc']}, "
-              f"ambiguous {counts['ambiguous']}, "
+              f"ambiguous {counts['ambiguous']}, disk {counts['disk']}, "
               f"clean_host {counts['clean_host']}")
-        for bucket in ("clean_host", "ambiguous", "steal", "gc"):
+        for bucket in ("clean_host", "disk", "ambiguous", "steal", "gc"):
             for d in out["detail"][bucket]:
                 print(f"  [{bucket}] {d['name']} rep{d['rep']} "
                       f"{d['sec']}s ({d['ratio']}x frozen, "
-                      f"steal {d['steal_share']:.2%}, gc {d['gc_d_ms']} ms)")
+                      f"steal {d['steal_share']:.2%}, gc {d['gc_d_ms']} ms, "
+                      f"disk {d['disk_share']:.2%})")
     return 0
 
 
