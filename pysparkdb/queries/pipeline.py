@@ -108,8 +108,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     library's subset-verify path (the true 100 TB shape, where full exact
     is unaffordable) is exercised with recall floors in
     tests/test_pipeline.py."""
+    from pysparkdb.pins import pin
+
     d = tables(spark, sf_dir)["documents"]
-    exact = dedup.ngram_jaccard_pairs(d, threshold=0.5).persist()
+    exact = pin(dedup.ngram_jaccard_pairs(d, threshold=0.5))
     candidates = dedup.minhash_band_candidates(d)
     lsh = exact.join(candidates, ["doc_a", "doc_b"], "left_semi")
     return _pair_set_compare(lsh, exact)
@@ -167,8 +169,10 @@ def dedup_simhash(spark, sf_dir):
     output, exercised by tests/test_pipeline.py). The fingerprint frame
     (16 bytes/doc) is computed once and persisted — banded and both brute
     branches share it instead of re-running the token explode 3×."""
+    from pysparkdb.pins import pin
+
     d = tables(spark, sf_dir)["documents"]
-    sims = dedup.simhash(d).persist()
+    sims = pin(dedup.simhash(d))
     banded = dedup.simhash_pairs(d, sims=sims).select("doc_a", "doc_b")
     a = sims.select(F.col("did").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = sims.select(F.col("did").alias("doc_b"), F.col("simhash").alias("sim_b"))
@@ -1034,7 +1038,7 @@ def text_tfidf(spark, sf_dir):
     arguments (measured: df=387 at sf0.01); the rounding absorbs it
     (agreement at 6dp asserted over every df value in
     tests/test_pipeline.py)."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     d = tables(spark, sf_dir)["documents"]
     # tf feeds BOTH the df derivation and the scoring join; AQE's staged
@@ -1042,11 +1046,11 @@ def text_tfidf(spark, sf_dir):
     # left lazy the tokenize+count pipeline runs twice — pin the compact
     # (doc, tok, tf) frame (distinct tokens per doc, far smaller than the
     # token stream).
-    tf = (
+    tf = pin(
         d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(bigint(F.count(F.lit(1))).alias("tf"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df_ = tf.groupBy("tok").agg(bigint(F.count(F.lit(1))).alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
@@ -1291,7 +1295,7 @@ def pipeline_clean_near(spark, sf_dir):
     clustering adds O(log² n) cheap edge-frame rounds; the final drop is
     one broadcast-sized left join of labels (|labels| = docs appearing in
     any near-dup pair) against the survivor frame."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     d = tables(spark, sf_dir)["documents"]
     quality = d.filter(text.token_count("text").between(20, 1000))
@@ -1304,9 +1308,7 @@ def pipeline_clean_near(spark, sf_dir):
     # (MEMORY_AND_DISK: spills, never OOMs) exactly as q21 pins `late`; at
     # real corpus scale this materialization point is where a production
     # run would checkpoint survivors to parquet between stages.
-    surv = fps.join(keep, ["fp", "doc_id"], "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    surv = pin(fps.join(keep, ["fp", "doc_id"], "left_semi"))
     pairs = dedup.ngram_jaccard_pairs(surv, threshold=0.5)
     labels = cluster.connected_components(pairs).withColumnRenamed("did", "doc_id")
     return (
@@ -1875,9 +1877,16 @@ def pipeline_snapshot_curation(spark, sf_dir):
     )
     from pysparkdb.streaming.windows import stream_clean_documents
 
+    from pysparkdb.scratch import scratch_root
+
     docs = tables(spark, sf_dir)["documents"]
     n_landed = docs.count()
-    workdir = tempfile.mkdtemp(prefix="snapcur-")
+    # whole workdir (landing + snapshot root + stream checkpoints) is
+    # ephemeral — rmtree'd in the finally — so it goes on scratch_root()
+    # (tmpfs when available): the two drains' WAL/state fsync traffic and
+    # the scratch snapshot commits are this composite's per-run floor,
+    # not its computation (guide §5/§6; VERDICT r15 task #1)
+    workdir = tempfile.mkdtemp(prefix="snapcur-", dir=scratch_root())
     try:
         landing = os.path.join(workdir, "landing")
         root = os.path.join(workdir, "corpus")
@@ -1949,6 +1958,13 @@ def pipeline_snapshot_curation(spark, sf_dir):
         # the scheduler interleaves the chains' stages FIFO. Results are
         # the same two scalars the sequential form produced; job
         # descriptions are thread-local so each chain stays labelled.
+        # (ADVICE r15: "thread-local" relies on PySpark pinned-thread
+        # mode, PYSPARK_PIN_THREAD=true — the default since Spark 3.2.
+        # With it disabled the two chains would share JVM local
+        # properties: labels could cross, and any future
+        # setJobGroup/cancel would hit both chains. Labels are cosmetic
+        # here, but keep the pool free of group-cancel calls unless
+        # pinned mode is asserted.)
         def _compact_branch():
             spark.sparkContext.setJobDescription(
                 "snapshot_curation: compact + count")
@@ -2046,8 +2062,12 @@ def pipeline_incremental_refresh(spark, sf_dir):
         snapshot_rewrite,
     )
 
+    from pysparkdb.scratch import scratch_root
+
     docs = tables(spark, sf_dir)["documents"]
-    workdir = tempfile.mkdtemp(prefix="increfresh-")
+    # ephemeral scratch corpus (rmtree'd below) → scratch_root(), the
+    # snapshot_curation rationale
+    workdir = tempfile.mkdtemp(prefix="increfresh-", dir=scratch_root())
     try:
         root = os.path.join(workdir, "corpus")
         snapshot_append(docs.filter(F.col("doc_id") % 3 != 0), root)  # v1
@@ -2162,10 +2182,14 @@ def pipeline_schema_evolution(spark, sf_dir):
         snapshot_schema,
     )
 
+    from pysparkdb.scratch import scratch_root
+
     docs = tables(spark, sf_dir)["documents"].select(
         "doc_id", "lang", "n_chars"
     )
-    workdir = tempfile.mkdtemp(prefix="schemaevo-")
+    # ephemeral scratch corpus (rmtree'd below) → scratch_root(), the
+    # snapshot_curation rationale
+    workdir = tempfile.mkdtemp(prefix="schemaevo-", dir=scratch_root())
     try:
         root = os.path.join(workdir, "corpus")
         snapshot_append(docs.filter(F.col("doc_id") % 3 != 0), root)  # v1
@@ -2416,7 +2440,7 @@ def pipeline_incremental_distinct(spark, sf_dir):
     error bound. The merged row (batch = -1) additionally certifies that
     the UNION of independently-built sketches estimates the global
     cardinality — the incremental property itself."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     d = tables(spark, sf_dir)["documents"]
     b = d.select((F.col("doc_id") % 4).cast("long").alias("batch"), "text")
@@ -2424,10 +2448,10 @@ def pipeline_incremental_distinct(spark, sf_dir):
     # per-batch verdict rows and the union row; left lazy, column pruning
     # specializes each branch and the whole corpus-wide sketch/distinct
     # build runs twice (round-7 recompute bug class) — pin the 4-row frame.
-    per = b.groupBy("batch").agg(
+    per = pin(b.groupBy("batch").agg(
         bigint(F.count_distinct("text")).alias("exact_docs"),
         F.hll_sketch_agg("text", F.lit(12)).alias("sk"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     per_rows = per.select(
         "batch",
         "exact_docs",
@@ -2604,7 +2628,7 @@ def text_winnowing(spark, sf_dir):
     recompute class). At 100 TB the fingerprint join is bounded the same
     way as the shingle join: selected-hash buckets, with hot (stop-
     phrase) fingerprints removable by frequency cap before the join."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
     from pyspark.sql import Window
 
     d = tables(spark, sf_dir)["documents"]
@@ -2629,13 +2653,13 @@ def text_winnowing(spark, sf_dir):
         """
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
-    sel = (
+    sel = pin(
         sh.select("doc_id", "pos", h.alias("h"))
         .select("doc_id", "pos", F.min("h").over(w).alias("m"))
         .filter(F.col("pos") >= 3)
         .select("doc_id", "m")
         .distinct()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # explicit per-side column names: df["m"] == df2["m"] on a shared
     # persisted frame relies on Spark's self-join disambiguation and
     # warns "trivially true predicate" — rename instead, so the join

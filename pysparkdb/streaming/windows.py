@@ -291,19 +291,38 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     including otherwise JVM-pure stream-stream joins. Produced rows are
     identical by construction (same sink table, no recompute), so banked
     correctness evidence for the ev_* family certifies this path
-    unchanged."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    spark = stream_df.sparkSession
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    unchanged.
+
+    The checkpoint dir is an explicit per-run ephemeral dir on
+    scratch_root() (tmpfs when available — see pysparkdb.scratch), not
+    Spark's implicit temp checkpoint on disk-backed java.io.tmpdir: a
+    drain-and-stop replay writes and discards its whole WAL/state within
+    this call, so the offsets/commits/state fsync traffic is the run's
+    floor, not its work (guide §5/§6; VERDICT r15 task #1). Results are
+    unaffected — the checkpoint is never resumed (removed in the finally,
+    exactly like the implicit temp dir Spark force-deletes on stop)."""
+    import shutil
+    import tempfile
+
+    from pysparkdb.scratch import scratch_root
+
+    ckpt = tempfile.mkdtemp(prefix=f"pysparkdb_ckpt_{name}_", dir=scratch_root())
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark = stream_df.sparkSession
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def read_documents_stream(

@@ -156,6 +156,23 @@ def test_run_to_memory_result_is_python_worker_free(spark, sf_dir, events_stream
     assert "LocalCheckpointRDD" in dbg, dbg   # materialized JVM-side
 
 
+def test_run_to_memory_cleans_up_its_checkpoint_dir(spark, sf_dir, events_stream):
+    """run_to_memory's per-run ephemeral checkpoint (an explicit dir on
+    scratch_root(), r16 — not Spark's implicit temp checkpoint) must be
+    removed before returning: a drain-and-stop replay's WAL is scratch,
+    and leaking one dir per run would grow the scratch root forever."""
+    import glob
+    import os
+    import tempfile
+
+    from pysparkdb.scratch import scratch_root
+
+    root = scratch_root() or tempfile.gettempdir()
+    pat = os.path.join(root, "pysparkdb_ckpt_t_ckptclean_*")
+    S.run_to_memory(S.tumbling_agg(events_stream), "t_ckptclean")
+    assert glob.glob(pat) == [], "checkpoint dir leaked"
+
+
 def test_ev_stateful_repeat_runs_are_independent(spark, sf_dir):
     """The registered ev_stateful runs repeatedly in one session (bench
     sweeps): each run must return the full result and earlier results
