@@ -23,7 +23,8 @@ surface of cloud-olap/FlexPushdownDB-old on Spark SQL / DataFrame / Catalyst:
 """
 
 from pysparkdb.engine import Engine
+from pysparkdb.pins import release_persisted
 from pysparkdb.session import get_spark
 
-__all__ = ["Engine", "get_spark"]
+__all__ = ["Engine", "get_spark", "release_persisted"]
 __version__ = "0.1.0"

@@ -63,12 +63,15 @@ def _pair_overlap_counts(
     The shingle explode feeds up to four consumers (sizes, the stop-set
     scan, both join sides); left lazy each re-tokenizes the corpus, so it
     pins spill-safe (MEMORY_AND_DISK; a production run would checkpoint
-    to parquet between stages). Pins live until
-    spark.catalog.clearCache() or session end — bench.py clears per
-    sweep; the lazily-returned result cannot unpersist its own input."""
-    from pyspark.storagelevel import StorageLevel
+    to parquet between stages). The lazily-returned result cannot
+    unpersist its own input, so the pin registers with pysparkdb.pins —
+    long-lived sessions release between pipelines via
+    pins.release_persisted() (lifecycle rationale there); the bench
+    protocol deliberately keeps pins warm across sweeps (bench.py's
+    no-clearCache note)."""
+    from pysparkdb.pins import pin
 
-    sh = _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = pin(_shingled(df, id_col, text_col, n))
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("nsh"))
     joinable = sh
     if max_doc_freq is not None:
@@ -220,7 +223,7 @@ def minhash_band_candidates(
     collide in ≥1 band (may contain band-level duplicates — consumers are
     duplicate-insensitive by contract; dedup here would cost a full extra
     shuffle of the widest frame in the pipeline)."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     if num_hashes % rows_per_band != 0:
         # flooring would compute (and shuffle) the trailing signature lanes
@@ -237,9 +240,7 @@ def minhash_band_candidates(
     # (verified: 0 ReusedExchange in the executed plan) — pin the compact
     # one-row-per-doc signatures (the simhash_pairs/minhash_lsh_pairs
     # policy; same clearCache lifecycle)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = pin(minhash_signatures(df, id_col, text_col, n, num_hashes))
     bands = sigs.select(
         "did",
         F.explode(
@@ -297,7 +298,7 @@ def minhash_lsh_pairs(
     underestimate, so choose it well above the expected near-dup cluster
     size; the recall-vs-exact floor is asserted in tests/test_pipeline.py.
     """
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     # The candidate frame feeds THREE consumers (both cand_docs selects +
     # the final intersect semi-join); left lazy, each one would recompute
@@ -305,9 +306,9 @@ def minhash_lsh_pairs(
     # measured 3.1x end-to-end on the scale probe. Persist the (doc_a,
     # doc_b) pairs — the narrowest frame in the pipeline — exactly the
     # q21/pipeline_clean_near shared-subtree pin.
-    candidates = minhash_band_candidates(
+    candidates = pin(minhash_band_candidates(
         df, id_col, text_col, n, num_hashes, rows_per_band
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     # Verify ONLY among documents that appear in some candidate pair: the
     # exact shingle-join is O(pairs sharing a shingle) — at corpus scale
     # running it over everything would defeat the LSH; over the candidate
@@ -385,11 +386,9 @@ def simhash_pairs(
         # left lazy, the full text-shingle hash would run twice — pin the
         # 16-byte-per-doc frame (cheapest thing in the pipeline to cache,
         # exactly what the `sims` parameter asks callers to do)
-        from pyspark.storagelevel import StorageLevel
+        from pysparkdb.pins import pin
 
-        sims = simhash(df, id_col, text_col, bits).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        sims = pin(simhash(df, id_col, text_col, bits))
     mask = (1 << band_bits) - 1
     band_structs = F.array(
         *[
@@ -448,17 +447,17 @@ def cross_corpus_overlap(
     the single-corpus op it only ever under-reports jaccard. At 100 TB the
     bench side is typically tiny (eval suites) — its shingle set
     broadcasts and the whole check is one map-side pass over train."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     # Pin both shingle explodes: each feeds up to three consumers (size
     # counts, the combined stop-set scan, the collision join) — the
     # ngram_jaccard_pairs multi-consumer policy; same clearCache lifecycle.
-    sha = _shingled(train, id_col, text_col, n).select(
+    sha = pin(_shingled(train, id_col, text_col, n).select(
         F.col("did").alias("train_id"), F.col("sh").alias("sh_a")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    shb = _shingled(bench, id_col, text_col, n).select(
+    ))
+    shb = pin(_shingled(bench, id_col, text_col, n).select(
         F.col("did").alias("bench_id"), F.col("sh").alias("sh_b")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     # Set sizes count EVERY shingle (PRE-stop-filter, the
     # ngram_jaccard_pairs contract): sizes taken after the filter would
     # shrink |A|/|B| for shingles dropped from only one side of a pair

@@ -130,15 +130,15 @@ def lsh_near_dup_pairs(
     (never vector payloads — vectors re-join only for the verified
     candidate set), and the bucket computation is one Arrow-batched
     matmul per partition (hyperplane_buckets)."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     # Both sides of the bucket self-join consume the bucket frame; left
     # lazy, the Arrow-batched plane matmul would run twice over the
     # corpus. Persist the id-level frame (payload columns pruned first —
     # 3 small columns per (vector, table), never the vectors).
-    b = hyperplane_buckets(
+    b = pin(hyperplane_buckets(
         df, dim=dim, vec_col=vec_col, nbits=nbits, tables=tables, seed=seed
-    ).select("tbl", "bucket", "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("tbl", "bucket", "vec_id"))
     a = b.select("tbl", "bucket", F.col("vec_id").alias("id_a"))
     c = b.select("tbl", "bucket", F.col("vec_id").alias("id_b"))
     cand = (
@@ -248,15 +248,13 @@ def lsh_topk_neighbors(
     evaluations; recall for genuinely-near neighbors (cos ≥ .8) is ≥ 95%
     by the (nbits, L) math, while far 'nearest' neighbors are inherently
     hard for any LSH — that is the documented trade."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     # both the query and candidate sides derive from the bucket frame;
     # the filtered query subtree differs, so no exchange reuse — pin it
     # or the corpus-wide plane matmul runs twice (the lsh_near_dup_pairs
     # policy; clearCache lifecycle)
-    e = hyperplane_buckets(df, dim, vec_col, nbits, tables).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    e = pin(hyperplane_buckets(df, dim, vec_col, nbits, tables))
     q = e if query_filter is None else e.filter(query_filter)
     return _bucket_join_topk(q, e, k)
 
@@ -428,16 +426,16 @@ def ivf_topk_neighbors(
     so recall per probed fraction beats data-oblivious hyperplanes on
     clustered corpora; probe cost is n·q·(nprobe/nlist) pair evaluations.
     """
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
     centroids = train_ivf_centroids(df, dim, vec_col, nlist=nlist)
     e = _spread(with_norm(df, vec_col))
     # consumed by both the candidate and query sides — pin, or the
     # corpus-wide centroid-distance matmul runs twice (same rationale as
     # lsh_topk_neighbors above)
-    scored_cells = e.withColumn(
+    scored_cells = pin(e.withColumn(
         "_cd", _cell_distances(F.col("v"), centroids)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     cand = _nearest_cell(scored_cells)
     q = scored_cells if query_filter is None else scored_cells.filter(query_filter)
     return _probe_and_score(q, cand, k=k, nprobe=nprobe)

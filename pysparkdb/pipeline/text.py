@@ -186,29 +186,41 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     mark low-quality, repetitive text (the Rae et al. 2021 'repetition'
     filters, adapted token-wise — this corpus has no line structure).
 
-    Shape (r15, fused): ONE explode of tokens ++ bigrams (tagged with a
-    kind flag) → count per (doc, kind, gram) → per-doc rollup with
-    kind-conditional aggregates. The previous form ran two separate
-    scan+explode+double-aggregation pipelines and joined them on doc_id —
-    two corpus scans and 5 exchanges for the same counts; the fused plan
-    is 1 scan and 2 exchanges (plans/r15/text_repetition_*; local sf0.1
-    wall-clock is parity within host noise — the shuffled gram volume is
-    unchanged — the win is the halved corpus scan, which is what
-    dominates at real corpus scale). Conditional aggregation over the
-    tagged stream is count-identical, including the NULL bigram stats of
-    a single-token document (its bigram-conditional MAX/SUM aggregate
-    over zero rows is NULL, exactly what the LEFT join produced). Both
-    aggregations partial-combine map-side and shuffle on keys that
-    include doc_id, so shuffle volume is bounded by distinct grams per
-    document — scan-speed at corpus scale. All ratios are single
-    BIGINT/BIGINT double divisions (deterministic, oracle-exact)."""
-    # Bigram derivation: word_shingles is DISTINCT by construction and
-    # bigram repetition needs raw counts, so derive non-distinct 2-grams
-    # from the token array directly. Size guard (the word_shingles
-    # idiom): a single-token document has NO bigrams — without it,
-    # sequence(1, 0) counts DOWN to [1, 0] and slice(t, 0, 2) throws at
-    # runtime; the empty array contributes zero bigram rows, matching
-    # the oracle (such docs carry NULL bigram stats).
+    Shape: explode tokens (and 2-gram shingles) → count per (doc, gram) →
+    per-doc rollup. Both aggregations partial-combine map-side and shuffle
+    on keys that include doc_id, so shuffle volume is bounded by distinct
+    grams per document — scan-speed at corpus scale. All ratios are single
+    BIGINT/BIGINT double divisions (deterministic, oracle-exact).
+
+    Two-scan form KEPT over the r15 single-scan fusion (reverted r16,
+    VERDICT r15 What's-wrong #1): fusing tokens+bigrams into one tagged
+    explode halves the corpus scans but inflates the single combined
+    aggregation (wider generator rows, one bigger per-task hash map), and
+    the measured ground truth went the wrong way — driver r15 4.06 s vs
+    2.89 r14; calm interleaved A/B r16: two-scan 2.31 s vs fused 2.70
+    median (6/6 pairs), and a struct-free fused variant (kind derived
+    from the gram string) still lost 4/6. The fusion only pays where the
+    SCAN dominates the explode — i.e. wide rows or remote storage; on
+    such a deployment fuse at the call site by tagging grams and
+    aggregating kind-conditionally (plans/r15/text_repetition_after.txt
+    preserves the shape)."""
+    tok = df.select(F.col(id_col).alias("did"), F.explode(tokens(text_col)).alias("g"))
+    tstats = (
+        tok.groupBy("did", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("did")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_c"),
+        )
+    )
+    # word_shingles is DISTINCT by construction; bigram repetition needs raw
+    # counts, so derive non-distinct 2-grams from the token array directly.
+    # Size guard (the word_shingles idiom): a single-token document has NO
+    # bigrams — without it, sequence(1, 0) counts DOWN to [1, 0] and
+    # slice(t, 0, 2) throws at runtime; the empty array explodes to zero
+    # rows, matching the oracle (such docs carry no bigram stats row).
     t = tokens(text_col)
     raw_bigrams = F.when(
         F.size(t) >= 2,
@@ -217,40 +229,29 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tagged = df.select(
-        F.col(id_col).alias("did"),
-        F.explode(
-            F.concat(
-                F.transform(tokens(text_col), lambda g: F.struct(
-                    F.lit(True).alias("is_tok"), g.alias("g"))),
-                F.transform(raw_bigrams, lambda g: F.struct(
-                    F.lit(False).alias("is_tok"), g.alias("g"))),
-            )
-        ).alias("kg"),
-    ).select("did", F.col("kg.is_tok").alias("is_tok"), F.col("kg.g").alias("g"))
-    tok_c = F.when(F.col("is_tok"), F.col("c"))
-    big_c = F.when(~F.col("is_tok"), F.col("c"))
-    stats = (
-        tagged.groupBy("did", "is_tok", "g")
+    big = df.select(F.col(id_col).alias("did"), F.explode(raw_bigrams).alias("g"))
+    bstats = (
+        big.groupBy("did", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("did")
-        .agg(
-            F.sum(tok_c).cast("long").alias("n_tokens"),
-            F.count(tok_c).cast("long").alias("n_distinct"),
-            F.max(tok_c).cast("long").alias("top_c"),
-            F.sum(big_c).cast("long").alias("n_bigrams"),
-            F.max(big_c).cast("long").alias("top_bc"),
+        .agg(F.sum("c").cast("long").alias("n_bigrams"),
+             F.max("c").cast("long").alias("top_bc"))
+    )
+    # LEFT join: a single-token document has token stats but no bigram
+    # row — an inner join would drop it from the output entirely, so a
+    # downstream repetition filter would never see it. Its bigram ratio
+    # is honestly NULL (undefined), not fabricated.
+    return (
+        tstats.join(bstats, "did", "left")
+        .select(
+            F.col("did").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            (1.0 - F.col("n_distinct") / F.col("n_tokens")).alias("dup_token_ratio"),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_ratio"),
+            (F.col("top_bc") / F.col("n_bigrams")).alias("top_bigram_ratio"),
         )
     )
-    return stats.select(
-        F.col("did").alias(id_col),
-        "n_tokens",
-        "n_distinct",
-        (1.0 - F.col("n_distinct") / F.col("n_tokens")).alias("dup_token_ratio"),
-        (F.col("top_c") / F.col("n_tokens")).alias("top_token_ratio"),
-        (F.col("top_bc") / F.col("n_bigrams")).alias("top_bigram_ratio"),
-    )
-
 
 def domain_mix(
     df: DataFrame,
@@ -528,13 +529,13 @@ def naive_bayes_predict(
     count-table on token (Zipf-skewed — AQE skew split applies), one
     (doc, label) aggregation, a 5-row broadcast of per-label constants,
     one window argmax. Nothing driver-side, nothing quadratic."""
-    from pyspark.storagelevel import StorageLevel
+    from pysparkdb.pins import pin
 
-    tok = df.select(
+    tok = pin(df.select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("actual"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     train = tok.filter(F.col("id") % train_mod == 0)
     test = tok.filter(F.col("id") % train_mod != 0)
 

@@ -1109,7 +1109,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, caching the filtered late subset is strictly cheaper than a
     second full lineitem⋈orders join.
     """
-    from pyspark import StorageLevel
+    from pysparkdb.pins import pin
 
     t = tables(spark, sf_dir)
     f_orders = t["orders"].filter(F.col("o_orderstatus") == "F")
@@ -1118,8 +1118,8 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    late = pin(late)
     other = t["lineitem"].select(
         F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
     )
