@@ -309,6 +309,14 @@ def ev_stateful(spark, sf_dir):
     # applyInPandasWithState stage spins up — at this replay's volume 32
     # instances are pure per-instance overhead. Performance-only conf,
     # scoped to the stream run; a real deployment sizes it UP per ingest.
+    # ADVICE r15: the set/restore mutates SESSION-global SQLConf — sound
+    # under the sequential query harness (bench/driver run queries one at
+    # a time, and the one intra-session thread pool in the registry,
+    # pipeline_snapshot_curation's compact∥curate, starts only after its
+    # own conf restore) — but a future caller planning OTHER queries
+    # concurrently in this session would inherit the 8. If that pattern
+    # spreads, run streams from spark.newSession() (shared context,
+    # isolated SQLConf) instead.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -879,12 +887,31 @@ def ev_stream_join(spark, sf_dir):
     # 32 partitions 11.6 s vs 8 partitions 4.1 s on this replay; at
     # real volume the same knob sizes UP). Performance-only conf, scoped
     # to the stream run (the skew-join convention).
+    #
+    # noDataMicroBatches off for THIS stream (r16): after the single data
+    # batch, availableNow appended a trailing zero-row micro-batch whose
+    # only job is watermark-driven STATE EVICTION — instrumented at
+    # ~0.9-1.2 s (a full plan+execute of the join stages over empty
+    # sources, ~40% of the query's calm floor) for state that the
+    # drain-and-stop run discards with its checkpoint moments later. An
+    # INNER stream-stream join emits pairs only in data batches (append
+    # mode finalizes them on emission), so the emitted row set is
+    # identical — oracle-verified at sf0.001/0.01/0.1. A watermark-
+    # finalized APPEND AGGREGATION must keep no-data batches (they emit
+    # its closed windows) — that is why the conf is scoped per-stream
+    # here, never session-wide.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false")
         out = S.run_to_memory(pairs, "ev_stream_join_sink", output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata)
     return (
         out.groupBy("user_id")
         .agg(
