@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pysparkdb import functions as X
 from pysparkdb import operators as O
 from pysparkdb.queries import register
-from pysparkdb.queries.base import bigint, davg, dsum, tables, ts
+from pysparkdb.queries.base import bigint, davg, dsum, parallel_scan, tables, ts
 
 
 @register(
@@ -127,7 +127,8 @@ def op_count_distinct(spark, sf_dir):
 def op_agg_scalar(spark, sf_dir):
     """AGGREGATE: scalar agg, no group keys — SUM/COUNT/MIN/MAX/AVG, the
     reference's complete agg-function set (aggregate/function/*.cpp)."""
-    l = tables(spark, sf_dir)["lineitem"]
+    l = parallel_scan(tables(spark, sf_dir)["lineitem"].select(
+        "l_quantity", "l_extendedprice", "l_discount"))
     return O.aggregate(
         l,
         {
@@ -578,7 +579,8 @@ def op_variance(spark, sf_dir):
     """Sample variance via exact decimal moments (Σx², (Σx)²/n) — the
     hash-stable formulation of stddev/var (beyond-reference, §2.5 'not
     present'); both engines evaluate the identical deterministic formula."""
-    l = tables(spark, sf_dir)["lineitem"]
+    l = parallel_scan(tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_quantity"))
     q = F.col("l_quantity")
     n = F.count(F.lit(1))
     return l.groupBy("l_returnflag").agg(
@@ -789,7 +791,8 @@ def op_rollup(spark, sf_dir):
     rows and None breaks ordering. One shuffle: Spark expands grouping
     sets map-side (Expand node), partial-aggregates each set, then a
     single hash exchange — identical shape at any scale."""
-    l = tables(spark, sf_dir)["lineitem"]
+    l = parallel_scan(tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_quantity"))
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
@@ -1114,7 +1117,8 @@ def op_grouping_sets(spark, sf_dir):
     a UNION-of-group-bys formulation would scan the fact table once per
     set. NULL subtotal keys COALESCE to 'ALL' sentinels (compare sorts
     rows; None breaks ordering)."""
-    l = tables(spark, sf_dir)["lineitem"]
+    l = parallel_scan(tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_quantity"))
     return (
         l.cube("l_returnflag", "l_linestatus")
         .agg(
@@ -1200,7 +1204,8 @@ def op_cube(spark, sf_dir):
     multiplier is the Expand fan-out (4x here), never an extra shuffle
     or rescan per set. NULL subtotal keys COALESCEd to 'ALL' sentinels
     (op_rollup convention: the oracle sort breaks on None)."""
-    l = tables(spark, sf_dir)["lineitem"]
+    l = parallel_scan(tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_quantity"))
     return (
         l.cube("l_returnflag", "l_linestatus")
         .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
@@ -1450,9 +1455,11 @@ def op_profile(spark, sf_dir):
     a broken null counter that always emits 0 would go undetected (the
     round-8 vacuity lens); NULLIF gives the counter a large non-trivial
     answer (every filled order) in both engines identically."""
-    o = tables(spark, sf_dir)["orders"].withColumn(
-        "o_status_open", F.expr("nullif(o_orderstatus, 'F')")
-    )
+    o = parallel_scan(tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority",
+        F.expr("nullif(o_orderstatus, 'F')").alias("o_status_open"),
+    ))
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     str_cols = ["o_orderstatus", "o_orderpriority", "o_status_open"]
     aggs = [F.count(F.lit(1)).alias("_n")]
@@ -1572,7 +1579,8 @@ def op_winsorize(spark, sf_dir):
     the one shared buffer and interpolates both points from it, yielding
     bit-identical doubles (same counts map, same per-percentage
     interpolation path)."""
-    l = tables(spark, sf_dir)["lineitem"]
+    l = parallel_scan(tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_extendedprice"))
     st = l.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, array(0.05, 0.95))").alias("_pe"),
     ).select(
@@ -1635,7 +1643,8 @@ def op_winsorize_approx(spark, sf_dir):
     summary queried at both points replaces two identical summaries —
     GK state is deterministic in the input multiset and accuracy, so
     the approx values are unchanged, verified value-identical)."""
-    l = tables(spark, sf_dir)["lineitem"]
+    l = parallel_scan(tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_extendedprice"))
     st = l.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, array(0.05, 0.95))").alias("_pe"),
         F.expr(
@@ -1742,7 +1751,8 @@ def op_corr(spark, sf_dir):
     one Exchange) and finishes with one deterministic double expression
     per group; the final ROUND(...,6) absorbs any last-ulp SQRT
     difference between the JVM and libm."""
-    l = tables(spark, sf_dir)["lineitem"]
+    l = parallel_scan(tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_quantity", "l_extendedprice"))
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     n = F.count(F.lit(1))
     sq, sp = dsum(q), dsum(p)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pysparkdb.queries import register
-from pysparkdb.queries.base import bigint, davg, dsum, r2, tables, ts
+from pysparkdb.queries.base import bigint, davg, dsum, parallel_scan, r2, tables, ts
 
 
 def DSUM(x: str) -> str:
@@ -66,7 +66,10 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = tables(spark, sf_dir)["lineitem"]
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        parallel_scan(
+            l.filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+            .select("l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),

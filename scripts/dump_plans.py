@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for named queries to plans/r15/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/r16/<q>_<tag>.txt.
 
 Usage: python scripts/dump_plans.py <tag> <q1,q2,...> [sf_dir]
 The judge checks plan claims in OPTIMIZATION_r15.md against these files.
@@ -23,7 +23,7 @@ def main() -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r15")
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r16")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = specs[name].fn(spark, sf_dir)
